@@ -1,13 +1,315 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` enumerates the implemented operator surface (one entry per
+  * SURVEY §2 operator class / extension op); `oracleSql` gives the DuckDB
+  * equivalent for the hash-match correctness gate. Queries whose semantics
+  * aren't ANSI-SQL-practical (approx sketches, LSH banding) have no oracle
+  * → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * 3-way join + grouped rollup — exercises scan, broadcast join, shuffle
+    * agg in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.j1InnerJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all ++ TextOps.all ++ Similarity.all
+
+  def oracleSql: Map[String, String] = Map(
+    "f1_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01' AND l_discount > 0.05""",
+    "f2_in_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_size IN (5, 11, 28, 40) AND p_type <> 'ECONOMY'""",
+    "f3_like_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_name LIKE '%12%'""",
+    "f4_pred_combo" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |  AND o_totalprice BETWEEN 1000.0 AND 50000.0""",
+    "j1_inner_join" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority""",
+    "j2_left_join_nullfill" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""",
+    "j3_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)""",
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
+    "j5_dim_chain" ->
+      """SELECT r_name, n_name, count(s_suppkey) AS suppliers
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY r_name, n_name""",
+    "a1_grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "a2_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_custs,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority""",
+    "a3_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""",
+    "a4_sliding_window" ->
+      """SELECT strftime(make_timestamp(
+        |    ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
+        |    * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |GROUP BY 1""",
+    "a6_log_dedup" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |  count(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY event_type""",
+    "w1_row_number" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""",
+    "w2_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_name, rnk FROM (
+        |  SELECT s_nationkey, s_suppkey, s_name,
+        |    rank() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+        |  FROM supplier) WHERE rnk <= 3""",
+    "w3_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS prev_id,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS next_id
+        |FROM events""",
+    "w4_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spent
+        |FROM orders""",
+    "w5_running_max" ->
+      """SELECT user_id, event_id, value,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |FROM events""",
+    "r1_gap_detect" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |    OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS sessions,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM events)
+        |GROUP BY user_id""",
+    "r2_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+        |      AS rn
+        |  FROM events) WHERE rn = 1""",
+    "r3_group_complete" ->
+      """SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_parts,
+        |  max(l_linenumber) AS last_part,
+        |  count(DISTINCT l_linenumber) = CAST(max(l_linenumber) AS BIGINT)
+        |    AS complete
+        |FROM lineitem GROUP BY l_orderkey""",
+    "s1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "s2_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  WHERE c_acctbal > 9000.0
+        |EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  WHERE s_acctbal > 9000.0""",
+    "s3_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+    "s4_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""",
+    "sc1_string_funcs" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag
+        |FROM customer""",
+    "sc2_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""",
+    "sc3_datetime" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  strftime(o_orderdate, '%Y-%m') AS o_ym
+        |FROM orders""",
+    "sc4_bit_ops" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS lo_byte,
+        |  xor(l_orderkey, 12345) AS xored,
+        |  l_orderkey >> 4 AS shifted
+        |FROM lineitem""",
+    "sc5_base64_hash" ->
+      """SELECT p_partkey, base64(encode(p_name)) AS b64, md5(p_name) AS h
+        |FROM part""",
+    "t1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS copies
+        |FROM documents GROUP BY md5(text)""",
+    "t2_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        |    AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS avg_token_len
+        |FROM documents""",
+    "t3_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |    AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS token_density
+        |FROM documents""",
+    "t4_lang_id" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |    > 0 THEN 'zh'
+        |  WHEN length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g'))
+        |    > 0 THEN 'ru'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en'))) > 0 THEN 'es'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est'))) > 0 THEN 'fr'
+        |  ELSE 'und' END AS pred_lang
+        |FROM tok""",
+    "t5_fingerprint" ->
+      """WITH tok AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id, list_min(list_transform(range(1, len(t) - 1),
+        |  i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fingerprint
+        |FROM tok""",
+    "t6_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM ix
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |  >= 0.5""",
+    "e1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        |  sims AS (SELECT query_id, cand_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+        |      AS cosine
+        |    FROM q CROSS JOIN c WHERE query_id <> cand_id)
+        |SELECT query_id, cand_id, rnk FROM (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM sims) WHERE rnk <= 5""",
+    "e3_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |    i -> CAST(x.embedding[i] AS DOUBLE)
+        |      * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm)
+        |  >= 0.4""",
+    "e4_label_centroid" ->
+      """WITH e AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, min(nrm) AS min_norm,
+        |  max(nrm) AS max_norm
+        |FROM e GROUP BY label""",
+  ).map { case (k, v) => k -> v.stripMargin.replace('\n', ' ') }
 }

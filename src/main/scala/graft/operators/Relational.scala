@@ -1,0 +1,399 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+import graft.Tables._
+
+/** The declared relational query surface of the reference engine
+  * (SURVEY.md §2.4, §2.6–§2.9), re-expressed over the driver test schema so
+  * each operator class is oracle-checkable against DuckDB.
+  *
+  * Scale notes (100 TB design):
+  *  - every dimension join (`region`/`nation`/`customer`-sized sides) is an
+  *    explicit `broadcast()` — the reference's joins are all tiny-dimension
+  *    lookups (`psi_table.c:213-249`, `mpeg2_sp.c:1181-1203`) and must never
+  *    shuffle the fact side;
+  *  - aggregations are plain `groupBy` so Catalyst plans partial (map-side)
+  *    aggregation before the exchange;
+  *  - sums/averages over floating columns go through `DECIMAL(18,2)` so the
+  *    result is order-independent — a parallel double-sum is
+  *    non-deterministic across partitionings, which would make results
+  *    unstable run-to-run at scale (and fail the oracle hash);
+  *  - every ordered operator (window/top-k) carries a unique tie-breaker
+  *    key, so results are stable under any partitioning.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------- filters
+  /** F-class: range predicate + projection, pushed to the parquet scan
+    * (reference analog: PID/time filtering, `mpeg2_sp.c:1369-1382`). */
+  def f1RangeFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** F-class: IN-list predicate (reference analog: registered-PID set
+    * routing, `mpeg2_sp.c:1400-1408`). */
+  def f2InFilter(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_size").isin(5, 11, 28, 40) && col("p_type") =!= "ECONOMY")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+
+  /** F-class: string LIKE + equality (reference analog: URL/tag routing,
+    * `stream_procs_api_http.c:113-173`). */
+  def f3LikeFilter(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_name").like("%12%"))
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** F-class: conjunctive predicates over measure + dictionary columns. */
+  def f4PredCombo(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(
+        col("o_orderstatus") === "O" &&
+          col("o_totalprice").between(1000.0, 50000.0))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  // ------------------------------------------------------------------ joins
+  /** J1/J3: 3-way inner equi-join fact⋈fact-dim⋈dim with grouped rollup
+    * (reference: PAT⋈PMT⋈SDT program summary, `mpeg2_sp.c:1120-1235`).
+    * `customer` is broadcast; lineitem⋈orders co-shuffles on the order key.
+    */
+  def j1InnerJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("revenue"))
+
+  /** J3: left outer join with null-fill (reference: PAT left-join SDT with
+    * missing service name → "", `mpeg2_sp.c:1181-1190`). */
+  def j2LeftJoinNullFill(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(col("o_totalprice").cast(dec)).cast("double"), lit(0.0))
+          .as("total_spent"))
+
+  /** J4: left semi join — existence flag (reference: processor_associated,
+    * `mpeg2_sp.c:1192-1203`). */
+  def j3SemiJoin(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(
+        lineitem(s, d).filter(col("l_quantity") >= 45.0),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select("o_orderkey", "o_totalprice")
+
+  /** Left anti join (reference: disassociated-processor detection — registry
+    * keys absent from the current PAT, `mpeg2_sp.c:872-875`). */
+  def j4AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** J-class: snowflake dimension chain region⋈nation⋈supplier, all
+    * broadcastable (reference: PSI dimension-table chain). */
+  def j5DimChain(s: SparkSession, d: String): DataFrame =
+    broadcast(region(s, d))
+      .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(supplier(s, d), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy("r_name", "n_name")
+      .agg(count(col("s_suppkey")).as("suppliers"))
+
+  // ----------------------------------------------------------- aggregations
+  /** A-class: TPC-H Q1-shaped grouped aggregation (sum/avg/count) —
+    * map-side partial agg then single shuffle on the (tiny) group key. */
+  def a1GroupedAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** A-class: exact distinct cardinality per group. */
+  def a2CountDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("uniq_custs"),
+        count(lit(1)).as("cnt"))
+
+  /** A1/A3 analog: tumbling 1-hour event-time window per type
+    * (reference: 1 s bitrate buckets, `mpeg2_sp.c:913-916`). Window start is
+    * emitted as a formatted string so the oracle compare is
+    * timezone/precision-proof. */
+  def a3TumblingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total"))
+
+  /** A3/A4 analog: sliding window (1 h width, 30 min slide) — each event
+    * lands in 2 windows (reference: 60 s window / 1 s slide ring buffers,
+    * `stats/src/stats.c:418-461`). */
+  def a4SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("total"))
+
+  /** A6 analog: log-trace dedup — collapse repeats to (key, count, last-seen)
+    * (`mpeg2_sp.c:961-991`). */
+  def a6LogDedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        countDistinct(col("user_id")).as("uniq_users"))
+
+  /** A-class extension: approximate distinct (HLL) — declared in SURVEY §2.7
+    * as the scalable cardinality path (no DuckDB oracle: estimator differs;
+    * rows-only check). */
+  def a7ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+
+  // --------------------------------------------------- window functions (W)
+  /** W2: latest/best-per-key via row_number (reference: latest-version table
+    * state, `psi_proc.c:361-390`). */
+  def w1RowNumber(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** W-class: rank with ties + top-3 per partition. */
+  def w2Rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("s_nationkey", "s_suppkey", "s_name", "rnk")
+  }
+
+  /** W1 analog: lag/lead over a per-key ordered stream (reference:
+    * continuity-counter check vs previous packet, `ts_dec.c:98-172`). */
+  def w3LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"))
+  }
+
+  /** W-class: running sum over an explicit row frame. */
+  def w4RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+          .as("running_spent"))
+  }
+
+  /** A2 analog: running peak with per-key state (reference:
+    * input_bitrate_peak register, `app_prog_proc.c:110-115`). */
+  def w5RunningMax(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        max(col("value")).over(w).as("peak"))
+  }
+
+  // ------------------------------------------- stateful-operator analogs (R)
+  /** R1 analog: discontinuity/sessionization — count session starts per key
+    * where the gap to the previous event exceeds 30 min (reference: CC
+    * continuity audit, `ts_dec.c:98-172`). */
+  def r1GapDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(
+          when(
+            col("prev_ts").isNull ||
+              col("ts").cast("double") - col("prev_ts").cast("double") > 1800d,
+            1L).otherwise(0L)).as("sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** R4 analog: latest record per key (reference: latest-version table
+    * register, `psi_proc.c:329-397`). */
+  def r2LatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
+  /** R3 analog: group-completeness — all section numbers 1..last present
+    * (reference: table completeness check, `psi_table_dec.c:183-205`). */
+  def r3GroupComplete(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_linenumber")).as("n_parts"),
+        max(col("l_linenumber")).as("last_part"))
+      .withColumn("complete", col("n_parts") === col("last_part").cast("long"))
+
+  // ------------------------------------------- sorts / limits / set ops (S)
+  /** §2.9: global top-k with total order (reference: newest-60 stats series,
+    * `stats.c:255-262`). TakeOrderedAndProject — no full sort at scale. */
+  def s1TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** §2.9: EXCEPT (reference: table-change / anti-membership compare,
+    * `psi_table.c:74-105`). */
+  def s2Except(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+      .except(supplier(s, d).filter(col("s_acctbal") > 9000.0)
+        .select(col("s_nationkey").as("nationkey")).distinct())
+
+  /** §2.9: INTERSECT. */
+  def s3Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        .distinct())
+
+  /** §2.9: UNION ALL with aligned schemas (reference: llist append). */
+  def s4UnionAll(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      .unionByName(
+        supplier(s, d)
+          .select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+
+  // ------------------------------------------------------- scalar functions
+  /** §2.10 strings: upper/length/concat/regexp_extract (reference: URL id
+    * extraction `stream_procs_api_http.c:153-155`, tag strings). */
+  def sc1StringFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_custkey").cast("string"))
+          .as("tag"))
+
+  /** §2.10 JSON: field extraction from a JSON document column (reference:
+    * cJSON settings parse, `mpeg2_sp.c:905-1027`). */
+  def sc2Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+
+  /** §2.10 dates: truncation/extraction/formatting (reference: log-trace
+    * date strings, `mpeg2_sp.c:983-985`). */
+  def sc3Datetime(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"),
+        month(col("o_orderdate")).cast(IntegerType).as("o_month"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+
+  /** §2.10 bit ops: mask/shift/xor — the reference's field-extraction
+    * arithmetic (`ts.h:51-74`) over integer keys. */
+  def sc4BitOps(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("lo_byte"),
+        (col("l_orderkey").bitwiseXOR(lit(12345L))).as("xored"),
+        shiftright(col("l_orderkey"), 4).as("shifted"))
+      .distinct()
+
+  /** §2.10 base64 + hash (reference: base64 PMT octet stream,
+    * `app_prog_proc.c:734-744`; CRC section integrity). */
+  def sc5Base64Hash(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        md5(col("p_name").cast("binary")).as("h"))
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_range_filter" -> f1RangeFilter _,
+    "f2_in_filter" -> f2InFilter _,
+    "f3_like_filter" -> f3LikeFilter _,
+    "f4_pred_combo" -> f4PredCombo _,
+    "j1_inner_join" -> j1InnerJoin _,
+    "j2_left_join_nullfill" -> j2LeftJoinNullFill _,
+    "j3_semi_join" -> j3SemiJoin _,
+    "j4_anti_join" -> j4AntiJoin _,
+    "j5_dim_chain" -> j5DimChain _,
+    "a1_grouped_agg" -> a1GroupedAgg _,
+    "a2_count_distinct" -> a2CountDistinct _,
+    "a3_tumbling_window" -> a3TumblingWindow _,
+    "a4_sliding_window" -> a4SlidingWindow _,
+    "a6_log_dedup" -> a6LogDedup _,
+    "a7_approx_distinct" -> a7ApproxDistinct _,
+    "w1_row_number" -> w1RowNumber _,
+    "w2_rank" -> w2Rank _,
+    "w3_lag_lead" -> w3LagLead _,
+    "w4_running_sum" -> w4RunningSum _,
+    "w5_running_max" -> w5RunningMax _,
+    "r1_gap_detect" -> r1GapDetect _,
+    "r2_latest_per_key" -> r2LatestPerKey _,
+    "r3_group_complete" -> r3GroupComplete _,
+    "s1_topk" -> s1TopK _,
+    "s2_except" -> s2Except _,
+    "s3_intersect" -> s3Intersect _,
+    "s4_union_all" -> s4UnionAll _,
+    "sc1_string_funcs" -> sc1StringFuncs _,
+    "sc2_json" -> sc2Json _,
+    "sc3_datetime" -> sc3Datetime _,
+    "sc4_bit_ops" -> sc4BitOps _,
+    "sc5_base64_hash" -> sc5Base64Hash _,
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextOps}
+
+class TextOpsSpec extends SparkSuite {
+
+  test("t1 exact dedup: keep_id is a real doc, copies sum to corpus size") {
+    val df = TextOps.t1ExactDedup(spark, sf)
+    val total = df.agg(sum("copies")).first().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("t2 token stats: token counts positive, density sane") {
+    val bad = TextOps.t2TokenStats(spark, sf)
+      .filter(col("n_tokens") <= 0 || col("avg_token_len") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("t3 quality ratios within [0,1]") {
+    val bad = TextOps.t3QualityScore(spark, sf).filter(
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("punct_ratio") < 0 || col("punct_ratio") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("t4 lang id emits a label for every doc") {
+    val df = TextOps.t4LangId(spark, sf)
+    assert(df.filter(col("pred_lang").isNull).count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("t6 jaccard pairs are symmetric-safe (a<b) and within (0,1]") {
+    val df = TextOps.t6NgramJaccard(spark, sf)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.filter(col("jaccard") > 1 || col("jaccard") < 0.5)
+      .count() == 0)
+  }
+
+  test("t7 minhash-lsh candidates are a subset of exact jaccard pairs") {
+    val exact = TextOps.t6NgramJaccard(spark, sf).select("doc_a", "doc_b")
+    val lsh = TextOps.t7MinHashLsh(spark, sf).select("doc_a", "doc_b")
+    assert(lsh.except(exact).count() == 0)
+  }
+
+  test("t8 simhash pairs respect the hamming bound") {
+    val df = TextOps.t8SimHash(spark, sf)
+    assert(df.filter(col("hamming") > 12).count() == 0)
+  }
+
+  test("e1 cosine topk: 5 neighbors per query, no self-match") {
+    val df = Similarity.e1CosineTopK(spark, sf)
+    val counts = df.groupBy("query_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    assert(df.filter(col("query_id") === col("cand_id")).count() == 0)
+  }
+
+  test("e2 lsh ann returns plausible pairs (subset check vs exact)") {
+    val lsh = Similarity.e2LshAnn(spark, sf)
+    assert(lsh.filter(col("vec_a") >= col("vec_b")).count() == 0)
+  }
+
+  test("e4 label centroid covers every label") {
+    val df = Similarity.e4LabelCentroidDist(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select("label").distinct()
+    assert(df.count() == labels.count())
+  }
+}
