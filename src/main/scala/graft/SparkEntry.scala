@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, Similarity, TextOps}
+import graft.operators.{Relational, Similarity, TextOps, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.j1InnerJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextOps.all ++ Similarity.all
+    Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all
 
   def oracleSql: Map[String, String] = Map(
     "f1_range_filter" ->

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ts.{PsiSection, SectionAssembler, TsCodec, TsPacket}
+
+/** Structured Streaming operators (SURVEY §2.5/§2.13): the same pure
+  * per-key state machines as the batch path, hosted in
+  * `flatMapGroupsWithState`. The reference's thread/FIFO topology
+  * (`mpeg2_sp.c:1303-1482`) collapses into these keyed stateful maps —
+  * Spark owns scheduling, backpressure and state storage (RocksDB/HDFS
+  * state store at cluster scale).
+  */
+object StreamingOps {
+
+  /** R2 streaming: per-PID section reassembly. Packets must arrive
+    * seq-ordered within a micro-batch per key (the source guarantees it;
+    * across batches the carried state preserves continuity). */
+  def sectionsStream(pkts: Dataset[TsPacket]): Dataset[PsiSection] = {
+    import pkts.sparkSession.implicits._
+    pkts
+      .groupByKey(_.pid)
+      .flatMapGroupsWithState[SectionAssembler.State, PsiSection](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pid: Int, it: Iterator[TsPacket],
+         state: GroupState[SectionAssembler.State]) =>
+          var st = state.getOption.getOrElse(SectionAssembler.initialState)
+          val out = Vector.newBuilder[PsiSection]
+          it.toArray.sortBy(_.seq).foreach { p =>
+            val (next, emitted) = SectionAssembler.step(st, p)
+            st = next
+            out ++= emitted
+          }
+          state.update(st) // must happen before the iterator is consumed
+          out.result().iterator
+      }
+  }
+
+  /** R1 streaming: per-PID continuity audit carrying the last CC across
+    * micro-batches (`ts_dec.c:98-172` policy: log-and-continue). */
+  case class CcState(lastCc: Int)
+  case class CcError(pid: Int, seq: Long, expected: Int, got: Int)
+
+  def ccAuditStream(pkts: Dataset[TsPacket]): Dataset[CcError] = {
+    import pkts.sparkSession.implicits._
+    pkts
+      .filter(p => p.hasPayload && p.pid != TsCodec.NullPid)
+      .groupByKey(_.pid)
+      .flatMapGroupsWithState[CcState, CcError](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pid: Int, it: Iterator[TsPacket], state: GroupState[CcState]) =>
+          var last = state.getOption.map(_.lastCc).getOrElse(-1)
+          val out = Vector.newBuilder[CcError]
+          it.toArray.sortBy(_.seq).foreach { p =>
+            val disc = p.af.exists(_.discontinuity)
+            if (last >= 0 && !disc && ((last + 1) % 16) != p.cc)
+              out += CcError(pid, p.seq, (last + 1) % 16, p.cc)
+            last = p.cc
+          }
+          state.update(CcState(last))
+          out.result().iterator
+      }
+  }
+
+  /** A1 — per-stream bitrate over 1 s event-time tumbling windows with
+    * watermarking for state cleanup (the reference is processing-time
+    * only; watermark keeps the policy "late data logged, state bounded").
+    */
+  def bitrateWindows(pktsWithTs: DataFrame): DataFrame =
+    pktsWithTs
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 second"), col("pid"))
+      .agg((count(lit(1)) * TsCodec.PacketSize * 8).as("bits"))
+      .select(
+        col("window.start").as("second"),
+        col("pid"),
+        col("bits"))
+
+  /** A3/A4 — 60 s sliding window (1 s slide) rate stats, the stats-module
+    * ring buffer semantics (`stats/src/stats.c:418-461`). */
+  def slidingRate(pktsWithTs: DataFrame): DataFrame =
+    pktsWithTs
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "60 seconds", "1 second"), col("pid"))
+      .agg((count(lit(1)) * TsCodec.PacketSize * 8 / 60).as("bps_avg"))
+      .select(col("window.start").as("window_start"), col("pid"),
+        col("bps_avg"))
+}

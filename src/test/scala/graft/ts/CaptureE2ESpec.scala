@@ -1,0 +1,86 @@
+package graft.ts
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** End-to-end over the reference's own capture
+  * (`mpeg2ts/utests/assets/san_diego_200kbps.ts`, 15 029 packets).
+  * Expected values derived independently with a Python ISO-13818-1 parser:
+  * PAT v14 {program 1 → PID 66}; PMT v27 {pcr_pid 69,
+  * ES = (0x81,68),(0x1B,69)}; 349 PAT + 349 PMT sections, all CRC-valid;
+  * 0 CC errors; 1252 PCR-bearing packets.
+  */
+class CaptureE2ESpec extends SparkSuite {
+
+  private lazy val pkts = TsPipeline.packets(spark).cache()
+
+  test("packet scan: 15029 packets, PID histogram matches") {
+    assert(pkts.count() == 15029)
+    val hist = TsPipeline.pidStats(pkts).collect()
+      .map(r => r.getAs[Int]("pid") -> r.getAs[Long]("n_packets")).toMap
+    assert(hist == Map(0 -> 349L, 66 -> 349L, 68 -> 5726L, 69 -> 8605L))
+    val pcrs = TsPipeline.pidStats(pkts)
+      .agg(sum("n_pcr")).first().getLong(0)
+    assert(pcrs == 1252L)
+  }
+
+  test("continuity audit: zero errors on the clean capture") {
+    val errs = TsPipeline.ccAudit(pkts)
+      .agg(sum("cc_errors")).first().getLong(0)
+    assert(errs == 0L)
+  }
+
+  test("section reassembly: 349+349 sections, all CRC ok") {
+    val secs = TsPipeline.psiSections(spark, pkts).collect()
+    val byPid = secs.groupBy(_.pid).view.mapValues(_.length).toMap
+    assert(byPid == Map(0 -> 349, 66 -> 349))
+    assert(secs.forall(_.crcOk))
+  }
+
+  test("PAT state: version 14, program 1 -> PID 66") {
+    val pat = TsPipeline.patTable(spark, TsPipeline.psiSections(spark, pkts))
+      .collect()
+    assert(pat.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 66)))
+  }
+
+  test("PMT state: program 1, pcr 69, ES {(0x81,68),(0x1B,69)}") {
+    val pmt = TsPipeline.pmtTable(spark, TsPipeline.psiSections(spark, pkts))
+      .collect()
+      .map(r => (r.getAs[Int]("program_number"), r.getAs[Int]("pcr_pid"),
+        r.getAs[Int]("stream_type"), r.getAs[Int]("elementary_pid")))
+    assert(pmt.toSet == Set((1, 69, 0x81, 68), (1, 69, 0x1B, 69)))
+  }
+
+  test("programs summary: joined view (no SDT in this mux -> empty name)") {
+    val rows = TsPipeline.programsSummary(spark, pkts).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("program_number") == 1)
+    assert(r.getAs[Int]("reference_pid") == 66)
+    assert(r.getAs[String]("service_name") == "")
+    assert(r.getAs[Int]("pcr_pid") == 69)
+    assert(r.getAs[Long]("n_es") == 2L)
+  }
+
+  test("version churn: a new PAT version supersedes the old one") {
+    import spark.implicits._
+    // synthesize: 2 sections of v1, then v2 arrives → latest = v2
+    def patPkt(seq: Long, ver: Int, rows: Seq[PatRow]) = {
+      val sec = PsiCodec.encodePat(rows, 1, ver)
+      TsPacket(seq, 0, tei = false, pusi = true, priority = false,
+        scrambling = 0, hasAf = false, hasPayload = true,
+        cc = (seq % 16).toInt, af = None,
+        payload = Array[Byte](0) ++ sec ++
+          Array.fill[Byte](184 - 1 - sec.length)(0xFF.toByte))
+    }
+    val stream = Seq(
+      patPkt(0, 1, Seq(PatRow(1, 100))),
+      patPkt(1, 1, Seq(PatRow(1, 100))),
+      patPkt(2, 2, Seq(PatRow(1, 200), PatRow(2, 300))))
+    val pat = TsPipeline.patTable(spark,
+      TsPipeline.sections(stream.toDS())).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pat == Set((1, 200), (2, 300)))
+  }
+}
