@@ -4,25 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.VectorExprs.simhash
 
 /** Training-data-pipeline text operators over the `documents` table:
   * exact + near dedup, fingerprinting, token/quality stats, language ID.
   *
   * Scale notes (100 TB design):
-  *  - exact dedup groups on a 128-bit content hash, never on the raw text —
+  *  - exact dedup groups on a 128-bit content hash, never the raw text —
   *    the shuffle carries 16 bytes + doc_id per row, not documents;
-  *  - shingle-based near-dup explodes to (shingle, doc) pairs and
-  *    equi-joins on the shingle — the join key is again a hash, and hot
-  *    shingles (stopword runs) are the skew risk: the exact-jaccard
-  *    variant here is the correctness baseline, MinHash/LSH (MinHashLsh)
-  *    is the path that bounds pair-generation at scale;
-  *  - everything is expressed with codegen'd `functions._` (split /
-  *    transform / filter / aggregate higher-order functions), no UDFs.
+  *  - near-dup works on 60-bit shingle hashes (one md5 per shingle, split
+  *    into two 60-bit halves; MinHash permutations come from double
+  *    hashing h1 + i·h2, so the per-shingle hash cost is constant in the
+  *    number of permutations);
+  *  - the exact-jaccard variant (t6) is the correctness baseline and is
+  *    quadratic in shared-shingle frequency; MinHash/LSH (t7) and SimHash
+  *    (t8) bound pair generation to same-band buckets and verify only the
+  *    candidate set — the scale path;
+  *  - everything is codegen'd `functions._` or custom codegen'd
+  *    expressions (`simhash`), no UDFs.
   */
 object TextOps {
 
-  /** Exact deduplication by full-content hash (SURVEY extension; the
-    * reference's whole-value table compare `psi_table.c:74-105` is the same
+  /** Exact deduplication by full-content hash (the reference's
+    * whole-value table compare `psi_table.c:74-105` is the same
     * semantics: change-detect by content equality). */
   def t1ExactDedup(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -43,8 +47,8 @@ object TextOps {
           size(toks)).as("avg_token_len"))
   }
 
-  /** Quality scoring: stopword ratio, punctuation ratio, mean token
-    * length — the length/punct/stopword heuristics of C4-style filters. */
+  /** Quality scoring: stopword ratio, punctuation ratio, token density —
+    * the length/punct/stopword heuristics of C4-style filters. */
   def t3QualityScore(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and")
     val toks = split(trim(col("text")), "\\s+")
@@ -63,8 +67,8 @@ object TextOps {
 
   /** Language identification: deterministic marker-word scoring (en/es/fr
     * stopword hits; CJK/Cyrillic by script range), 'und' fallback. A real
-    * deployment swaps the marker table for n-gram profiles; the Spark shape
-    * (pure column expressions, no shuffle) is the point. */
+    * deployment swaps the marker table for n-gram profiles; the Spark
+    * shape (pure column expressions, no shuffle) is the point. */
   def t4LangId(s: SparkSession, d: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
     def hits(ws: Seq[String]) =
@@ -85,22 +89,37 @@ object TextOps {
           .otherwise("und").as("pred_lang"))
   }
 
-  /** Word-3-gram shingles per document (shared by fingerprint/jaccard/
-    * minhash). 0-based array indexing via SQL `arr[i]`. */
+  /** Word-3-gram shingles per document (tokenized once, then windowed —
+    * SQL `arr[i]` is 0-based). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
       .select(
         col("doc_id"),
         expr(
-          """transform(sequence(0, size(split(trim(text), '\\s+')) - 3),
-            |  i -> concat_ws(' ',
-            |    split(trim(text), '\\s+')[i],
-            |    split(trim(text), '\\s+')[i + 1],
-            |    split(trim(text), '\\s+')[i + 2]))""".stripMargin)
+          """transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
+            .stripMargin)
           .as("shingles"))
 
-  /** Document fingerprint: min-hash-of-shingles (single-permutation MinHash
-    * == the rolling-hash fingerprint class of SURVEY's extension list). */
+  /** Distinct 48-bit shingle hashes per doc: one md5 per shingle, two
+    * independent 48-bit halves (for MinHash double hashing; 48 bits keeps
+    * h1 + 15·h2 < 2^52, inside ANSI Long arithmetic, while collision
+    * probability over ~1e5 distinct shingles stays ≈ 1e-5). */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), x => md5(x))).as("mds"))
+      .select(
+        col("doc_id"),
+        expr("transform(mds, m -> cast(conv(substring(m, 1, 12), 16, 10)" +
+          " as long))").as("hs"),
+        expr("transform(mds, m -> cast(conv(substring(m, 17, 12), 16, 10)" +
+          " as long))").as("hs2"))
+
+  /** Document fingerprint: min-hash-of-shingles (single-permutation
+    * MinHash == the rolling-hash fingerprint class). */
   def t5Fingerprint(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
       .select(
@@ -109,17 +128,18 @@ object TextOps {
           .as("fingerprint"))
 
   /** N-gram Jaccard near-duplicate pairs (exact): explode distinct
-    * shingles, self-join on shingle, jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5.
-    * The exact baseline the MinHash/LSH path approximates. */
+    * shingle hashes, self-join, jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5.
+    * The exact baseline the LSH paths approximate. */
   def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("shingles")))
-        .as("shingle"))
+    // cached: the (doc, shingle-hash) relation feeds both join sides and
+    // the size dimension — one tokenize+md5 pass instead of three
+    val sh = shingleHashes(s, d)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -133,88 +153,79 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** MinHash + LSH banded near-dup candidates, then exact-jaccard verify.
-    * Deterministic hash family: h_i(x) = first 15 hex digits of
-    * md5(i || x) as a long (no Random — reproducible across runs/engines).
-    * 16 hashes in 8 bands of 2: candidate pairs share ≥1 band; verified
-    * pairs are filtered to true jaccard ≥ 0.5. At scale this bounds the
-    * self-join to same-band buckets instead of all shared shingles.
-    * (Rows-only oracle: banding is not ANSI-SQL-practical in DuckDB.) */
+  /** MinHash + LSH banded near-dup: 16 permutations via double hashing
+    * (h1 + i·h2), 8 bands of 2; same-band candidates verified with exact
+    * jaccard over the hash sets (array_intersect on the candidates only —
+    * never the full pair space). */
   def t7MinHashLsh(s: SparkSession, d: String): DataFrame = {
     val numHashes = 16
     val bandSize = 2
-    val sh = shingled(s, d)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
-    // signature[i] = min over shingles of md5-derived 64-bit hash, salted i
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("shingles"),
-        x => conv(substring(md5(concat(lit(i.toString), lit("|"), x)), 1, 15),
-          16, 10).cast("long"))).as(s"h$i")
-    }
-    val sigs = sh.select(col("doc_id") +: sigCols: _*)
-    // band key = concat of the band's signature slots
-    val bands = (0 until numHashes / bandSize).map { b =>
-      val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
-      sigs.select(
-        col("doc_id"),
-        lit(b).as("band"),
-        concat_ws(":", cols: _*).as("band_key"))
-    }.reduce(_ unionByName _)
+    val numBands = numHashes / bandSize
+    val docs = shingleHashes(s, d)
+    // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs,
+    // no overflow under ANSI arithmetic
+    val sigs = docs.select(
+      col("doc_id"), col("hs"),
+      expr(
+        s"""transform(sequence(0, ${numHashes - 1}), i ->
+           |  array_min(transform(sequence(0, size(hs) - 1), j ->
+           |    hs[j] + i * hs2[j])))""".stripMargin).as("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("hs"),
+      explode(expr(
+        s"""transform(sequence(0, ${numBands - 1}), b ->
+           |  struct(b as band,
+           |    concat_ws(':', sig[b * $bandSize],
+           |      sig[b * $bandSize + 1]) as band_key))""".stripMargin))
+        .as("bk"))
+      .select(col("doc_id"), col("hs"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // exact-jaccard verification of the candidate set
-    t6NgramJaccard(s, d).as("j")
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.hs").as("ha"), col("y.hs").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("double")
+          .as("inter"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
 
-  /** SimHash near-dup: 64-bit simhash over shingle md5 bits, pairs within
-    * hamming distance ≤ 12 via banded join on 4×16-bit chunks (rows-only
-    * oracle). */
+  /** SimHash near-dup: 48-bit simhash over shingle hashes (codegen'd
+    * `simhash` kernel, no explode/shuffle for the signature), pairs
+    * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
   def t8SimHash(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("shingles"))
-    // per-shingle 64-bit hash
-    val hashed = sh.select(
-      col("doc_id"),
-      transform(col("shingles"),
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("hs"))
-    // simhash: for each bit, sign of sum(+1/-1); explode once, aggregate
-    // all 60 bit-sums in a single grouped pass (one shuffle)
-    val exploded = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
-    val bitAggs = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b")
-    }
-    val sums = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce((a, c) => a.bitwiseOR(c))
-    val sigs = sums.select(col("doc_id"), simhash.as("simhash"))
-    // banded candidate join: 4 chunks of 15 bits; near-dups share a chunk
-    val chunks = (0 until 4).map { c =>
-      sigs.select(
-        col("doc_id"), col("simhash"),
-        lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL).as("ckey"))
-    }.reduce(_ unionByName _)
-    val pairs = chunks.as("x")
+    val sigs = shingleHashes(s, d)
+      .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))
+    val chunks = sigs.select(
+      col("doc_id"), col("sh"),
+      explode(expr(
+        """transform(sequence(0, 3), c ->
+          |  struct(c as chunk,
+          |    shiftright(sh, c * 12) & 4095 as ckey))""".stripMargin))
+        .as("ck"))
+      .select(col("doc_id"), col("sh"),
+        col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") &&
           col("x.ckey") === col("y.ckey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-    pairs
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 12)
       .select("doc_a", "doc_b", "hamming")
   }
