@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, Similarity, TextOps, TsQueries}
+import graft.operators.{Multimodal, Relational, Settings, Similarity, TextOps, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.j1InnerJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all
+    Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all ++
+      Settings.all ++ Multimodal.all
 
   def oracleSql: Map[String, String] = Map(
     "f1_range_filter" ->
@@ -311,5 +312,36 @@ object SparkEntry {
         |SELECT label, count(*) AS n, min(nrm) AS min_norm,
         |  max(nrm) AS max_norm
         |FROM e GROUP BY label""",
+    "p9_dual_parse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_json,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_qs
+        |FROM events""",
+    "p10_base64_roundtrip" ->
+      """SELECT p_partkey, base64(encode(p_name)) AS b64, p_name AS decoded
+        |FROM part""",
+    "k3_json_projection" ->
+      """SELECT o_custkey, to_json(struct_pack(
+        |    id := o_custkey,
+        |    n_orders := count(*),
+        |    latest_date := strftime(max(o_orderdate), '%Y-%m-%d')))
+        |  AS doc
+        |FROM orders GROUP BY o_custkey""",
+    "k4_log_register" ->
+      """SELECT event_type AS code, count(*) AS log_trace_counter,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS date
+        |FROM events GROUP BY event_type""",
+    "m1_media_meta" ->
+      """SELECT doc_id, source AS format,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents""",
+    "m3_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
+        |SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+        |  md5(substring(text, CAST(t.i * 256 + 1 AS INTEGER), 64))
+        |    AS frame_hash
+        |FROM m, LATERAL unnest(range(0,
+        |  greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i)""",
   ).map { case (k, v) => k -> v.stripMargin.replace('\n', ' ') }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Multimodal-column operators (builder-prompt extension list): media as
+  * opaque `binary` columns with typed metadata, decode/feature-extract/
+  * frame-sample stages.
+  *
+  * The decode step is STUBBED — no image/audio codecs exist in this
+  * container — with a deterministic byte-histogram "feature extractor";
+  * the Spark-side plumbing is the real deliverable: schema contract,
+  * per-partition batched processing (the Scala analog of a
+  * `mapInPandas` batch UDF), explode shape for frame sampling, and
+  * column pruning that never ships the payload when only metadata is
+  * needed.
+  *
+  * The opaque payload is derived from the driver-provided `documents`
+  * table (text bytes standing in for encoded media).
+  */
+object Multimodal {
+
+  /** The media table: (doc_id, media BINARY, format, n_bytes). */
+  def media(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        col("source").as("format"),
+        length(col("text")).as("n_bytes"))
+
+  /** m1 — metadata projection + content fingerprint: reads ONLY the
+    * cheap columns + one pass over the payload for the hash; at scale
+    * this is the dedup/index pass before any decode. */
+  def m1MediaMeta(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(
+        col("doc_id"), col("format"), col("n_bytes"),
+        md5(col("media")).as("content_hash"))
+
+  /** m2 — STUB feature extraction over batched partitions: a 16-bin
+    * byte-nibble histogram, L1-normalized, as the stand-in for a real
+    * image/audio embedding (`???` point: swap `extractFeatures` for a
+    * codec-backed implementation; everything around it — typed batch
+    * iteration, schema, partition parallelism — is production-shaped). */
+  def m2FeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // batch loop runs executor-side; one array alloc per row, no
+        // driver involvement
+        it.map { case (id, bytes) => (id, extractFeatures(bytes)) }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** STUB: deterministic fake decode — replace with a real codec. */
+  private def extractFeatures(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) >> 4) & 0xF) += 1; i += 1 }
+    val total = math.max(1.0, bytes.length.toDouble)
+    hist.map(_ / total)
+  }
+
+  /** m3 — frame sampling: treat the payload as fixed-stride frames and
+    * keep every 4th one; explode to (doc_id, frame_idx, frame_hash)
+    * rows. Pure column expressions — the slicing happens in codegen. */
+  def m3FrameSample(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 64
+    val stride = 4
+    media(s, d)
+      .select(col("doc_id"), col("media"), col("n_bytes"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            // integer division: plain `/` goes through Double in Spark
+            // but rounds in DuckDB — `div` floors identically everywhere
+            expr(s"cast((n_bytes - 1) div ${frameLen * stride} as int)")))))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        md5(expr(
+          s"substring(media, frame_idx * $frameLen * $stride + 1, " +
+            s"$frameLen)")).as("frame_hash"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_meta" -> m1MediaMeta _,
+    "m2_feature_extract" -> m2FeatureExtract _,
+    "m3_frame_sample" -> m3FrameSample _,
+  )
+}

@@ -1,0 +1,67 @@
+package graft.sinks
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.2).
+  *
+  * Scale notes: both sinks are `foreachBatch`-shaped — idempotent per
+  * micro-batch, so Structured Streaming checkpointing upgrades the
+  * reference's at-most-once UDP + fork-retried Mongo write to
+  * effectively-once.
+  */
+object Sinks {
+
+  /** K2 — keyed upsert (`dbdriver_apps_procs_docs.c:186-350`): the
+    * reference deletes-then-inserts the document for `sys_id` and
+    * verifies by readback; the Spark shape is replace-by-key into a
+    * key-partitioned parquet table (dynamic partition overwrite touches
+    * only the keys present in the batch — other keys' partitions stay). */
+  def upsertByKey(df: DataFrame, keyCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      df.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(keyCol)
+        .parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** K2 readback verification (`bson_compare` step,
+    * `dbdriver_apps_procs_docs.c:313-336`): after the write, the stored
+    * rows for the batch's keys must equal the batch. Returns mismatch
+    * count (0 = verified). */
+  def verifyUpsert(df: DataFrame, keyCol: String, path: String): Long = {
+    val stored = df.sparkSession.read.parquet(path)
+      .join(df.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+    val cols = df.columns.sorted.map(col).toSeq
+    stored.select(cols: _*).exceptAll(df.select(cols: _*)).count() +
+      df.select(cols: _*).exceptAll(stored.select(cols: _*)).count()
+  }
+
+  /** K1 — UDP re-emission (`app_prog_proc.c:626-643` output_url): each
+    * partition opens one socket and sends its rows' binary payloads as
+    * datagrams (7×188 B batching like the reference's "legacy UDP" is the
+    * caller's concern via the `bytes` column). Executor-side, no driver
+    * collect. */
+  def udpEmit(df: DataFrame, bytesCol: String, host: String, port: Int)
+      : Unit =
+    df.select(col(bytesCol)).foreachPartition { (it: Iterator[Row]) =>
+      val socket = new DatagramSocket()
+      val addr = InetAddress.getByName(host)
+      try it.foreach { r =>
+        val b = r.getAs[Array[Byte]](0)
+        socket.send(new DatagramPacket(b, b.length, addr, port))
+      } finally socket.close()
+    }
+}

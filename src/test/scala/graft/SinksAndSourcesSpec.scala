@@ -1,0 +1,130 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PeakWithReset
+import graft.operators.Settings
+import graft.sinks.Sinks
+
+class SinksAndSourcesSpec extends SparkSuite {
+
+  test("K2 upsert: replace-by-key keeps other keys, readback verifies") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val v1 = Seq(("a", 1L), ("b", 2L)).toDF("sys_id", "v")
+    Sinks.upsertByKey(v1, "sys_id", dir)
+    assert(Sinks.verifyUpsert(v1, "sys_id", dir) == 0)
+    // update only key "a"; "b" must survive untouched
+    val v2 = Seq(("a", 10L)).toDF("sys_id", "v")
+    Sinks.upsertByKey(v2, "sys_id", dir)
+    assert(Sinks.verifyUpsert(v2, "sys_id", dir) == 0)
+    val all = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("sys_id") -> r.getAs[Long]("v")).toMap
+    assert(all == Map("a" -> 10L, "b" -> 2L))
+  }
+
+  test("K1 udp emit: rows arrive as datagrams on a loopback socket") {
+    import spark.implicits._
+    val recv = new DatagramSocket(0)
+    recv.setSoTimeout(5000)
+    val port = recv.getLocalPort
+    val payloads = (0 until 20).map(i => Array.fill[Byte](188)(i.toByte))
+    val df = payloads.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "bytes")
+    val got = scala.collection.mutable.Set[Int]()
+    val t = new Thread {
+      override def run(): Unit = {
+        val buf = new Array[Byte](4096)
+        try while (got.size < 20) {
+          val p = new DatagramPacket(buf, buf.length)
+          recv.receive(p)
+          assert(p.getLength == 188)
+          got.synchronized { got += (p.getData()(0) & 0xFF) }
+        } catch { case _: Exception => }
+      }
+    }
+    t.start()
+    Sinks.udpEmit(df, "bytes", "127.0.0.1", port)
+    t.join(6000)
+    recv.close()
+    assert(got.synchronized(got.toSet) == (0 until 20).toSet)
+  }
+
+  test("A2 peak-with-reset aggregator") {
+    import spark.implicits._
+    val in = Seq(
+      (1.0, false), (5.0, false), (3.0, false)).toDS()
+    val peak = in.select(PeakWithReset.toColumn).first()
+    assert(peak == 5.0)
+    // reset mid-fold (single partition → deterministic order)
+    val in2 = Seq((9.0, false), (0.0, true), (4.0, false)).toDS()
+      .coalesce(1)
+    assert(in2.select(PeakWithReset.toColumn).first() == 4.0)
+  }
+
+  test("P9 dual parse: JSON and query-string agree on every row") {
+    val df = Settings.p9DualParse(spark, sf)
+    assert(df.filter(col("k_from_json") =!= col("k_from_qs")).count() == 0)
+    assert(df.filter(col("k_from_json").isNull).count() == 0)
+  }
+
+  test("P9 parseSettings handles both encodings") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"tag":"x","input_url":"udp://1.2.3.4:2000","cbr":300}""",
+      "tag=x&input_url=udp://1.2.3.4:2000&cbr=300").toDF("body")
+    val parsed = rows.select(Settings.parseSettings(col("body")).as("s"))
+      .select("s.tag", "s.input_url", "s.cbr").collect()
+    assert(parsed.length == 2)
+    assert(parsed.forall(r => r.getString(0) == "x" &&
+      r.getString(1) == "udp://1.2.3.4:2000" && r.getLong(2) == 300L))
+  }
+
+  test("S1 udp source: capture packets stream through and parse") {
+    import graft.ts.TsCodec
+    val stream = spark.readStream
+      .format("graft.sources.UdpSource")
+      .option("port", "0")
+      .option("recordLength", "188")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("udp_in")
+      .outputMode("append").start()
+    try {
+      // wait for the receiver to bind, then learn the ephemeral port
+      var bound = 0
+      val deadline = System.currentTimeMillis() + 5000
+      while (bound == 0 && System.currentTimeMillis() < deadline) {
+        val p = graft.sources.UdpSource.boundPorts.get(0)
+        if (p != null) bound = p else Thread.sleep(50)
+      }
+      assert(bound != 0, "udp source did not bind")
+      // send 70 packets as 10 × 1316 B legacy-UDP datagrams
+      val data = Files.readAllBytes(java.nio.file.Paths.get(
+        graft.ts.TsPipeline.DefaultCapture))
+      val sender = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      (0 until 10).foreach { i =>
+        val dgram = java.util.Arrays.copyOfRange(
+          data, i * 1316, (i + 1) * 1316)
+        sender.send(new DatagramPacket(dgram, dgram.length, addr, bound))
+      }
+      sender.close()
+      val recvDeadline = System.currentTimeMillis() + 10000
+      var n = 0L
+      while (n < 70 && System.currentTimeMillis() < recvDeadline) {
+        q.processAllAvailable()
+        n = spark.table("udp_in").count()
+      }
+      assert(n == 70, s"got $n packets")
+      // every received record must parse as a TS packet
+      val parsed = spark.table("udp_in").collect().map { r =>
+        TsCodec.decode(r.getAs[Array[Byte]]("bytes"),
+          r.getAs[Long]("seq"))
+      }
+      assert(parsed.forall(_.isDefined))
+    } finally q.stop()
+  }
+}
