@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** `SparkSessionExtensions` entry point: registers the engine's custom
+  * expressions as SQL functions so `spark.sql("SELECT crc32_mpeg2(x)…")`
+  * works next to the Scala Column API. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("crc32_mpeg2"),
+      info("crc32_mpeg2", "crc32_mpeg2(binary) - CRC-32/MPEG2 checksum"),
+      (args: Seq[Expression]) => Crc32Mpeg2Expr(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - float/double array dot product"),
+      (args: Seq[Expression]) => VecDotExpr(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => VecNormExpr(args.head)))
+  }
+}

@@ -60,9 +60,13 @@ object TsPipeline {
     * legitimate driver-side collect), then assemble {PAT, SDT, PMT PIDs}.
     * This replaces the reference's launch-processor-on-new-PID machinery
     * (`mpeg2_sp.c:1560-1603`) with a second distributed pass. */
-  def psiSections(spark: SparkSession, pkts: Dataset[TsPacket])
+  def psiSections(spark: SparkSession, pkts0: Dataset[TsPacket])
       : Dataset[PsiSection] = {
     import spark.implicits._
+    // two passes (PAT discovery, then full PSI assembly) read the same
+    // scan — cache it (PSI-scale data; for a 100 TB capture the PAT pass
+    // reads a pushed-down pid=0 slice instead)
+    val pkts = pkts0.cache()
     val patSecs = sections(pkts.filter(_.pid == 0))
     val pmtPids = patSecs
       .flatMap(PsiCodec.decodePat _)
