@@ -331,6 +331,16 @@ object SparkEntry {
       """SELECT event_type AS code, count(*) AS log_trace_counter,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS date
         |FROM events GROUP BY event_type""",
+    "t9_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER)
+        |    AS n_bpe_tokens,
+        |  CAST(length(text) AS DOUBLE)
+        |    / len(regexp_extract_all(text,
+        |      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+        |    AS chars_per_token
+        |FROM documents""",
     "m1_media_meta" ->
       """SELECT doc_id, source AS format,
         |  CAST(length(text) AS INTEGER) AS n_bytes,

@@ -230,7 +230,25 @@ object TextOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** BPE-ish tokenization: GPT-2-style pretokenizer classes (leading-
+    * space word / number / punctuation runs) without lookahead so the
+    * same pattern runs on Java regex and RE2. Token count approximates
+    * LLM token budgeting at corpus scale — pure codegen'd regexp, no
+    * UDF. */
+  def t9BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("n_bpe_tokens"),
+        (length(col("text")).cast("double") /
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))))
+          .as("chars_per_token"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_bpe_tokens" -> t9BpeTokens _,
     "t1_exact_dedup" -> t1ExactDedup _,
     "t2_token_stats" -> t2TokenStats _,
     "t3_quality_score" -> t3QualityScore _,

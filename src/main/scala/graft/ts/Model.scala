@@ -8,7 +8,9 @@ package graft.ts
   * 27 MHz) → Long.
   */
 
-/** Optional per-packet adaptation field (`ts.h:77-153`). */
+/** Optional per-packet adaptation field (`ts.h:77-153`).
+  * `privateData`/`extension` flag the TLV content carried opaquely in
+  * `remainder`, so decode→encode is byte-lossless. */
 case class AdaptationField(
     length: Int,
     discontinuity: Boolean,
@@ -17,6 +19,8 @@ case class AdaptationField(
     pcr: Option[Long],  // base*300 + ext, 27 MHz ticks (`ts.h:122-133`)
     opcr: Option[Long],
     spliceCountdown: Option[Int],
+    privateData: Boolean,
+    extension: Boolean,
     remainder: Array[Byte])
 
 /** One 188-byte transport packet (`ts.h:156-202`); `seq` is the ingest

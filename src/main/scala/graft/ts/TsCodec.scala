@@ -54,7 +54,8 @@ object TsCodec {
       : AdaptationField = {
     if (afLen == 0)
       return AdaptationField(0, discontinuity = false, randomAccess = false,
-        esPriority = false, None, None, None, Array.emptyByteArray)
+        esPriority = false, None, None, None, privateData = false,
+        extension = false, Array.emptyByteArray)
     val flags = buf(start) & 0xFF
     var p = start + 1
     val end = start + afLen
@@ -77,7 +78,10 @@ object TsCodec {
       discontinuity = (flags & 0x80) != 0,
       randomAccess = (flags & 0x40) != 0,
       esPriority = (flags & 0x20) != 0,
-      pcr = pcr, opcr = opcr, spliceCountdown = splice, remainder = rem)
+      pcr = pcr, opcr = opcr, spliceCountdown = splice,
+      privateData = (flags & 0x02) != 0,
+      extension = (flags & 0x01) != 0,
+      remainder = rem)
   }
 
   /** 48 bits → base(33) ‖ reserved(6) ‖ ext(9); value = base*300+ext
@@ -125,6 +129,8 @@ object TsCodec {
         if (af.pcr.isDefined) flags |= 0x10
         if (af.opcr.isDefined) flags |= 0x08
         if (af.spliceCountdown.isDefined) flags |= 0x04
+        if (af.privateData) flags |= 0x02
+        if (af.extension) flags |= 0x01
         out(5) = flags.toByte
         var p = 6
         af.pcr.foreach { v => writePcr(out, p, v); p += 6 }
@@ -155,7 +161,7 @@ object TsCodec {
     val afLen = PacketSize - 5 // fill the whole packet
     val af = AdaptationField(afLen, discontinuity = false,
       randomAccess = false, esPriority = false, pcr = Some(pcr), None, None,
-      Array.emptyByteArray)
+      privateData = false, extension = false, Array.emptyByteArray)
     encode(TsPacket(0L, pid, tei = false, pusi = false, priority = false,
       scrambling = 0, hasAf = true, hasPayload = false, cc = cc,
       af = Some(af), payload = Array.emptyByteArray))

@@ -36,7 +36,8 @@ class TsCodecSpec extends AnyFunSuite {
     val contentLen = 1 + pcr.fold(0)(_ => 6) + opcr.fold(0)(_ => 6) +
       splice.fold(0)(_ => 1) + rem.length
     AdaptationField(contentLen, disc, ra, esPriority = false, pcr, opcr,
-      splice.map(_.toInt), rem.toArray)
+      splice.map(_.toInt), privateData = false, extension = false,
+      rem.toArray)
   }
 
   val genPacket: Gen[TsPacket] = for {
