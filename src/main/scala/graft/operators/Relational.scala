@@ -70,7 +70,9 @@ object Relational {
   def j1InnerJoin(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint: customer scales with the data — AQE picks
+      // broadcast at small SF and shuffle join at cluster scale
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "o_orderpriority")
       .agg(
         count(lit(1)).as("cnt"),

@@ -64,6 +64,52 @@ object StreamingOps {
       }
   }
 
+  /** R6 — keyed state with TTL (the reference's
+    * `flag_purge_disassociated_processors` lifecycle, `mpeg2_sp.c:125-131`,
+    * re-expressed as `GroupStateTimeout`): event-time sessionization that
+    * closes a key's session when the watermark passes lastSeen + gap. */
+  case class SessionState(startMicros: Long, lastMicros: Long, n: Int)
+  case class ClosedSession(userId: Long, startMicros: Long,
+      endMicros: Long, nEvents: Int)
+
+  def sessionize(events: org.apache.spark.sql.DataFrame,
+      gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed lastSeen+gap: close and purge (the
+            // "disassociated processor" leaving the registry)
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(userId, s.startMicros, s.lastMicros, s.n))
+          } else {
+            val times = it.map(_._2.getTime * 1000L).toArray.sorted
+            if (times.nonEmpty) {
+              val prev = state.getOption
+              val st = prev match {
+                case Some(s) => SessionState(s.startMicros,
+                  math.max(s.lastMicros, times.last), s.n + times.length)
+                case None =>
+                  SessionState(times.head, times.last, times.length)
+              }
+              state.update(st)
+              state.setTimeoutTimestamp(
+                st.lastMicros / 1000L + gapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** A1 — per-stream bitrate over 1 s event-time tumbling windows with
     * watermarking for state cleanup (the reference is processing-time
     * only; watermark keeps the policy "late data logged, state bounded").

@@ -1,0 +1,85 @@
+package graft.ts
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Synthetic stream builders (SURVEY §5 test strategy: fixtures are built
+  * with the engine's own encoders, exactly how the reference's unit test
+  * builds its PMT + packets, `utests_prog_proc.cpp:116-214`). */
+object Fixtures {
+
+  /** Packetize one section onto a PID: PUSI packet with pointer_field 0,
+    * spilling into continuation packets; final packet 0xFF-stuffed. */
+  def sectionToPackets(pid: Int, section: Array[Byte], seqStart: Long,
+      ccStart: Int): Seq[TsPacket] = {
+    val out = ArrayBuffer.empty[TsPacket]
+    var off = 0
+    var first = true
+    var cc = ccStart
+    var seq = seqStart
+    while (off < section.length) {
+      val cap = if (first) 183 else 184
+      val n = math.min(cap, section.length - off)
+      val chunk = java.util.Arrays.copyOfRange(section, off, off + n)
+      val payload =
+        if (first) Array[Byte](0) ++ chunk else chunk
+      val padded =
+        if (payload.length < 184)
+          payload ++ Array.fill[Byte](184 - payload.length)(0xFF.toByte)
+        else payload
+      out += TsPacket(seq, pid, tei = false, pusi = first,
+        priority = false, scrambling = 0, hasAf = false, hasPayload = true,
+        cc = cc & 0xF, af = None, payload = padded)
+      off += n
+      first = false
+      cc += 1
+      seq += 1
+    }
+    out.toSeq
+  }
+
+  /** A 3-program MPTS: PAT + 3 PMTs + DVB-SDT with service names —
+    * the multi-program shape the real capture lacks. */
+  def mpts(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[TsPacket] = {
+    import spark.implicits._
+    val programs = Seq(
+      (1, 0x100, 0x101, Seq((0x1B, 0x101), (0x03, 0x102))), // video+audio
+      (2, 0x200, 0x201, Seq((0x1B, 0x201))),
+      (3, 0x300, 0x301, Seq((0x03, 0x301), (0x06, 0x302))))
+    val pat = PsiCodec.encodePat(
+      programs.map(p => PatRow(p._1, p._2)), tsId = 7, version = 1)
+    val pmts = programs.map { case (num, pid, pcrPid, es) =>
+      pid -> PsiCodec.encodePmt(
+        PmtProgram(num, pcrPid, Nil,
+          es.map(e => EsEntry(e._1, e._2, Nil))), version = 2)
+    }
+    // SDT: original_network_id + per-service loops with 0x48 descriptors
+    val sdtBody = {
+      val services = programs.map { case (num, _, _, _) =>
+        val desc = PsiCodec.encodeDescriptors(Seq(Descriptor(0x48,
+          Array.emptyByteArray, Some(1), Some("GraftNet"),
+          Some(s"Service $num"), None)))
+        Array[Byte](
+          ((num >> 8) & 0xFF).toByte, (num & 0xFF).toByte,
+          0xFC.toByte, // reserved(6) + EIT flags 0
+          ((4 << 5) | (desc.length >> 8 & 0x0F)).toByte, // running=4
+          (desc.length & 0xFF).toByte) ++ desc
+      }
+      Array[Byte](0x00, 0x01, 0xFF.toByte) ++ services.flatten
+    }
+    val sdt = PsiCodec.encodeSection(0x42, 7, 3, currentNext = true, 0, 0,
+      sdtBody)
+    var seq = 0L
+    val pkts = ArrayBuffer.empty[TsPacket]
+    // interleave: PAT, SDT, PMTs, repeated twice (state must converge)
+    (0 until 2).foreach { round =>
+      val cc = round
+      pkts ++= sectionToPackets(0, pat, { seq += 10; seq }, cc)
+      pkts ++= sectionToPackets(0x11, sdt, { seq += 10; seq }, cc)
+      pmts.foreach { case (pid, sec) =>
+        pkts ++= sectionToPackets(pid, sec, { seq += 10; seq }, cc)
+      }
+    }
+    pkts.toSeq.toDS()
+  }
+}

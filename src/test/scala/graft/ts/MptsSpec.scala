@@ -1,0 +1,48 @@
+package graft.ts
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Multi-program TS with DVB-SDT (the shape the real capture lacks):
+  * fixture built with the engine's own encoders, then pushed through the
+  * whole batch pipeline — exercising P7 (SDT decode), J3 (left join with
+  * service names), J4/F9 and multi-PMT routing in one pass. */
+class MptsSpec extends SparkSuite {
+
+  test("3-program MPTS: programs summary with SDT service names") {
+    val pkts = Fixtures.mpts(spark)
+    val summary = TsPipeline.programsSummary(spark, pkts)
+      .orderBy("program_number").collect()
+    assert(summary.length == 3)
+    val rows = summary.map(r => (
+      r.getAs[Int]("program_number"),
+      r.getAs[Int]("reference_pid"),
+      r.getAs[String]("service_name"),
+      r.getAs[Int]("pcr_pid"),
+      r.getAs[Long]("n_es")))
+    assert(rows.toSeq == Seq(
+      (1, 0x100, "Service 1", 0x101, 2L),
+      (2, 0x200, "Service 2", 0x201, 1L),
+      (3, 0x300, "Service 3", 0x301, 2L)))
+  }
+
+  test("SDT table decodes provider + running status") {
+    val secs = TsPipeline.psiSections(spark, Fixtures.mpts(spark))
+    val sdt = TsPipeline.sdtTable(spark, secs).collect()
+    assert(sdt.length == 3)
+    sdt.foreach { r =>
+      assert(r.getAs[String]("service_provider") == "GraftNet")
+      assert(r.getAs[Int]("running_status") == 4)
+    }
+  }
+
+  test("repeated sections converge to one row per entity") {
+    // every section was sent twice; state must still be single-valued
+    val secs = TsPipeline.psiSections(spark, Fixtures.mpts(spark))
+    val pat = TsPipeline.patTable(spark, secs)
+    assert(pat.count() == 3)
+    assert(pat.groupBy("program_number").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}
