@@ -103,6 +103,68 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
         |  count(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY event_type""",
+    "a8_stats_series" ->
+      """WITH per_min AS (SELECT event_type,
+        |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS m,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  to_json(list(struct_pack(m := m, n := n) ORDER BY m DESC)[1:60])
+        |    AS series
+        |FROM per_min GROUP BY event_type""",
+    "t10_dedup_resolve" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  nb AS (SELECT doc_b AS doc_id, min(doc_a) AS min_nb FROM pairs
+        |    GROUP BY doc_b)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(nb.min_nb, d.doc_id)) AS canonical_id
+        |FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id""",
+    "t11_quality_filter" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  q AS (SELECT doc_id FROM documents
+        |    WHERE CAST(len(list_filter(
+        |        regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS DOUBLE) <= 0.5
+        |      AND CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        BETWEEN 0.05 AND 0.5),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  losers AS (SELECT DISTINCT doc_b AS doc_id FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)
+        |SELECT q.doc_id FROM q
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id)""",
     "w1_row_number" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

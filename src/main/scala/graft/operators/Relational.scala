@@ -188,6 +188,22 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
 
+  /** A3/A4 stats-series projection (`stats.c:232-340`): per key, the
+    * newest-60 per-minute counts as an ordered series — the flot
+    * `[[x,y]...]` shape, emitted as JSON for engine-neutral compare. */
+  def a8StatsSeries(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("m"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(
+        to_json(slice(
+          sort_array(collect_list(struct(col("m"), col("n"))), asc = false),
+          1, 60)).as("series"))
+
   // --------------------------------------------------- window functions (W)
   /** W2: latest/best-per-key via row_number (reference: latest-version table
     * state, `psi_proc.c:361-390`). */
@@ -380,6 +396,7 @@ object Relational {
     "a4_sliding_window" -> a4SlidingWindow _,
     "a6_log_dedup" -> a6LogDedup _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
+    "a8_stats_series" -> a8StatsSeries _,
     "w1_row_number" -> w1RowNumber _,
     "w2_rank" -> w2Rank _,
     "w3_lag_lead" -> w3LagLead _,

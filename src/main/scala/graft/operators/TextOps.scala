@@ -249,8 +249,41 @@ object TextOps {
           .as("chars_per_token"))
   }
 
+  /** Dedup resolution: canonical id per doc = min(self, near-dup
+    * neighbors) — one union-find hop over the t6 pair set; the
+    * "keep-one-copy" materialization step of a dedup pipeline. */
+  def t10DedupResolve(s: SparkSession, d: String): DataFrame = {
+    val pairs = t6NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val neighborMin = pairs
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("cand"))
+      .groupBy("doc_id")
+      .agg(min(col("cand")).as("min_nb"))
+    documents(s, d).select(col("doc_id"))
+      .join(neighborMin, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
+          .as("canonical_id"))
+  }
+
+  /** Composed pipeline filter: documents that pass quality thresholds AND
+    * survive near-dup removal (drop the larger id of each pair) — the
+    * end-to-end "training-set selection" query. */
+  def t11QualityFilter(s: SparkSession, d: String): DataFrame = {
+    val q = t3QualityScore(s, d)
+      .filter(
+        col("stopword_ratio") <= 0.5 &&
+          col("token_density") >= 0.05 && col("token_density") <= 0.5)
+      .select(col("doc_id"))
+    val dupLosers = t6NgramJaccard(s, d).select(col("doc_b").as("doc_id"))
+      .distinct()
+    q.join(dupLosers, Seq("doc_id"), "left_anti")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_bpe_tokens" -> t9BpeTokens _,
+    "t10_dedup_resolve" -> t10DedupResolve _,
+    "t11_quality_filter" -> t11QualityFilter _,
     "t1_exact_dedup" -> t1ExactDedup _,
     "t2_token_stats" -> t2TokenStats _,
     "t3_quality_score" -> t3QualityScore _,
