@@ -196,6 +196,14 @@ object SparkEntry {
         |  max(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |FROM events""",
+    "w6_asof_join" ->
+      """WITH cand AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey
+        |FROM cand WHERE rn = 1""",
     "r1_gap_detect" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL

@@ -397,6 +397,7 @@ object Relational {
     "a6_log_dedup" -> a6LogDedup _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
     "a8_stats_series" -> a8StatsSeries _,
+    "w6_asof_join" -> AsOf.w6AsofJoin _,
     "w1_row_number" -> w1RowNumber _,
     "w2_rank" -> w2Rank _,
     "w3_lag_lead" -> w3LagLead _,

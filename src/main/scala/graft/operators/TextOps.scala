@@ -131,15 +131,21 @@ object TextOps {
     * shingle hashes, self-join, jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5.
     * The exact baseline the LSH paths approximate. */
   def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // cached: the (doc, shingle-hash) relation feeds both join sides and
-    // the size dimension — one tokenize+md5 pass instead of three
+    // cached: the (doc, shingle-hash, set-size) relation feeds both join
+    // sides and the size dimension — one tokenize+md5 pass instead of
+    // three. Carrying the size on every row enables the prefilter below.
     val sh = shingleHashes(s, d)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
       .cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sh.groupBy("doc_id").agg(first(col("n")).as("n"))
+    // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
+    // so pairs past the 0.5 gate must have sizes within 2× — pruning
+    // pair generation inside the shingle join, before the heavy groupBy
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     // sizes is per-doc (scales with the corpus) — no broadcast hint;
