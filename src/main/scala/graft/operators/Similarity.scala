@@ -96,7 +96,54 @@ object Similarity {
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
 
+  /** IVF-style ANN: coarse quantization against K fixed centroids (the
+    * first K corpus vectors — a deterministic stand-in for trained
+    * k-means centroids), inverted lists = bucket column, queries probe
+    * their nprobe closest centroids and score exactly only within those
+    * lists. The corpus×corpus product never materializes; at 100 TB the
+    * inverted lists are the partitioning key. (Rows-only oracle:
+    * centroid assignment is engine-specific.) */
+  def e5IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val nprobe = 4
+    val emb = embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cv"))
+    // assignment: nearest centroid per vector (broadcast K centroids)
+    val assigned = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // queries probe their nprobe closest centroids
+    val probes = emb.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q"), col("centroid_id"))
+    // exact scoring only within probed inverted lists
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e5_ivf_ann" -> e5IvfAnn _,
     "e1_cosine_topk" -> e1CosineTopK _,
     "e2_lsh_ann" -> e2LshAnn _,
     "e3_cosine_near_dup" -> e3CosineNearDup _,
