@@ -142,8 +142,98 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** Deterministic Lloyd's k-means over the embedding corpus: init from
+    * the first k vectors (by id), `iters` rounds of distributed assign +
+    * per-dimension mean. The model (k×dim doubles) is the one legitimate
+    * driver-side collect — everything row-scale stays distributed. */
+  def kmeansCentroids(s: SparkSession, d: String, k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids: Array[Array[Double]] = vecs
+      .filter(_._1 < k).collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble))
+    (0 until iters).foreach { _ =>
+      val cents = centroids
+      centroids = vecs
+        .mapPartitions { it =>
+          it.map { case (_, v) =>
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var acc = 0.0
+              var i = 0
+              while (i < v.length) {
+                val diff = v(i) - cents(c)(i); acc += diff * diff; i += 1
+              }
+              if (acc < bestD) { bestD = acc; best = c }
+              c += 1
+            }
+            (best, v.map(_.toDouble), 1L)
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cid, rows) =>
+          val sum = new Array[Double](64)
+          var n = 0L
+          rows.foreach { case (_, v, c) =>
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+            n += c
+          }
+          (cid, sum.map(_ / n))
+        }
+        .collect().sortBy(_._1).map(_._2)
+    }
+    centroids
+  }
+
+  /** IVF with TRAINED centroids: k-means model → assignment → probe —
+    * the full coarse-quantization path (rows-only oracle). */
+  def e6IvfKmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val nprobe = 4
+    val model = kmeansCentroids(s, d, k, iters = 3)
+    val centroids = model.zipWithIndex
+      .map { case (v, i) => (i, v.map(_.toFloat)) }.toSeq
+      .toDF("centroid_id", "cv")
+    val emb = embeddings(s, d)
+    val assigned = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e5_ivf_ann" -> e5IvfAnn _,
+    "e6_ivf_kmeans" -> e6IvfKmeans _,
     "e1_cosine_topk" -> e1CosineTopK _,
     "e2_lsh_ann" -> e2LshAnn _,
     "e3_cosine_near_dup" -> e3CosineNearDup _,

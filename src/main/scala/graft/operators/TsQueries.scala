@@ -44,7 +44,12 @@ object TsQueries {
   def ts6ProgramsSummary(s: SparkSession, d: String): DataFrame =
     TsPipeline.programsSummary(s, pkts(s))
 
+  /** ES layer: PES header parse + PTS/DTS stats (time_stamp_stats). */
+  def ts7PesStats(s: SparkSession, d: String): DataFrame =
+    TsPipeline.pesTimestampStats(pkts(s)).orderBy(col("pid"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts7_pes_stats" -> ts7PesStats _,
     "ts1_pid_stats" -> ts1PidStats _,
     "ts2_cc_audit" -> ts2CcAudit _,
     "ts3_section_stats" -> ts3SectionStats _,

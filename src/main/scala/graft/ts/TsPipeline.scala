@@ -203,6 +203,29 @@ object TsPipeline {
         sum(col("cc_error").cast("long")).as("cc_errors"))
   }
 
+  /** ES layer — PES timestamp statistics (`es_proc.js:87-108`
+    * time_stamp_stats): parse PES headers at PUSI packets on ES PIDs,
+    * report per-PID PES counts and PTS range/span in 90 kHz ticks. */
+  def pesTimestampStats(pkts: Dataset[TsPacket]): DataFrame = {
+    import pkts.sparkSession.implicits._
+    pkts
+      .filter(p => p.pusi && p.hasPayload)
+      .flatMap { p =>
+        PesCodec.parseHeader(p.payload).map { h =>
+          (p.pid, h.streamId, h.pts, h.dts)
+        }
+      }
+      .toDF("pid", "stream_id", "pts", "dts")
+      .groupBy("pid")
+      .agg(
+        count(lit(1)).as("n_pes"),
+        min(col("pts")).as("min_pts"),
+        max(col("pts")).as("max_pts"),
+        ((max(col("pts")) - min(col("pts"))).cast("double") / 90000.0)
+          .as("pts_span_sec"),
+        sum(col("dts").isNotNull.cast("long")).as("n_with_dts"))
+  }
+
   /** A1 analog — per-PID byte/bitrate accounting over PCR time when
     * available, else packet counts (`mpeg2_sp.c:913-916`). */
   def pidStats(pkts: Dataset[TsPacket]): DataFrame =

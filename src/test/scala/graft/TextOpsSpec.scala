@@ -61,6 +61,14 @@ class TextOpsSpec extends SparkSuite {
     assert(lsh.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
 
+  test("e6 trained-IVF: 5 ranked neighbors per query, model has k rows") {
+    val model = Similarity.kmeansCentroids(spark, sf, k = 8, iters = 2)
+    assert(model.length == 8 && model.forall(_.length == 64))
+    val df = Similarity.e6IvfKmeans(spark, sf)
+    val counts = df.groupBy("query_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+  }
+
   test("e4 label centroid covers every label") {
     val df = Similarity.e4LabelCentroidDist(spark, sf)
     val labels = Tables.embeddings(spark, sf).select("label").distinct()
