@@ -44,6 +44,60 @@ object TableState {
     } else (Some(b1), None)
   }
 
+  /** R5 streaming — the reference's 1 Hz `compose_pat_and_pmt`
+    * (`mpeg2_sp.c:1484-1558`) as a snapshot composer: each micro-batch of
+    * newly-completed tables updates a keyed register (foreachBatch +
+    * idempotent upsert), and the programs-summary join runs over the
+    * register — state composition OUTSIDE the stream, exactly like the
+    * psi_thr register swap. Returns the query; read summaries from
+    * `registerPath` with `summarizeRegister`. */
+  def composeToRegister(tables: Dataset[CompleteTable],
+      registerPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tables.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[CompleteTable], _: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          // replace-by-key: one row per (pid, tableId, ext) — the latest
+          // version wins inside the batch; cross-batch wins by overwrite
+          val latest = batch.toDF()
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("pid", "tableId", "tableIdExtension")
+                .orderBy(col("versionNumber").desc)))
+            .filter(col("rn") === 1).drop("rn")
+            .withColumn("table_key",
+              concat_ws("_", col("pid"), col("tableId"),
+                col("tableIdExtension")))
+          graft.sinks.Sinks.upsertByKey(latest, "table_key", registerPath)
+        }
+        ()
+      }
+      .start()
+
+  /** Programs-summary join over the register written by
+    * `composeToRegister` (PAT rows ⋈ PMT ES counts). */
+  def summarizeRegister(spark: org.apache.spark.sql.SparkSession,
+      registerPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val reg = spark.read.parquet(registerPath)
+      .select(col("pid"), col("tableId"), col("tableIdExtension"),
+        col("versionNumber"), col("sectionBytes"))
+      .as[(Int, Int, Int, Int, Seq[Array[Byte]])]
+    val pats = reg.filter(_._2 == 0).flatMap { case (pid, _, _, _, secs) =>
+      secs.flatMap(b => graft.ts.PsiCodec.decodeSection(pid, 0, b).toSeq
+        .flatMap(graft.ts.PsiCodec.decodePat))
+    }.toDF("program_number", "reference_pid")
+    val pmts = reg.filter(_._2 == 2).flatMap { case (pid, _, _, _, secs) =>
+      secs.flatMap(b => graft.ts.PsiCodec.decodeSection(pid, 0, b).toSeq
+        .flatMap(s => graft.ts.PsiCodec.decodePmt(s).toSeq))
+        .map(p => (p.programNumber, p.pcrPid, p.es.length.toLong))
+    }.toDF("program_number", "pcr_pid", "n_es")
+    pats.filter(col("program_number") =!= 0)
+      .join(pmts, Seq("program_number"), "left")
+  }
+
   def latestTablesStream(secs: Dataset[PsiSection])
       : Dataset[CompleteTable] = {
     import secs.sparkSession.implicits._
