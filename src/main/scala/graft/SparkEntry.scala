@@ -103,6 +103,16 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
         |  count(DISTINCT user_id) AS uniq_users
         |FROM events GROUP BY event_type""",
+    "a5_gauges" ->
+      """SELECT event_type, max(value) AS peak_gauge,
+        |  arg_max(value, event_id) AS current_gauge
+        |FROM events GROUP BY event_type""",
+    "a9_batch_profile" ->
+      """SELECT CAST(floor(event_id / 1000) AS BIGINT) AS batch,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS mean_value
+        |FROM events GROUP BY 1""",
     "a8_stats_series" ->
       """WITH per_min AS (SELECT event_type,
         |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS m,

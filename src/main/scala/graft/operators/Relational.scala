@@ -188,6 +188,29 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
 
+  /** A5: gauge registers — running peak + current (last-by-sequence) value
+    * per series (reference: getPeakRSS/getCurrentRSS each second,
+    * `stats/src/stats.c:398-416,527-536`). `max_by` keeps the read of the
+    * "current" value associative, so the plan stays a single partial-agg +
+    * one exchange on the (tiny) series key at any scale. */
+  def a5Gauges(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        max(col("value")).as("peak_gauge"),
+        expr("max_by(value, event_id)").as("current_gauge"))
+
+  /** A7: profiling mean over count-based batches — the reference logs mean
+    * ns/packet per 10 000-packet batch (`mpeg2_sp.c:1305-1308,1385-1418`);
+    * batch id = floor(seq / N) so the grouping needs no ordering or state. */
+  def a9BatchProfile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(floor(col("event_id") / 1000L).as("batch"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast(dec)).cast("double") / count(lit(1)))
+          .as("mean_value"))
+
   /** A3/A4 stats-series projection (`stats.c:232-340`): per key, the
     * newest-60 per-minute counts as an ordered series — the flot
     * `[[x,y]...]` shape, emitted as JSON for engine-neutral compare. */
@@ -395,8 +418,10 @@ object Relational {
     "a3_tumbling_window" -> a3TumblingWindow _,
     "a4_sliding_window" -> a4SlidingWindow _,
     "a6_log_dedup" -> a6LogDedup _,
+    "a5_gauges" -> a5Gauges _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
     "a8_stats_series" -> a8StatsSeries _,
+    "a9_batch_profile" -> a9BatchProfile _,
     "w6_asof_join" -> AsOf.w6AsofJoin _,
     "w1_row_number" -> w1RowNumber _,
     "w2_rank" -> w2Rank _,
