@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Hotspot diagnostics: times the named queries (default: all, in bench
+  * order) in one bench-shaped session, printing per-query seconds and row
+  * counts. Pass a query name twice to see warm-cache cost. Usage:
+  * runMain graft.Profile <sfDir> [names...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val catalog = SparkEntry.queries ++ graft.operators.TextOps.diag
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows =
+        try catalog(n)(spark, sfDir).count()
+        catch { case e: Throwable => println(s"$n FAILED: $e"); -1L }
+      println(f"PROFILE $n%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$rows")
+    }
+    spark.stop()
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 import graft.functions.VectorExprs.simhash
@@ -12,10 +13,10 @@ import graft.functions.VectorExprs.simhash
   * Scale notes (100 TB design):
   *  - exact dedup groups on a 128-bit content hash, never the raw text —
   *    the shuffle carries 16 bytes + doc_id per row, not documents;
-  *  - near-dup works on 60-bit shingle hashes (one md5 per shingle, split
-  *    into two 60-bit halves; MinHash permutations come from double
-  *    hashing h1 + i·h2, so the per-shingle hash cost is constant in the
-  *    number of permutations);
+  *  - near-dup works on 48-bit shingle hashes (two xxhash64 values per
+  *    token 3-gram, hashed straight from the token triple; MinHash
+  *    permutations come from double hashing h1 + i·h2, so the per-shingle
+  *    hash cost is constant in the number of permutations);
   *  - the exact-jaccard variant (t6) is the correctness baseline and is
   *    quadratic in shared-shingle frequency; MinHash/LSH (t7) and SimHash
   *    (t8) bound pair generation to same-band buckets and verify only the
@@ -103,20 +104,31 @@ object TextOps {
             .stripMargin)
           .as("shingles"))
 
-  /** Distinct 48-bit shingle hashes per doc: one md5 per shingle, two
-    * independent 48-bit halves (for MinHash double hashing; 48 bits keeps
-    * h1 + 15·h2 < 2^52, inside ANSI Long arithmetic, while collision
-    * probability over ~1e5 distinct shingles stays ≈ 1e-5). */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  /** Distinct shingle-hash relation, one row per (doc, distinct shingle):
+    * (doc_id, h1, h2) with two independent 48-bit xxhash64 values per
+    * token 3-gram (hashed straight from the token triple — no intermediate
+    * shingle string). The 64-bit dedup runs inside the array
+    * (array_distinct is hash-set O(n) for atomic types — NOT for structs,
+    * which scan pairwise), and the array build is INLINE in explode():
+    * a standalone projection holding a higher-order function is
+    * CodegenFallback — it gets evaluated interpreted and materializes the
+    * array across the stage boundary, which measured ~10× slower than the
+    * generator evaluating the same tree once per input row. h1/h2 are
+    * plain post-explode scalars, so they whole-stage-codegen. 48 bits
+    * keeps MinHash double hashing h1 + 15·h2 < 2^53, inside ANSI Long
+    * arithmetic. */
+  private def shingleExploded(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
-        array_distinct(transform(col("shingles"), x => md5(x))).as("mds"))
+        explode(expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3),
+            |  i -> xxhash64(toks[i], toks[i + 1], toks[i + 2])))"""
+            .stripMargin)).as("h"))
       .select(
         col("doc_id"),
-        expr("transform(mds, m -> cast(conv(substring(m, 1, 12), 16, 10)" +
-          " as long))").as("hs"),
-        expr("transform(mds, m -> cast(conv(substring(m, 17, 12), 16, 10)" +
-          " as long))").as("hs2"))
+        shiftrightunsigned(col("h"), 16).as("h1"),
+        expr("shiftrightunsigned(xxhash64(h, 1), 16)").as("h2"))
 
   /** Document fingerprint: min-hash-of-shingles (single-permutation
     * MinHash == the rolling-hash fingerprint class). */
@@ -132,11 +144,14 @@ object TextOps {
     * The exact baseline the LSH paths approximate. */
   def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // cached: the (doc, shingle-hash, set-size) relation feeds both join
-    // sides and the size dimension — one tokenize+md5 pass instead of
-    // three. Carrying the size on every row enables the prefilter below.
-    val sh = shingleHashes(s, d)
-      .select(col("doc_id"), size(col("hs")).as("n"),
-        explode(col("hs")).as("h"))
+    // sides and the size dimension — one tokenize+hash pass instead of
+    // three. The per-doc distinct count rides a window over the same
+    // doc_id shuffle; carrying it on every row enables the prefilter
+    // below.
+    val sh = shingleExploded(s, d)
+      .select(col("doc_id"), col("h1").as("h"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .cache()
     val sizes = sh.groupBy("doc_id").agg(first(col("n")).as("n"))
     // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
@@ -169,40 +184,53 @@ object TextOps {
     val numHashes = 16
     val bandSize = 2
     val numBands = numHashes / bandSize
-    val docs = shingleHashes(s, d)
-    // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs,
-    // no overflow under ANSI arithmetic
+    // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs, no
+    // overflow under ANSI arithmetic. Computed as 16 codegen'd min
+    // aggregates over the exploded shingle relation (one hash-agg pass,
+    // one shuffle on doc_id) — with collect_list(h1) riding the same pass
+    // as the verification set. Cached: the band join reads it twice and
+    // the verify join twice more.
+    val sigAggs = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s_$i"))
+    val docs = shingleExploded(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list(col("h1")).as("hs"), sigAggs: _*)
+      .cache()
     val sigs = docs.select(
       col("doc_id"), col("hs"),
-      expr(
-        s"""transform(sequence(0, ${numHashes - 1}), i ->
-           |  array_min(transform(sequence(0, size(hs) - 1), j ->
-           |    hs[j] + i * hs2[j])))""".stripMargin).as("sig"))
+      array((0 until numHashes).map(i => col(s"s_$i")): _*).as("sig"))
+    // band the signatures WITHOUT the hash arrays — the band join and the
+    // pair dedup then shuffle (doc_id, band_key) rows only; the arrays are
+    // re-attached per unique candidate pair afterwards (each doc's array
+    // travels once per candidate, not once per shared band)
     val bands = sigs.select(
-      col("doc_id"), col("hs"),
+      col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${numBands - 1}), b ->
            |  struct(b as band,
            |    concat_ws(':', sig[b * $bandSize],
            |      sig[b * $bandSize + 1]) as band_key))""".stripMargin))
         .as("bk"))
-      .select(col("doc_id"), col("hs"),
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.hs").as("ha"), col("y.hs").as("hb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val hsets = docs.select(col("doc_id"), col("hs"))
+    // (docs is cached, so the two hsets sides and the two band sides all
+    // read the same materialized aggregate)
     cands
+      .join(hsets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hsets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(
         col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("double")
+        size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double")
           .as("inter"),
-        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+        size(col("sa.hs")).as("na"), size(col("sb.hs")).as("nb"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter")))
@@ -214,7 +242,9 @@ object TextOps {
     * `simhash` kernel, no explode/shuffle for the signature), pairs
     * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
   def t8SimHash(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingleHashes(s, d)
+    val sigs = shingleExploded(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list(col("h1")).as("hs"))
       .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))
     val chunks = sigs.select(
       col("doc_id"), col("sh"),
@@ -285,6 +315,25 @@ object TextOps {
       .distinct()
     q.join(dupLosers, Seq("doc_id"), "left_anti")
   }
+
+  /** Sub-plan probes for hotspot profiling (wired into `graft.Profile`
+    * only — not part of the driver-visible query surface). */
+  def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z1_sh_relation" -> ((s: SparkSession, d: String) =>
+      shingleExploded(s, d)),
+    "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
+      val sh = shingleExploded(s, d)
+        .select(col("doc_id"), col("h1").as("h"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    }),
+  )
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_bpe_tokens" -> t9BpeTokens _,
