@@ -42,4 +42,160 @@ object TwsOps {
       .transformWithState(new SectionProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** R1 on transformWithState: per-PID continuity audit, last CC in a
+    * typed ValueState (`ts_dec.c:98-172` policy: log-and-continue). */
+  class CcProcessor
+      extends StatefulProcessor[Int, TsPacket, StreamingOps.CcError] {
+    @transient private var state: ValueState[StreamingOps.CcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StreamingOps.CcState](
+        "cc", Encoders.product[StreamingOps.CcState], TTLConfig.NONE)
+
+    override def handleInputRows(pid: Int, rows: Iterator[TsPacket],
+        timerValues: TimerValues): Iterator[StreamingOps.CcError] = {
+      var last = Option(state.get()).map(_.lastCc).getOrElse(-1)
+      val out = Vector.newBuilder[StreamingOps.CcError]
+      rows.toArray.sortBy(_.seq).foreach { p =>
+        val disc = p.af.exists(_.discontinuity)
+        if (last >= 0 && !disc && ((last + 1) % 16) != p.cc)
+          out += StreamingOps.CcError(pid, p.seq, (last + 1) % 16, p.cc)
+        last = p.cc
+      }
+      state.update(StreamingOps.CcState(last))
+      out.result().iterator
+    }
+  }
+
+  def ccAuditTws(pkts: Dataset[TsPacket])
+      : Dataset[StreamingOps.CcError] = {
+    import pkts.sparkSession.implicits._
+    pkts
+      .filter(p => p.hasPayload && p.pid != graft.ts.TsCodec.NullPid)
+      .groupByKey(_.pid)
+      .transformWithState(new CcProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** R3+R4 on transformWithState: per-(pid, tableId, extension) version
+    * collection with new-version supersession — the same pure
+    * `TableState.step` fold as the flatMapGroupsWithState host. The state
+    * encoder rejects MapType, so the section map is flattened to parallel
+    * sequences for storage. */
+  case class FlatBuf(version: Int, last: Int,
+      nums: Seq[Int], blobs: Seq[Array[Byte]])
+
+  private def toFlat(b: TableState.Buf): FlatBuf = {
+    val (nums, blobs) = b.sections.toSeq.unzip
+    FlatBuf(b.version, b.last, nums, blobs)
+  }
+  private def fromFlat(f: FlatBuf): TableState.Buf =
+    TableState.Buf(f.version, f.last, f.nums.zip(f.blobs).toMap)
+
+  class TableProcessor extends StatefulProcessor[
+      TableState.TableKey, PsiSection, TableState.CompleteTable] {
+    @transient private var state: ValueState[FlatBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FlatBuf](
+        "buf", Encoders.product[FlatBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: TableState.TableKey,
+        rows: Iterator[PsiSection], timerValues: TimerValues)
+        : Iterator[TableState.CompleteTable] = {
+      var buf = Option(state.get()).map(fromFlat)
+      var emittedVersions = Set.empty[Int]
+      val out = Vector.newBuilder[TableState.CompleteTable]
+      rows.toArray.sortBy(_.firstSeq).foreach { sec =>
+        val wasComplete = buf.exists(b =>
+          b.version == sec.versionNumber && b.sections.size == b.last + 1)
+        val (next, emitted) = TableState.step(buf, sec)
+        buf = next
+        emitted.foreach { t =>
+          if (!wasComplete && !emittedVersions.contains(t.versionNumber)) {
+            out += t
+            emittedVersions += t.versionNumber
+          }
+        }
+      }
+      buf.map(toFlat).foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  def latestTablesTws(secs: Dataset[PsiSection])
+      : Dataset[TableState.CompleteTable] = {
+    import secs.sparkSession.implicits._
+    secs
+      .groupByKey(s =>
+        TableState.TableKey(s.pid, s.tableId, s.tableIdExtension))
+      .transformWithState(new TableProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** R6 on transformWithState with EVENT-TIME TIMERS — the reference's
+    * disassociated-processor purge (`mpeg2_sp.c:125-131,872-875`) as true
+    * timer-driven state expiry: each key keeps one timer at
+    * lastSeen + gap; new data moves the timer (delete + re-register);
+    * when the watermark passes it, `handleExpiredTimer` closes the
+    * session and clears the key — the state store never accumulates dead
+    * keys, which is the property that matters at 8192-PID / million-key
+    * scale. */
+  case class TimedSession(startMicros: Long, lastMicros: Long, n: Int,
+      expiryMs: Long)
+
+  class SessionProcessor(gapMs: Long) extends StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), StreamingOps.ClosedSession] {
+    @transient private var state: ValueState[TimedSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimedSession](
+        "sess", Encoders.product[TimedSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues)
+        : Iterator[StreamingOps.ClosedSession] = {
+      val times = rows.map(_._2.getTime * 1000L).toArray.sorted
+      if (times.isEmpty) return Iterator.empty
+      val prev = Option(state.get())
+      val st = prev match {
+        case Some(s) => TimedSession(s.startMicros,
+          math.max(s.lastMicros, times.last), s.n + times.length,
+          s.expiryMs)
+        case None =>
+          TimedSession(times.head, times.last, times.length, 0L)
+      }
+      val expiry = st.lastMicros / 1000L + gapMs
+      prev.filter(_.expiryMs > 0).foreach { s =>
+        if (s.expiryMs != expiry) getHandle.deleteTimer(s.expiryMs)
+      }
+      getHandle.registerTimer(expiry)
+      state.update(st.copy(expiryMs = expiry))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[StreamingOps.ClosedSession] = {
+      val out = Option(state.get()).map { s =>
+        StreamingOps.ClosedSession(userId, s.startMicros, s.lastMicros, s.n)
+      }
+      state.clear()
+      out.iterator
+    }
+  }
+
+  def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
+      : Dataset[StreamingOps.ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

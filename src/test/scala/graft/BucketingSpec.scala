@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketing
+
+/** Bucketed co-located join: same results as the shuffled join, with NO
+  * Exchange in the physical plan. */
+class BucketingSpec extends SparkSuite {
+
+  test("bucketed lineitem⋈orders joins shuffle-free and matches") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val or = Tables.orders(spark, d)
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(or, "or_b", "o_orderkey", 8)
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "or_b",
+        "l_orderkey", "o_orderkey")
+      // AQE keeps the no-exchange property; assert on the executed plan
+      joined.collect()
+      assert(Bucketing.shuffleFree(joined),
+        "bucketed join planned a shuffle:\n" +
+          joined.queryExecution.executedPlan.toString)
+      // same aggregate result as the plain (shuffled) join
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")),
+          sum(col("o_totalprice").cast("decimal(18,2)"))).collect().head
+      val shuffled = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      assert(rollup(joined) == rollup(shuffled))
+      // grouped agg on the bucket key also needs no exchange
+      val agg = spark.table("li_b").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q"))
+      agg.collect()
+      assert(Bucketing.shuffleFree(agg),
+        "bucketed groupBy planned a shuffle")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+}

@@ -127,4 +127,55 @@ class SinksAndSourcesSpec extends SparkSuite {
       assert(parsed.forall(_.isDefined))
     } finally q.stop()
   }
+
+  test("S1 reconfigure: input_url PUT rebinds the socket, query swaps") {
+    import graft.sources.{ReconfigurableIngest, UdpSource}
+    var nq = 0
+    val ingest = ReconfigurableIngest.udpIngest(spark) { df =>
+      nq += 1
+      df.writeStream.format("memory").queryName(s"recfg_$nq")
+        .outputMode("append").start()
+    }
+    def awaitBind(not: Int): Int = {
+      val deadline = System.currentTimeMillis() + 5000
+      var p = 0
+      while ((p == 0 || p == not) &&
+          System.currentTimeMillis() < deadline) {
+        val b = UdpSource.boundPorts.get(0)
+        if (b != null) p = b
+        if (p == 0 || p == not) Thread.sleep(50)
+      }
+      assert(p != 0 && p != not, "udp source did not (re)bind")
+      p
+    }
+    def send(port: Int, n: Int): Unit = {
+      val sender = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      val payload = Array.fill[Byte](188)(0x47)
+      (0 until n).foreach { _ =>
+        sender.send(new DatagramPacket(payload, 188, addr, port))
+      }
+      sender.close()
+    }
+    val q1 = ingest.start("udp://127.0.0.1:0")
+    try {
+      val p1 = awaitBind(not = 0)
+      send(p1, 5)
+      val d1 = System.currentTimeMillis() + 10000
+      while (spark.table("recfg_1").count() < 5 &&
+        System.currentTimeMillis() < d1) q1.processAllAvailable()
+      assert(spark.table("recfg_1").count() == 5)
+
+      // PUT input_url → old query stops (socket released), new one binds
+      val q2 = ingest.reconfigure("udp://127.0.0.1:0")
+      assert(!q1.isActive && q2.isActive)
+      assert(ingest.inputUrl.contains("udp://127.0.0.1:0"))
+      val p2 = awaitBind(not = p1)
+      send(p2, 3)
+      val d2 = System.currentTimeMillis() + 10000
+      while (spark.table("recfg_2").count() < 3 &&
+        System.currentTimeMillis() < d2) q2.processAllAvailable()
+      assert(spark.table("recfg_2").count() == 3)
+    } finally ingest.stop()
+  }
 }

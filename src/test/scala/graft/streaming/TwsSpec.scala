@@ -5,10 +5,111 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.ts.{TsPacket, TsPipeline}
 
-/** transformWithState host produces the same sections as the
-  * flatMapGroupsWithState host (and batch). Needs RocksDB state store,
-  * so it runs on a dedicated session. */
+/** transformWithState hosts produce the same results as the
+  * flatMapGroupsWithState hosts (and batch). Needs RocksDB state store,
+  * so they run on a dedicated session. */
 class TwsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def withRocksSession(f: SparkSession => Unit): Unit = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .getOrCreate()
+    try f(spark)
+    finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("tws CC audit flags an injected discontinuity across batches") {
+    withRocksSession { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def pkt(seq: Long, cc: Int) = TsPacket(seq, 100, tei = false,
+        pusi = false, priority = false, scrambling = 0, hasAf = false,
+        hasPayload = true, cc = cc, af = None, payload = Array[Byte](1))
+      val mem = MemoryStream[TsPacket]
+      val q = TwsOps.ccAuditTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_ccerrs")
+        .outputMode("append").start()
+      try {
+        mem.addData(pkt(0, 0), pkt(1, 1))
+        q.processAllAvailable()
+        mem.addData(pkt(2, 5), pkt(3, 6))
+        q.processAllAvailable()
+        val errs = spark.table("tws_ccerrs")
+          .as[StreamingOps.CcError].collect()
+        assert(errs.length == 1)
+        assert(errs.head.expected == 2 && errs.head.got == 5)
+      } finally q.stop()
+    }
+  }
+
+  test("tws table assembly == batch latest tables on the capture") {
+    withRocksSession { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val pkts = TsPipeline.packets(spark)
+        .filter((p: TsPacket) => p.pid == 0 || p.pid == 66)
+        .collect().sortBy(_.seq)
+      val secs = TsPipeline.psiSections(spark,
+        spark.createDataset(pkts.toIndexedSeq)).collect().sortBy(_.firstSeq)
+      val mem = MemoryStream[graft.ts.PsiSection]
+      val q = TwsOps.latestTablesTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_tables")
+        .outputMode("append").start()
+      try {
+        secs.grouped(secs.length / 3 + 1)
+          .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+        val got = spark.table("tws_tables")
+          .as[TableState.CompleteTable].collect()
+        // the capture carries PAT v14 on PID 0 and PMT v27 on PID 66 —
+        // one completed table per distinct (key, version)
+        assert(got.map(t => (t.pid, t.tableId, t.versionNumber)).toSet ==
+          Set((0, 0, 14), (66, 2, 27)))
+      } finally q.stop()
+    }
+  }
+
+  test("tws event-time timers close sessions when the watermark passes") {
+    withRocksSession { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val df = mem.toDS().toDF("user_id", "ts")
+      val q = TwsOps.sessionizeTws(df, gapMs = 30 * 60 * 1000L)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        mem.addData((8L, new java.sql.Timestamp(t0)),
+          (8L, new java.sql.Timestamp(t0 + 5 * 60 * 1000)))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() == 0) // still open
+        mem.addData((9L, new java.sql.Timestamp(t0 + 3 * 60 * 60 * 1000)))
+        q.processAllAvailable()
+        mem.addData((9L, new java.sql.Timestamp(t0 + 4 * 60 * 60 * 1000)))
+        q.processAllAvailable()
+        val closed = spark.table("tws_sessions")
+          .as[StreamingOps.ClosedSession].collect()
+        assert(closed.length == 1)
+        assert(closed.head.userId == 8L)
+        assert(closed.head.nEvents == 2)
+        assert(closed.head.endMicros - closed.head.startMicros ==
+          5L * 60 * 1000 * 1000)
+      } finally q.stop()
+    }
+  }
 
   test("transformWithState section assembly == batch on the capture") {
     val prior = SparkSession.getDefaultSession
