@@ -133,4 +133,27 @@ object StreamingOps {
       .agg((count(lit(1)) * TsCodec.PacketSize * 8 / 60).as("bps_avg"))
       .select(col("window.start").as("window_start"), col("pid"),
         col("bps_avg"))
+
+  /** R4 streaming dedup — duplicate-section suppression by content key
+    * with watermark-bounded state (the reference's change-detect compare
+    * `psi_table.c:74-105`: identical re-broadcast sections must not
+    * re-trigger downstream work; the watermark bounds how long each key
+    * is remembered, the streaming analog of the register swap). */
+  def dedupSections(secsWithTs: DataFrame): DataFrame =
+    secsWithTs
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark(
+        "pid", "tableId", "versionNumber", "sectionNumber")
+
+  /** §4 profiling hooks → `observe()`: the reference's distr-loop probe
+    * (mean ns/packet per 10 000-packet batch, `mpeg2_sp.c:1385-1418`)
+    * becomes streaming metrics riding the query itself — no second pass,
+    * read per micro-batch from `StreamingQueryProgress.observedMetrics`
+    * or `df.collectResult` in batch. */
+  def observedPacketStats(pkts: DataFrame): DataFrame =
+    pkts.observe("packet_stats",
+      count(lit(1)).as("n_packets"),
+      sum(when(col("pid") === TsCodec.NullPid, 1L).otherwise(0L))
+        .as("n_null"),
+      approx_count_distinct(col("pid")).as("n_pids"))
 }

@@ -61,6 +61,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses re-broadcast sections across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def sec(pid: Int, ver: Int, num: Int, offMs: Long) =
+      (new java.sql.Timestamp(t0.getTime + offMs), pid, 0, ver, num)
+    val mem = MemoryStream[(java.sql.Timestamp, Int, Int, Int, Int)]
+    val df = mem.toDS()
+      .toDF("ts", "pid", "tableId", "versionNumber", "sectionNumber")
+    val q = StreamingOps.dedupSections(df)
+      .writeStream.format("memory").queryName("dedup_secs")
+      .outputMode("append").start()
+    try {
+      // PAT v14 sec 0 broadcast twice in batch 1 + once in batch 2 (the
+      // reference re-broadcasts tables continuously) → must emit once
+      mem.addData(sec(0, 14, 0, 0), sec(0, 14, 0, 100), sec(66, 27, 0, 0))
+      q.processAllAvailable()
+      mem.addData(sec(0, 14, 0, 200))
+      q.processAllAvailable()
+      assert(spark.table("dedup_secs").count() == 2)
+      // a NEW version is not a duplicate
+      mem.addData(sec(0, 15, 0, 300))
+      q.processAllAvailable()
+      assert(spark.table("dedup_secs").count() == 3)
+    } finally q.stop()
+  }
+
+  test("observe() metrics ride the stream: per-batch packet stats") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long)]
+    val df = mem.toDS().toDF("pid", "seq")
+    val q = StreamingOps.observedPacketStats(df)
+      .writeStream.format("memory").queryName("obs_pkts")
+      .outputMode("append").start()
+    try {
+      mem.addData((33, 0L), (33, 1L), (0x1FFF, 2L))
+      q.processAllAvailable()
+      val m = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("packet_stats")))
+        .lastOption
+      assert(m.isDefined, "no observed metrics surfaced")
+      assert(m.get.getAs[Long]("n_packets") == 3L)
+      assert(m.get.getAs[Long]("n_null") == 1L)
+    } finally q.stop()
+  }
+
   test("1s bitrate windows sum to the stream total") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
