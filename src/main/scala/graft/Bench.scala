@@ -11,8 +11,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (JVM/codegen/parquet-footer caches) so the first
-    // timed query isn't charged ~3s of one-off startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // timed query isn't charged ~3s of one-off startup; touch every bench
+    // table so footer/IO warm-up isn't billed to whichever query reads a
+    // table first
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      Tables.events(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

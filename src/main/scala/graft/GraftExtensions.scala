@@ -30,5 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a float/double array"),
       (args: Seq[Expression]) => VecNormExpr(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash",
+        "simhash(hashes, bits) - SimHash signature over an array<bigint>"),
+      (args: Seq[Expression]) =>
+        SimHashExpr(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig",
+        "hyperplane_sig(vec, bits) - random-hyperplane LSH signature"),
+      (args: Seq[Expression]) =>
+        HyperplaneSigExpr(args(0), args(1).eval().asInstanceOf[Int])))
   }
 }

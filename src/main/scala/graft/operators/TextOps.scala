@@ -142,17 +142,20 @@ object TextOps {
   /** N-gram Jaccard near-duplicate pairs (exact): explode distinct
     * shingle hashes, self-join, jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5.
     * The exact baseline the LSH paths approximate. */
-  def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // cached: the (doc, shingle-hash, set-size) relation feeds both join
-    // sides and the size dimension — one tokenize+hash pass instead of
-    // three. The per-doc distinct count rides a window over the same
-    // doc_id shuffle; carrying it on every row enables the prefilter
-    // below.
-    val sh = shingleExploded(s, d)
-      .select(col("doc_id"), col("h1").as("h"))
+  /** Cached (doc_id, h1, h2, n) shingle relation — ONE tokenize+hash
+    * pass shared by the exact (t6) and approximate (t7/t8) near-dup
+    * paths and their composites (t10/t11); the per-doc distinct count
+    * rides a window over the doc_id shuffle. */
+  private def shRelation(s: SparkSession, d: String): DataFrame =
+    shingleExploded(s, d)
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .cache()
+
+  def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // carrying n on every row enables the size-ratio prefilter below
+    val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"),
+      col("n"))
     val sizes = sh.groupBy("doc_id").agg(first(col("n")).as("n"))
     // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
     // so pairs past the 0.5 gate must have sizes within 2× — pruning
@@ -184,32 +187,24 @@ object TextOps {
     val numHashes = 16
     val bandSize = 2
     val numBands = numHashes / bandSize
+    val sh = shRelation(s, d)
     // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs, no
-    // overflow under ANSI arithmetic. Computed as 16 codegen'd min
-    // aggregates over the exploded shingle relation (one hash-agg pass,
-    // one shuffle on doc_id) — with collect_list(h1) riding the same pass
-    // as the verification set. Cached: the band join reads it twice and
-    // the verify join twice more.
-    val sigAggs = (0 until numHashes).map(i =>
+    // overflow under ANSI arithmetic. 16 codegen'd min aggregates over
+    // the shared cached shingle relation: pure HashAggregate, one shuffle
+    // on doc_id, no array state (a collect_list here would force
+    // ObjectHashAggregate and carry the hash sets through every join).
+    val sigAggs = (1 until numHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"s_$i"))
-    val docs = shingleExploded(s, d)
-      .groupBy("doc_id")
-      .agg(collect_list(col("h1")).as("hs"), sigAggs: _*)
-      .cache()
-    val sigs = docs.select(
-      col("doc_id"), col("hs"),
-      array((0 until numHashes).map(i => col(s"s_$i")): _*).as("sig"))
-    // band the signatures WITHOUT the hash arrays — the band join and the
-    // pair dedup then shuffle (doc_id, band_key) rows only; the arrays are
-    // re-attached per unique candidate pair afterwards (each doc's array
-    // travels once per candidate, not once per shared band)
+    val sigs = sh.groupBy("doc_id")
+      .agg(min(col("h1")).as("s_0"), sigAggs: _*)
+    // band the signatures — the band join and pair dedup shuffle
+    // (doc_id, band_key) rows only
     val bands = sigs.select(
       col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${numBands - 1}), b ->
-           |  struct(b as band,
-           |    concat_ws(':', sig[b * $bandSize],
-           |      sig[b * $bandSize + 1]) as band_key))""".stripMargin))
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", col(s"s_${b * bandSize}"),
+            col(s"s_${b * bandSize + 1}")).as("band_key"))): _*))
         .as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -220,17 +215,16 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val hsets = docs.select(col("doc_id"), col("hs"))
-    // (docs is cached, so the two hsets sides and the two band sides all
-    // read the same materialized aggregate)
+    // exact-jaccard verification of the candidate set against the SAME
+    // cached relation: count matching hashes per pair (candidates are
+    // few, the join fans out only over true shingle matches)
     cands
-      .join(hsets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(hsets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("double")
-          .as("inter"),
-        size(col("sa.hs")).as("na"), size(col("sb.hs")).as("nb"))
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h1") === col("sb.h1"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("double").as("inter"),
+        first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter")))
@@ -242,7 +236,7 @@ object TextOps {
     * `simhash` kernel, no explode/shuffle for the signature), pairs
     * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
   def t8SimHash(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingleExploded(s, d)
+    val sigs = shRelation(s, d)
       .groupBy("doc_id")
       .agg(collect_list(col("h1")).as("hs"))
       .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))

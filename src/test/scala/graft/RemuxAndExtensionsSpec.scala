@@ -57,6 +57,13 @@ class RemuxAndExtensionsSpec extends SparkSuite {
           " array(cast(3.0 as double), cast(4.0 as double))) AS d")
         .first().getDouble(0)
       assert(dot == 11.0)
+      val sh = s2.sql(
+        "SELECT simhash(array(7L, 7L, 7L), 8) AS s").first().getLong(0)
+      assert(sh == 7L) // unanimous bit votes reproduce the input
+      val hp = s2.sql(
+        "SELECT hyperplane_sig(array(cast(1.0 as float)," +
+          " cast(-1.0 as float)), 12) AS b").first().getInt(0)
+      assert(hp >= 0 && hp < (1 << 12))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
