@@ -42,5 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_sig(vec, bits) - random-hyperplane LSH signature"),
       (args: Seq[Expression]) =>
         HyperplaneSigExpr(args(0), args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("parse_ts"),
+      info("parse_ts",
+        "parse_ts(binary) - MPEG-TS header struct (ISO 13818-1)"),
+      (args: Seq[Expression]) => graft.plans.ParseTsHeader(args.head)))
+    // parse_ts(b).field → direct byte peek (the TS_BUF_GET_PID macro
+    // fast path as an optimizer rewrite)
+    e.injectOptimizerRule(_ => graft.plans.TsHeaderFieldPushdown)
   }
 }

@@ -48,7 +48,25 @@ object TsQueries {
   def ts7PesStats(s: SparkSession, d: String): DataFrame =
     TsPipeline.pesTimestampStats(pkts(s)).orderBy(col("pid"))
 
+  /** P3 expression route: PID histogram off the raw bytes via the
+    * codegen'd `TsPeek` byte-peek (`TS_BUF_GET_PID` macro analog,
+    * `ts.h:51-74`) — no typed decode, no struct build. */
+  def ts8PeekPidStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = s.sparkContext
+      .binaryRecords(TsPipeline.DefaultCapture, 188)
+      .map(Tuple1(_)).toDF("bytes")
+    raw
+      .select(graft.plans.TsColumns.ts_peek(col("bytes"), "pid").as("pid"),
+        graft.plans.TsColumns.ts_peek(col("bytes"), "pusi").as("pusi"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_packets"),
+        sum(col("pusi").cast("long")).as("n_pusi"))
+      .orderBy(col("pid"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts7_pes_stats" -> ts7PesStats _,
     "ts1_pid_stats" -> ts1PidStats _,
     "ts2_cc_audit" -> ts2CcAudit _,
