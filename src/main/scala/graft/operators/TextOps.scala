@@ -117,8 +117,8 @@ object TextOps {
     * plain post-explode scalars, so they whole-stage-codegen. 48 bits
     * keeps MinHash double hashing h1 + 15·h2 < 2^53, inside ANSI Long
     * arithmetic. */
-  private def shingleExploded(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def shingleExplodedOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         explode(expr(
@@ -129,6 +129,9 @@ object TextOps {
         col("doc_id"),
         shiftrightunsigned(col("h"), 16).as("h1"),
         expr("shiftrightunsigned(xxhash64(h, 1), 16)").as("h2"))
+
+  private def shingleExploded(s: SparkSession, d: String): DataFrame =
+    shingleExplodedOf(documents(s, d))
 
   /** Document fingerprint: min-hash-of-shingles (single-permutation
     * MinHash == the rolling-hash fingerprint class). */
@@ -183,11 +186,13 @@ object TextOps {
     * (h1 + i·h2), 8 bands of 2; same-band candidates verified with exact
     * jaccard over the hash sets (array_intersect on the candidates only —
     * never the full pair space). */
-  def t7MinHashLsh(s: SparkSession, d: String): DataFrame = {
+  def t7MinHashLsh(s: SparkSession, d: String): DataFrame =
+    minHashLshOf(shRelation(s, d))
+
+  private def minHashLshOf(sh: DataFrame): DataFrame = {
     val numHashes = 16
     val bandSize = 2
     val numBands = numHashes / bandSize
-    val sh = shRelation(s, d)
     // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs, no
     // overflow under ANSI arithmetic. 16 codegen'd min aggregates over
     // the shared cached shingle relation: pure HashAggregate, one shuffle
@@ -315,6 +320,20 @@ object TextOps {
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_sh_relation" -> ((s: SparkSession, d: String) =>
       shingleExploded(s, d)),
+    // LSH scale stress: the sf corpus replicated 20× (distinct doc_ids;
+    // every doc gains 19 perfect clones) through the full MinHash+LSH
+    // path — the run that would be quadratic corpus² on the exact path
+    "z6_t7_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      val sh = shingleExplodedOf(reps)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .cache()
+      minHashLshOf(sh)
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))

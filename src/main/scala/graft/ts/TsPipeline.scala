@@ -40,6 +40,36 @@ object TsPipeline {
       .toDS()
   }
 
+  /** One rejected record: seq + failure reason. */
+  case class Reject(seq: Long, reason: String)
+
+  /** F1 with the reference's log-and-continue policy
+    * (`mpeg2_sp.c:1369-1382`): instead of silently dropping bad frames,
+    * split the scan into (decoded packets, rejects-with-reason). The
+    * rejects side is a first-class Dataset — count it, sink it to an
+    * errors table, alert on it; nothing is lost. */
+  def packetsWithRejects(spark: SparkSession,
+      path: String = DefaultCapture)
+      : (Dataset[TsPacket], Dataset[Reject]) = {
+    import spark.implicits._
+    val raw = spark.sparkContext
+      .binaryRecords(path, TsCodec.PacketSize)
+      .zipWithIndex()
+    val decoded = raw.map { case (buf, seq) =>
+      TsCodec.decode(buf, seq) match {
+        case Some(p) => Right(p): Either[Reject, TsPacket]
+        case None =>
+          val reason =
+            if (buf.length != TsCodec.PacketSize) "short_frame"
+            else if (buf(0) != TsCodec.SyncByte) "bad_sync"
+            else "bad_af_length"
+          Left(Reject(seq, reason)): Either[Reject, TsPacket]
+      }
+    }.cache()
+    (decoded.flatMap(_.toOption).toDS(),
+      decoded.flatMap(_.left.toOption).toDS())
+  }
+
   /** R2 as a batch operator: shuffle by PID, order by seq within the
     * group, run the assembler state machine. Callers route PSI PIDs only
     * (F2) — PES payloads on ES PIDs are not sections. */

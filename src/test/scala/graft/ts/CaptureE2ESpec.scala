@@ -83,4 +83,22 @@ class CaptureE2ESpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(pat == Set((1, 200), (2, 300)))
   }
+
+  test("F1 rejects channel: corrupted frames land in the errors side") {
+    // copy the first 100 capture packets, break sync on 3 of them
+    val data = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(TsPipeline.DefaultCapture))
+    val buf = java.util.Arrays.copyOfRange(data, 0, 100 * 188)
+    Seq(7, 42, 99).foreach(i => buf(i * 188) = 0x00)
+    val tmp = java.nio.file.Files.createTempFile("graft-corrupt", ".ts")
+    java.nio.file.Files.write(tmp, buf)
+    try {
+      val (good, bad) = TsPipeline.packetsWithRejects(spark, tmp.toString)
+      assert(good.count() == 97)
+      val rejects = bad.collect()
+      assert(rejects.length == 3)
+      assert(rejects.map(_.seq).toSet == Set(7L, 42L, 99L))
+      assert(rejects.forall(_.reason == "bad_sync"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
 }
