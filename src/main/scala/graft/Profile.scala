@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val catalog = SparkEntry.queries ++ graft.operators.TextOps.diag
+    val catalog = SparkEntry.queries ++ graft.operators.TextOps.diag ++
+      graft.operators.Similarity.diag
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -51,8 +51,10 @@ object Similarity {
     * path for ANN. 12-bit signatures; same-bucket pairs are scored
     * exactly, keeping pairs ≥ 0.2 cosine. (Rows-only oracle: bucketing is
     * engine-specific.) */
-  def e2LshAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+  def e2LshAnn(s: SparkSession, d: String): DataFrame =
+    lshAnnOf(embeddings(s, d))
+
+  private def lshAnnOf(emb: DataFrame): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       hyperplane_sig(col("embedding"), 12).as("bucket"))
     bucketed.as("x")
@@ -230,6 +232,23 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select("query_id", "cand_id", "rnk")
   }
+
+  /** Sub-plan probes for hotspot/scale profiling (wired into
+    * `graft.Profile` only — not part of the driver-visible surface). */
+  def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANN scale stress: the sf embedding corpus replicated 20× (every
+    // vector gains 19 exact clones) through the LSH bucket path — clone
+    // pairs share buckets by construction, so all n·C(20,2) of them
+    // MUST surface (recall floor), while pair generation stays bounded
+    // to same-bucket work
+    "z7_e2_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => embeddings(s, d)
+          .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      lshAnnOf(reps)
+    }),
+  )
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e5_ivf_ann" -> e5IvfAnn _,
