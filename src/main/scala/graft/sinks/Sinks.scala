@@ -64,4 +64,38 @@ object Sinks {
         socket.send(new DatagramPacket(b, b.length, addr, port))
       } finally socket.close()
     }
+
+  /** S2 paced replay — the reference test harness's `tsudpsend <file>
+    * <host> <port> <bps>` (`utests_mpeg2_sp.cpp:56-66`): stream a `.ts`
+    * capture onto UDP at a target bit rate, 7×188-B packets per datagram
+    * ("legacy UDP", `ts.h:38`). A single-socket utility for driving the
+    * UDP source in tests/demos; cluster-scale re-emission is `udpEmit`
+    * over a partitioned dataset. Returns datagrams sent. */
+  def tsudpsend(path: String, host: String, port: Int, bps: Long): Long = {
+    val data = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val chunk = 7 * 188
+    val socket = new DatagramSocket()
+    val addr = InetAddress.getByName(host)
+    val nsPerChunk =
+      if (bps <= 0) 0L else (chunk * 8L * 1000000000L) / bps
+    val t0 = System.nanoTime()
+    var sent = 0L
+    try {
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(chunk, data.length - off)
+        socket.send(new DatagramPacket(data, off, n, addr, port))
+        sent += 1
+        off += n
+        val due = t0 + sent * nsPerChunk
+        var now = System.nanoTime()
+        while (now < due) {
+          Thread.sleep(math.max(0L, (due - now) / 1000000L))
+          now = System.nanoTime()
+        }
+      }
+    } finally socket.close()
+    sent
+  }
 }

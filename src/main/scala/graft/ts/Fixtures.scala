@@ -37,6 +37,52 @@ object Fixtures {
     out.toSeq
   }
 
+  /** Tight multiplex of several sections onto one PID, the way real
+    * muxes pack them (`psi_dec.c:265-474` is the decode spec): sections
+    * run back-to-back; a packet where a section starts carries PUSI with
+    * pointer_field = number of continuation bytes of the previous
+    * section that precede the start; packets fully inside one section
+    * are continuation packets; the tail is 0xFF-stuffed. Exercises
+    * mid-packet splits, multi-section payloads and stuffing in one
+    * stream. */
+  def muxSections(pid: Int, sections: Seq[Array[Byte]], seqStart: Long,
+      ccStart: Int): Seq[TsPacket] = {
+    val stream = sections.flatten.toArray
+    val starts = sections.scanLeft(0)(_ + _.length).dropRight(1).toSet
+    val out = ArrayBuffer.empty[TsPacket]
+    var pos = 0
+    var cc = ccStart
+    var seq = seqStart
+    while (pos < stream.length) {
+      // a section start within the next 184 bytes needs PUSI + pointer;
+      // the pointer byte shrinks the data capacity to 183
+      val startInReach = (pos until math.min(pos + 183, stream.length))
+        .find(starts.contains)
+      val payload = startInReach match {
+        case Some(startOff) =>
+          val ptr = startOff - pos
+          val n = math.min(183, stream.length - pos)
+          Array[Byte](ptr.toByte) ++
+            java.util.Arrays.copyOfRange(stream, pos, pos + n)
+        case None =>
+          val n = math.min(184, stream.length - pos)
+          java.util.Arrays.copyOfRange(stream, pos, pos + n)
+      }
+      val padded =
+        if (payload.length < 184)
+          payload ++ Array.fill[Byte](184 - payload.length)(0xFF.toByte)
+        else payload
+      out += TsPacket(seq, pid, tei = false, pusi = startInReach.isDefined,
+        priority = false, scrambling = 0, hasAf = false, hasPayload = true,
+        cc = cc & 0xF, af = None, payload = padded)
+      pos += (if (startInReach.isDefined) payload.length - 1
+              else payload.length)
+      cc += 1
+      seq += 1
+    }
+    out.toSeq
+  }
+
   /** A 3-program MPTS: PAT + 3 PMTs + DVB-SDT with service names —
     * the multi-program shape the real capture lacks. */
   def mpts(spark: org.apache.spark.sql.SparkSession)

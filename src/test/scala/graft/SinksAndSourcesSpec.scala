@@ -128,6 +128,48 @@ class SinksAndSourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("S2 tsudpsend: paced capture replay arrives as 1316B datagrams") {
+    val recv = new DatagramSocket(0)
+    recv.setSoTimeout(5000)
+    val port = recv.getLocalPort
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val firstOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val buf = new Array[Byte](2048)
+      try {
+        while (true) {
+          val p = new DatagramPacket(buf, buf.length)
+          recv.receive(p)
+          if (got.getAndIncrement() == 0)
+            firstOk.set(p.getLength == 1316 && buf(0) == 0x47)
+        }
+      } catch { case _: Exception => () }
+    })
+    reader.start()
+    // clip the capture to 20 datagrams worth, pace at 1 Mbps (~210 ms)
+    val data = Files.readAllBytes(java.nio.file.Paths.get(
+      graft.ts.TsPipeline.DefaultCapture))
+    val tmp = Files.createTempFile("graft-replay", ".ts")
+    Files.write(tmp, java.util.Arrays.copyOfRange(data, 0, 20 * 1316))
+    try {
+      val t0 = System.nanoTime()
+      val sent = graft.sinks.Sinks.tsudpsend(
+        tmp.toString, "127.0.0.1", port, bps = 1000000L)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(sent == 20)
+      // pacing: 20 × 1316 B × 8 at 1 Mbps ≈ 210 ms — not a burst
+      assert(elapsedMs >= 150, s"sent too fast: ${elapsedMs}ms")
+      val deadline = System.currentTimeMillis() + 3000
+      while (got.get() < 20 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(got.get() == 20)
+      assert(firstOk.get(), "first datagram malformed")
+    } finally {
+      recv.close()
+      Files.delete(tmp)
+    }
+  }
+
   test("S1 reconfigure: input_url PUT rebinds the socket, query swaps") {
     import graft.sources.{ReconfigurableIngest, UdpSource}
     var nq = 0
