@@ -214,6 +214,21 @@ object SparkEntry {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, o_orderkey AS asof_orderkey
         |FROM cand WHERE rn = 1""",
+    "w7_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        |FROM customer""",
+    "a10_rollup" ->
+      """SELECT r_name, n_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""",
     "r1_gap_detect" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL

@@ -283,6 +283,38 @@ object Relational {
         max(col("value")).over(w).as("peak"))
   }
 
+  /** W-class: distribution analytics — quartile bucket + percentile rank
+    * per partition (the stats-series percentile view of A3/A4). */
+  def w7Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
+  /** A-class: ROLLUP — hierarchical subtotals in one pass (region →
+    * nation → total), the multi-grain stats projection shape. */
+  def a10Rollup(s: SparkSession, d: String): DataFrame = {
+    // the Dataset rollup API trips the ambiguous-self-join detector in
+    // this Spark version (Expand duplicates the grouping attrs and the
+    // plan-id tags make them look like a self-join); the SQL resolution
+    // path has no plan-id tags and plans the identical Expand+Aggregate
+    supplier(s, d).createOrReplaceTempView("a10_supplier")
+    nation(s, d).createOrReplaceTempView("a10_nation")
+    region(s, d).createOrReplaceTempView("a10_region")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM a10_supplier
+        |JOIN a10_nation ON s_nationkey = n_nationkey
+        |JOIN a10_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
   // ------------------------------------------- stateful-operator analogs (R)
   /** R1 analog: discontinuity/sessionization — count session starts per key
     * where the gap to the previous event exceeds 30 min (reference: CC
@@ -428,6 +460,8 @@ object Relational {
     "w3_lag_lead" -> w3LagLead _,
     "w4_running_sum" -> w4RunningSum _,
     "w5_running_max" -> w5RunningMax _,
+    "w7_ntile" -> w7Ntile _,
+    "a10_rollup" -> a10Rollup _,
     "r1_gap_detect" -> r1GapDetect _,
     "r2_latest_per_key" -> r2LatestPerKey _,
     "r3_group_complete" -> r3GroupComplete _,
