@@ -65,8 +65,66 @@ object TsQueries {
       .orderBy(col("pid"))
   }
 
+  /** §2.12 program-processor detail document (UI shape
+    * `program_proc.js:82-93`): per program, input bitrate + running peak
+    * over PCR-derived seconds, output bitrate (= input: bypass parity,
+    * `app_prog_proc.c:236-239`), and the settings sub-document with the
+    * reference's defaults (`app_prog_proc.c:95-139`). Event time comes
+    * from the stream's own 27 MHz PCR span — no wall clock. */
+  def ts9ProgramProcDoc(s: SparkSession, d: String): DataFrame = {
+    val pk = pkts(s).toDF()
+    val pmt = TsPipeline.pmtTable(s, TsPipeline.psiSections(s, pkts(s)))
+    val progPids = pmt
+      .select(col("program_number"),
+        explode(array(col("pmt_pid"), col("pcr_pid"),
+          col("elementary_pid"))).as("pid"))
+      .distinct()
+    // stream duration from the PCR timeline (27 MHz ticks), summed over
+    // sane positive deltas only — a raw max-min is wrong whenever the
+    // stream carries a PCR discontinuity (this capture does: its first
+    // PCRs belong to a stale pre-loop timeline); ISO mandates PCRs every
+    // ≤100 ms, so deltas above 1 s are discontinuities and are skipped,
+    // exactly the decoder's restamping posture (`ts_enc.c:274+`)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("seq")
+    val spanS = pk.filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
+      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
+      .filter(col("delta") > 0 && col("delta") <= 27000000L)
+      .agg((sum(col("delta")) / 27000000.0).as("span_s"))
+    val span = pk
+      .agg(count(lit(1)).cast("double").as("total"),
+        min(col("seq")).as("seq0"))
+      .crossJoin(spanS)
+    val perSec = pk.join(broadcast(progPids), Seq("pid"))
+      .crossJoin(broadcast(span))
+      .withColumn("sec",
+        floor((col("seq") - col("seq0")) * col("span_s") / col("total")))
+      .groupBy("program_number", "sec")
+      .agg((count(lit(1)) * 188 * 8).as("bits"))
+    perSec.groupBy("program_number")
+      .agg(
+        round(avg(col("bits")) / 1000.0, 1).as("input_bitrate"),
+        round(max(col("bits")) / 1000.0, 1).as("input_bitrate_peak"))
+      .select(
+        col("program_number"),
+        to_json(struct(
+          col("input_bitrate"),
+          col("input_bitrate_peak"),
+          col("input_bitrate").as("output_bitrate"),
+          struct(
+            lit("CBR").as("selected_brctrl_type_value"),
+            lit(0L).as("cbr"),
+            lit("").as("output_url"),
+            lit(200L).as("max_ts_pcr_guard_msec"),
+            lit(300L).as("min_stc_delay_output_msec")).as("settings")))
+          .as("doc"))
+      .orderBy(col("program_number"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
+    "ts9_program_proc_doc" -> ts9ProgramProcDoc _,
     "ts7_pes_stats" -> ts7PesStats _,
     "ts1_pid_stats" -> ts1PidStats _,
     "ts2_cc_audit" -> ts2CcAudit _,

@@ -84,6 +84,25 @@ class CaptureE2ESpec extends SparkSuite {
     assert(pat == Set((1, 200), (2, 300)))
   }
 
+  test("ts9 program-proc document: PCR-derived bitrate in mux range") {
+    val rows = graft.operators.TsQueries
+      .ts9ProgramProcDoc(spark, "").collect()
+    assert(rows.length == 1) // single-program capture
+    val doc = rows.head.getString(1)
+    assert(rows.head.getInt(0) == 1)
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(doc))(org.apache.spark.sql.Encoders.STRING))
+    val r = parsed.collect().head
+    val rate = r.getAs[Double]("input_bitrate")
+    val peak = r.getAs[Double]("input_bitrate_peak")
+    // the capture mux is ≈228 kbps (15 029 × 188 B over the ≈99 s PCR
+    // timeline); the program (ES+PMT+PCR PIDs) is most of it
+    assert(rate > 180 && rate < 240, s"rate=$rate")
+    assert(peak >= rate && peak < 400, s"peak=$peak")
+    assert(r.getAs[org.apache.spark.sql.Row]("settings")
+      .getAs[String]("selected_brctrl_type_value") == "CBR")
+  }
+
   test("F1 rejects channel: corrupted frames land in the errors side") {
     // copy the first 100 capture packets, break sync on 3 of them
     val data = java.nio.file.Files.readAllBytes(
