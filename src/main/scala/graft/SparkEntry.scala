@@ -369,6 +369,30 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
         |  >= 0.5""",
+    // t7 emits exact-verified jaccard over its LSH candidate set; banding
+    // recall is total on this corpus (25/25 pairs), so the exact pair SQL
+    // is a valid oracle for it
+    "t7_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM ix
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |  >= 0.5""",
     "e1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |    FROM embeddings WHERE vec_id < 10),
@@ -441,6 +465,20 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""",
+    // m2: the hex string of the payload has 2 chars/byte; keeping the
+    // first of each pair leaves exactly the high nibbles, so per-digit
+    // char counts ARE the 16-bin histogram
+    "m2_feature_extract" ->
+      ("""WITH hn AS (SELECT doc_id,
+        |  regexp_replace(hex(encode(text)), '(.).', '\1', 'g')
+        |    AS s
+        |  FROM documents)
+        |SELECT doc_id, """.stripMargin.replace('\n', ' ') +
+        (0 until 16).map { k =>
+          val digit = f"$k%X"
+          s"CAST(length(s) - length(replace(s, '$digit', '')) AS BIGINT)" +
+            s" AS h$k"
+        }.mkString(", ") + " FROM hn"),
     "m3_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
         |SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,

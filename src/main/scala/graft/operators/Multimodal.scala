@@ -41,13 +41,16 @@ object Multimodal {
         md5(col("media")).as("content_hash"))
 
   /** m2 — STUB feature extraction over batched partitions: a 16-bin
-    * byte-nibble histogram, L1-normalized, as the stand-in for a real
-    * image/audio embedding (`???` point: swap `extractFeatures` for a
-    * codec-backed implementation; everything around it — typed batch
-    * iteration, schema, partition parallelism — is production-shaped). */
+    * high-nibble byte histogram as the stand-in for a real image/audio
+    * embedding (`???` point: swap `extractFeatures` for a codec-backed
+    * implementation; everything around it — typed batch iteration,
+    * schema, partition parallelism — is production-shaped). The feature
+    * vector is projected to 16 scalar BIGINT columns h0..h15 so any
+    * downstream comparator/sink sees flat hashable columns, not an
+    * opaque array. */
   def m2FeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    media(s, d)
+    val wide = media(s, d)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -56,15 +59,17 @@ object Multimodal {
         it.map { case (id, bytes) => (id, extractFeatures(bytes)) }
       }
       .toDF("doc_id", "features")
+    wide.select(
+      col("doc_id") +:
+        (0 until 16).map(k => col("features").getItem(k).as(s"h$k")): _*)
   }
 
   /** STUB: deterministic fake decode — replace with a real codec. */
-  private def extractFeatures(bytes: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](16)
+  private def extractFeatures(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
     var i = 0
     while (i < bytes.length) { hist((bytes(i) >> 4) & 0xF) += 1; i += 1 }
-    val total = math.max(1.0, bytes.length.toDouble)
-    hist.map(_ / total)
+    hist
   }
 
   /** m3 — frame sampling: treat the payload as fixed-stride frames and

