@@ -24,7 +24,149 @@ object SparkEntry {
     Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all ++
       Settings.all ++ Multimodal.all
 
-  def oracleSql: Map[String, String] = Map(
+  // ---- TS-family oracle plumbing -----------------------------------
+  // Verify materializes the decoded TS layers (TsLake.ensureDumped) to a
+  // fixed path; the oracle recomputes every ts-query from those dumps —
+  // winner-version selection, joins and windows re-derived in SQL, so
+  // the relational semantics are independently checked.
+  private val TsDump = graft.ts.TsLake.DumpDir
+  private def tsrel(n: String) = s"read_parquet('$TsDump/$n/*.parquet')"
+
+  /** Winner-version CTE chain replicating `TsPipeline.latestTables` over
+    * a per-section-entry dump: CRC-ok current tables, complete (all
+    * section numbers present), latest by last-section arrival then
+    * version, one entry set per section number (latest first_seq).
+    * Emits CTEs prefixed with `p` ending in `${p}cur`. */
+  private def winCte(rel: String, p: String): String =
+    s"""${p}e AS (SELECT * FROM $rel WHERE crc_ok AND current_next),
+       |${p}agg AS (SELECT pid, table_id, table_id_extension,
+       |    version_number, last_section_number,
+       |    count(DISTINCT section_number) AS n_sections,
+       |    max(first_seq) AS last_arrival
+       |  FROM ${p}e GROUP BY 1, 2, 3, 4, 5
+       |  HAVING count(DISTINCT section_number) = last_section_number + 1),
+       |${p}win AS (SELECT pid, table_id, table_id_extension, version_number
+       |  FROM (SELECT pid, table_id, table_id_extension, version_number,
+       |      row_number() OVER (
+       |        PARTITION BY pid, table_id, table_id_extension
+       |        ORDER BY last_arrival DESC, version_number DESC) AS rn
+       |    FROM ${p}agg) WHERE rn = 1),
+       |${p}sect AS (SELECT ${p}e.* FROM ${p}e JOIN ${p}win
+       |  USING (pid, table_id, table_id_extension, version_number)),
+       |${p}keep AS (SELECT pid, table_id, table_id_extension,
+       |    version_number, section_number, max(first_seq) AS keep_seq
+       |  FROM ${p}sect GROUP BY 1, 2, 3, 4, 5),
+       |${p}cur AS (SELECT s.* FROM ${p}sect s JOIN ${p}keep k
+       |  ON s.pid = k.pid AND s.table_id = k.table_id
+       |  AND s.table_id_extension = k.table_id_extension
+       |  AND s.version_number = k.version_number
+       |  AND s.section_number = k.section_number
+       |  AND s.first_seq = k.keep_seq)""".stripMargin.replace('\n', ' ')
+
+  private val ts9DocFmt =
+    "{\"input_bitrate\":%d.%d,\"input_bitrate_peak\":%d.%d," +
+      "\"output_bitrate\":%d.%d,\"settings\":{" +
+      "\"selected_brctrl_type_value\":\"CBR\",\"cbr\":0," +
+      "\"output_url\":\"\",\"max_ts_pcr_guard_msec\":200," +
+      "\"min_stc_delay_output_msec\":300}}"
+
+  private def tsOracles: Map[String, String] = Map(
+    "ts1_pid_stats" ->
+      s"""SELECT pid, count(*) AS n_packets,
+         |  CAST(count(*) * 188 AS BIGINT) AS bytes,
+         |  CAST(sum(CASE WHEN pusi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pusi,
+         |  CAST(sum(CASE WHEN pcr IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pcr
+         |FROM ${tsrel("packets")} GROUP BY pid""",
+    "ts2_cc_audit" ->
+      s"""WITH p AS (SELECT pid, seq, cc,
+         |    coalesce(af_discontinuity, FALSE) AS disc
+         |  FROM ${tsrel("packets")} WHERE pid <> 8191 AND has_payload),
+         |  l AS (SELECT pid, cc, disc,
+         |    lag(cc) OVER (PARTITION BY pid ORDER BY seq) AS prev_cc
+         |  FROM p)
+         |SELECT pid, count(*) AS n_packets,
+         |  CAST(sum(CASE WHEN prev_cc IS NOT NULL AND NOT disc
+         |    AND ((prev_cc + 1) % 16) <> cc THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS cc_errors
+         |FROM l GROUP BY pid""",
+    "ts3_section_stats" ->
+      s"""SELECT pid, table_id, count(*) AS n_sections,
+         |  CAST(sum(CASE WHEN crc_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_crc_ok,
+         |  count(DISTINCT version_number) AS n_versions
+         |FROM ${tsrel("sections")} GROUP BY pid, table_id""",
+    "ts4_pat" ->
+      s"""WITH ${winCte(tsrel("pat_entries"), "p")}
+         |SELECT program_number, reference_pid FROM pcur""",
+    "ts5_pmt_es" ->
+      s"""WITH ${winCte(tsrel("pmt_rows"), "m")}
+         |SELECT program_number, pid AS pmt_pid, pcr_pid, stream_type,
+         |  elementary_pid
+         |FROM mcur""",
+    "ts6_programs_summary" ->
+      s"""WITH ${winCte(tsrel("pat_entries"), "p")},
+         |  ${winCte(tsrel("sdt_rows"), "s")},
+         |  ${winCte(tsrel("pmt_rows"), "m")},
+         |  pmtagg AS (SELECT program_number, min(pcr_pid) AS pcr_pid,
+         |    count(*) AS n_es FROM mcur GROUP BY 1),
+         |  sdt AS (SELECT service_id, service_name FROM scur)
+         |SELECT p.program_number, p.reference_pid,
+         |  coalesce(sdt.service_name, '') AS service_name,
+         |  pmtagg.pcr_pid, coalesce(pmtagg.n_es, 0) AS n_es
+         |FROM (SELECT program_number, reference_pid FROM pcur
+         |  WHERE program_number <> 0) p
+         |LEFT JOIN sdt ON p.program_number = sdt.service_id
+         |LEFT JOIN pmtagg ON p.program_number = pmtagg.program_number""",
+    "ts7_pes_stats" ->
+      s"""SELECT pid, count(*) AS n_pes, min(pts) AS min_pts,
+         |  max(pts) AS max_pts,
+         |  CAST(max(pts) - min(pts) AS DOUBLE) / 90000.0
+         |    AS pts_span_sec,
+         |  CAST(sum(CASE WHEN dts IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_with_dts
+         |FROM ${tsrel("pes")} GROUP BY pid""",
+    "ts8_peek_pid_stats" ->
+      s"""SELECT pid, count(*) AS n_packets,
+         |  CAST(sum(CASE WHEN pusi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pusi
+         |FROM ${tsrel("packets")} GROUP BY pid""",
+    "ts9_program_proc_doc" ->
+      s"""WITH ${winCte(tsrel("pmt_rows"), "m")},
+         |  pk AS (SELECT seq, pid FROM ${tsrel("packets")}),
+         |  pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
+         |      PARTITION BY pid ORDER BY seq) AS delta
+         |    FROM ${tsrel("packets")} WHERE pcr IS NOT NULL),
+         |  span AS (SELECT max(s) / 27000000.0 AS span_s FROM (
+         |    SELECT pid, sum(delta) AS s FROM pcrs
+         |    WHERE delta > 0 AND delta <= 27000000 GROUP BY pid)),
+         |  tot AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+         |    min(seq) AS seq0 FROM pk),
+         |  prog_pids AS (SELECT DISTINCT program_number, pid FROM (
+         |    SELECT program_number,
+         |      unnest([pid, pcr_pid, elementary_pid]) AS pid FROM mcur)),
+         |  persec AS (SELECT program_number,
+         |      floor((pk.seq - tot.seq0) * span.span_s / tot.total) AS sec,
+         |      count(*) * 188 * 8 AS bits
+         |    FROM pk JOIN prog_pids USING (pid)
+         |    CROSS JOIN span CROSS JOIN tot
+         |    GROUP BY 1, 2),
+         |  br AS (SELECT program_number,
+         |      CAST(floor((CAST(sum(bits) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE)) / 100.0 + 0.5) AS BIGINT)
+         |        AS t_avg,
+         |      CAST(floor(CAST(max(bits) AS DOUBLE) / 100.0 + 0.5)
+         |        AS BIGINT) AS t_peak
+         |    FROM persec GROUP BY 1)
+         |SELECT program_number,
+         |  printf('$ts9DocFmt',
+         |    t_avg // 10, t_avg % 10, t_peak // 10, t_peak % 10,
+         |    t_avg // 10, t_avg % 10) AS doc
+         |FROM br""",
+  )
+
+  def oracleSql: Map[String, String] = (tsOracles ++ Map(
     "f1_range_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -486,5 +628,5 @@ object SparkEntry {
         |    AS frame_hash
         |FROM m, LATERAL unnest(range(0,
         |  greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i)""",
-  ).map { case (k, v) => k -> v.stripMargin.replace('\n', ' ') }
+  )).map { case (k, v) => k -> v.stripMargin.replace('\n', ' ') }
 }

@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize the decoded TS layers the ts-family oracles read
+    try graft.ts.TsLake.ensureDumped(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] tsdump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

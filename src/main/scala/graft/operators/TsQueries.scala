@@ -1,16 +1,20 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ts.TsPipeline
+import graft.ts.{TsLake, TsPipeline}
 
-/** The TS-domain operator surface as driver-checkable queries (rows-only:
-  * binary stream parsing has no ANSI-SQL oracle). All run over the
-  * reference's own capture fixture, independent of the sf dir. */
+/** The TS-domain operator surface as driver-checkable queries. All run
+  * over the reference's own capture fixture, independent of the sf dir.
+  * Every query reads the session-cached decode/assembly (`TsLake`) — one
+  * scan + one PSI pass for the whole family; the DuckDB oracle recomputes
+  * each query from the parquet dumps of the same decoded layers. */
 object TsQueries {
 
-  private def pkts(s: SparkSession) = TsPipeline.packets(s)
+  private def pkts(s: SparkSession) = TsLake.packets(s)
+  private def secs(s: SparkSession) = TsLake.sections(s)
 
   /** F1/F2 + P1: PID histogram of the demuxed stream. */
   def ts1PidStats(s: SparkSession, d: String): DataFrame =
@@ -22,27 +26,29 @@ object TsQueries {
 
   /** R2: reassembled section inventory (counts + CRC health). */
   def ts3SectionStats(s: SparkSession, d: String): DataFrame =
-    TsPipeline.psiSections(s, pkts(s)).toDF()
+    secs(s).toDF()
       .groupBy("pid", "tableId")
       .agg(
         count(lit(1)).as("n_sections"),
         sum(col("crcOk").cast("long")).as("n_crc_ok"),
         countDistinct(col("versionNumber")).as("n_versions"))
+      .select(col("pid"), col("tableId").as("table_id"),
+        col("n_sections"), col("n_crc_ok"), col("n_versions"))
       .orderBy(col("pid"))
 
   /** R3/R4 + P5: the current PAT. */
   def ts4Pat(s: SparkSession, d: String): DataFrame =
-    TsPipeline.patTable(s, TsPipeline.psiSections(s, pkts(s)))
+    TsPipeline.patTable(s, secs(s))
       .orderBy(col("program_number"))
 
   /** P6 + J2: current PMT exploded to ES rows. */
   def ts5PmtEs(s: SparkSession, d: String): DataFrame =
-    TsPipeline.pmtTable(s, TsPipeline.psiSections(s, pkts(s)))
+    TsPipeline.pmtTable(s, secs(s))
       .orderBy(col("program_number"), col("elementary_pid"))
 
   /** §3.2: the programs-summary join (PAT ⋈ PMT ⋈ SDT). */
   def ts6ProgramsSummary(s: SparkSession, d: String): DataFrame =
-    TsPipeline.programsSummary(s, pkts(s))
+    TsPipeline.programsSummaryFrom(s, secs(s))
 
   /** ES layer: PES header parse + PTS/DTS stats (time_stamp_stats). */
   def ts7PesStats(s: SparkSession, d: String): DataFrame =
@@ -50,7 +56,8 @@ object TsQueries {
 
   /** P3 expression route: PID histogram off the raw bytes via the
     * codegen'd `TsPeek` byte-peek (`TS_BUF_GET_PID` macro analog,
-    * `ts.h:51-74`) — no typed decode, no struct build. */
+    * `ts.h:51-74`) — no typed decode, no struct build; independently
+    * cross-checked by the oracle against the typed-decode dump. */
   def ts8PeekPidStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val raw = s.sparkContext
@@ -70,28 +77,30 @@ object TsQueries {
     * over PCR-derived seconds, output bitrate (= input: bypass parity,
     * `app_prog_proc.c:236-239`), and the settings sub-document with the
     * reference's defaults (`app_prog_proc.c:95-139`). Event time comes
-    * from the stream's own 27 MHz PCR span — no wall clock. */
+    * from the stream's own 27 MHz PCR span — no wall clock.
+    *
+    * Numeric fields are rendered as integer tenths (`%d.%d`) so the JSON
+    * text is bit-identical across engines — no float formatting. The
+    * stream duration sums sane PCR deltas (≤1 s; larger = discontinuity,
+    * skipped, `ts_enc.c:274+`) PER PCR PID and takes the max, so a
+    * multi-program mux with several PCR timelines isn't double-counted.
+    */
   def ts9ProgramProcDoc(s: SparkSession, d: String): DataFrame = {
     val pk = pkts(s).toDF()
-    val pmt = TsPipeline.pmtTable(s, TsPipeline.psiSections(s, pkts(s)))
+    val pmt = TsPipeline.pmtTable(s, secs(s))
     val progPids = pmt
       .select(col("program_number"),
         explode(array(col("pmt_pid"), col("pcr_pid"),
           col("elementary_pid"))).as("pid"))
       .distinct()
-    // stream duration from the PCR timeline (27 MHz ticks), summed over
-    // sane positive deltas only — a raw max-min is wrong whenever the
-    // stream carries a PCR discontinuity (this capture does: its first
-    // PCRs belong to a stale pre-loop timeline); ISO mandates PCRs every
-    // ≤100 ms, so deltas above 1 s are discontinuities and are skipped,
-    // exactly the decoder's restamping posture (`ts_enc.c:274+`)
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy("seq")
+    val wd = Window.partitionBy("pid").orderBy("seq")
     val spanS = pk.filter(col("af.pcr").isNotNull)
       .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
       .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
       .filter(col("delta") > 0 && col("delta") <= 27000000L)
-      .agg((sum(col("delta")) / 27000000.0).as("span_s"))
+      .groupBy("pid")
+      .agg(sum(col("delta")).as("pid_ticks"))
+      .agg((max(col("pid_ticks")) / 27000000.0).as("span_s"))
     val span = pk
       .agg(count(lit(1)).cast("double").as("total"),
         min(col("seq")).as("seq0"))
@@ -102,22 +111,24 @@ object TsQueries {
         floor((col("seq") - col("seq0")) * col("span_s") / col("total")))
       .groupBy("program_number", "sec")
       .agg((count(lit(1)) * 188 * 8).as("bits"))
-    perSec.groupBy("program_number")
+    val br = perSec.groupBy("program_number")
       .agg(
-        round(avg(col("bits")) / 1000.0, 1).as("input_bitrate"),
-        round(max(col("bits")) / 1000.0, 1).as("input_bitrate_peak"))
-      .select(
+        floor((sum(col("bits")).cast("double") /
+          count(lit(1)).cast("double")) / 100.0 + 0.5)
+          .cast("long").as("t_avg"),
+        floor(max(col("bits")).cast("double") / 100.0 + 0.5)
+          .cast("long").as("t_peak"))
+    br.select(
         col("program_number"),
-        to_json(struct(
-          col("input_bitrate"),
-          col("input_bitrate_peak"),
-          col("input_bitrate").as("output_bitrate"),
-          struct(
-            lit("CBR").as("selected_brctrl_type_value"),
-            lit(0L).as("cbr"),
-            lit("").as("output_url"),
-            lit(200L).as("max_ts_pcr_guard_msec"),
-            lit(300L).as("min_stc_delay_output_msec")).as("settings")))
+        format_string(
+          "{\"input_bitrate\":%d.%d,\"input_bitrate_peak\":%d.%d," +
+            "\"output_bitrate\":%d.%d,\"settings\":{" +
+            "\"selected_brctrl_type_value\":\"CBR\",\"cbr\":0," +
+            "\"output_url\":\"\",\"max_ts_pcr_guard_msec\":200," +
+            "\"min_stc_delay_output_msec\":300}}",
+          expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)),
+          expr("t_peak div 10"), pmod(col("t_peak"), lit(10L)),
+          expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)))
           .as("doc"))
       .orderBy(col("program_number"))
   }

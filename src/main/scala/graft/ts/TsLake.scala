@@ -1,0 +1,129 @@
+package graft.ts
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared TS relations: one decode + one PSI assembly per session, cached
+  * and reused by every ts-family query (the round-1 sweep re-decoded the
+  * capture per query), plus a once-per-JVM parquet materialization of the
+  * decoded layers that the driver's DuckDB oracle recomputes the queries
+  * from — converting the whole TS family from rows-only to hash-checked.
+  *
+  * The dumps carry ALL decoded sections/entries (every version, with
+  * crc/current_next flags and arrival seq), so the oracle SQL re-derives
+  * winner-version selection and the PAT/PMT joins independently — it
+  * checks the relational semantics (R3/R4, J1/J2), not just the decode.
+  */
+object TsLake {
+
+  /** Fixed absolute dump location — referenced by the oracle SQL text. */
+  val DumpDir = "/root/repo/target/tsdump"
+
+  private val cache = new ConcurrentHashMap[
+    SparkSession, (Dataset[TsPacket], Dataset[PsiSection])]()
+
+  def packets(s: SparkSession): Dataset[TsPacket] = rel(s)._1
+  def sections(s: SparkSession): Dataset[PsiSection] = rel(s)._2
+
+  private def rel(s: SparkSession) =
+    cache.computeIfAbsent(s, (sess: SparkSession) => {
+      val pk = TsPipeline.packets(sess).cache()
+      val secs = TsPipeline.psiSections(sess, pk).cache()
+      (pk, secs)
+    })
+
+  @volatile private var dumped = false
+
+  /** Materialize the decoded relations once per JVM (Verify calls this
+    * before running the query surface). */
+  def ensureDumped(s: SparkSession): Unit =
+    if (!dumped) synchronized { if (!dumped) { writeDumps(s); dumped = true } }
+
+  private def writeDumps(s: SparkSession): Unit = {
+    import s.implicits._
+    val pk = packets(s)
+    val secs = sections(s)
+
+    def save(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$DumpDir/$name")
+
+    // per-packet decoded header + AF fields, flat comparator-safe columns
+    save(pk.toDF().select(
+      col("seq"), col("pid"), col("tei"), col("pusi"), col("priority"),
+      col("scrambling"),
+      col("hasAf").as("has_af"),
+      col("hasPayload").as("has_payload"),
+      col("cc"),
+      col("af.discontinuity").as("af_discontinuity"),
+      col("af.randomAccess").as("af_random_access"),
+      col("af.pcr").as("pcr"),
+      col("af.opcr").as("opcr"),
+      col("af.spliceCountdown").as("splice_countdown"),
+      length(col("payload")).as("payload_len")), "packets")
+
+    // every assembled section (all versions), header fields only
+    save(secs.toDF().select(
+      col("pid"), col("firstSeq").as("first_seq"),
+      col("tableId").as("table_id"),
+      col("syntaxIndicator").as("syntax_indicator"),
+      col("sectionLength").as("section_length"),
+      col("tableIdExtension").as("table_id_extension"),
+      col("versionNumber").as("version_number"),
+      col("currentNext").as("current_next"),
+      col("sectionNumber").as("section_number"),
+      col("lastSectionNumber").as("last_section_number"),
+      col("crcOk").as("crc_ok")), "sections")
+
+    // per-section decoded PAT entries (all versions — winner picked in SQL)
+    save(secs.filter(_.tableId == 0x00)
+      .flatMap(sec => PsiCodec.decodePat(sec).map(r =>
+        (sec.pid, sec.tableId, sec.tableIdExtension, sec.versionNumber,
+          sec.currentNext, sec.sectionNumber, sec.lastSectionNumber,
+          sec.firstSeq, sec.crcOk, r.programNumber, r.referencePid)))
+      .toDF("pid", "table_id", "table_id_extension", "version_number",
+        "current_next", "section_number", "last_section_number",
+        "first_seq", "crc_ok", "program_number", "reference_pid"),
+      "pat_entries")
+
+    // per-section decoded PMT ES rows (all versions)
+    save(secs.filter(_.tableId == 0x02)
+      .flatMap { sec =>
+        PsiCodec.decodePmt(sec).toSeq.flatMap { p =>
+          p.es.map(e =>
+            (sec.pid, sec.tableId, sec.tableIdExtension, sec.versionNumber,
+              sec.currentNext, sec.sectionNumber, sec.lastSectionNumber,
+              sec.firstSeq, sec.crcOk, p.programNumber, p.pcrPid,
+              e.streamType, e.elementaryPid))
+        }
+      }
+      .toDF("pid", "table_id", "table_id_extension", "version_number",
+        "current_next", "section_number", "last_section_number",
+        "first_seq", "crc_ok", "program_number", "pcr_pid", "stream_type",
+        "elementary_pid"),
+      "pmt_rows")
+
+    // per-section decoded SDT services (empty on SDT-less muxes — the
+    // dump still carries the schema so the oracle's left join nullfills)
+    save(secs.filter(s => s.tableId == 0x42 || s.tableId == 0x46)
+      .flatMap(sec => PsiCodec.decodeSdt(sec).map(v =>
+        (sec.pid, sec.tableId, sec.tableIdExtension, sec.versionNumber,
+          sec.currentNext, sec.sectionNumber, sec.lastSectionNumber,
+          sec.firstSeq, sec.crcOk, v.serviceId,
+          v.serviceName.getOrElse(""), v.serviceProvider.getOrElse(""),
+          v.runningStatus)))
+      .toDF("pid", "table_id", "table_id_extension", "version_number",
+        "current_next", "section_number", "last_section_number",
+        "first_seq", "crc_ok", "service_id", "service_name",
+        "service_provider", "running_status"),
+      "sdt_rows")
+
+    // parsed PES headers at PUSI packets
+    save(pk.filter(p => p.pusi && p.hasPayload)
+      .flatMap(p => PesCodec.parseHeader(p.payload).map(h =>
+        (p.pid, h.streamId, h.pts, h.dts)))
+      .toDF("pid", "stream_id", "pts", "dts"),
+      "pes")
+  }
+}

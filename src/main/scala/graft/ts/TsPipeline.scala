@@ -191,26 +191,31 @@ object TsPipeline {
   def programsSummary(spark: SparkSession, pkts: Dataset[TsPacket])
       : DataFrame = {
     val secs = psiSections(spark, pkts).cache()
-    try {
-      val pat = patTable(spark, secs).filter(col("program_number") =!= 0)
-      val pmt = pmtTable(spark, secs)
-        .groupBy("program_number")
-        .agg(
-          first(col("pcr_pid")).as("pcr_pid"),
-          count(lit(1)).as("n_es"))
-      val sdt = sdtTable(spark, secs)
-        .select(col("service_id"), col("service_name"))
-      pat
-        .join(broadcast(sdt),
-          col("program_number") === col("service_id"), "left")
-        .join(broadcast(pmt), Seq("program_number"), "left")
-        .select(
-          col("program_number"),
-          col("reference_pid"),
-          coalesce(col("service_name"), lit("")).as("service_name"),
-          col("pcr_pid"),
-          coalesce(col("n_es"), lit(0L)).as("n_es"))
-    } finally secs.unpersist()
+    try programsSummaryFrom(spark, secs) finally secs.unpersist()
+  }
+
+  /** Same projection over an already-assembled (typically shared/cached)
+    * sections relation. */
+  def programsSummaryFrom(spark: SparkSession, secs: Dataset[PsiSection])
+      : DataFrame = {
+    val pat = patTable(spark, secs).filter(col("program_number") =!= 0)
+    val pmt = pmtTable(spark, secs)
+      .groupBy("program_number")
+      .agg(
+        first(col("pcr_pid")).as("pcr_pid"),
+        count(lit(1)).as("n_es"))
+    val sdt = sdtTable(spark, secs)
+      .select(col("service_id"), col("service_name"))
+    pat
+      .join(broadcast(sdt),
+        col("program_number") === col("service_id"), "left")
+      .join(broadcast(pmt), Seq("program_number"), "left")
+      .select(
+        col("program_number"),
+        col("reference_pid"),
+        coalesce(col("service_name"), lit("")).as("service_name"),
+        col("pcr_pid"),
+        coalesce(col("n_es"), lit(0L)).as("n_es"))
   }
 
   /** R1 — continuity-counter audit (`ts_dec.c:98-172`): per PID, CC must
