@@ -30,18 +30,35 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Join two bucketed tables on their bucket key — plans with zero
-    * Exchange when both sides share the bucket count. */
+    * Exchange when both sides share the bucket count. The join condition
+    * binds the two Dataset instances being joined (building it from
+    * fresh `spark.table` calls only resolves while the catalog's
+    * relation cache returns identical attribute ids — fragile across a
+    * REFRESH TABLE). */
   def bucketedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable),
-        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketing is meant to buy. */
-  def shuffleFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan
-    !plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-  }
+    * the property bucketing is meant to buy. AQE (on by default) wraps
+    * the plan in AdaptiveSparkPlanExec, a LEAF node whose children a
+    * plain traversal never sees — unwrap it (and materialized query
+    * stages) recursively, or the check is vacuously true. */
+  def shuffleFree(df: DataFrame): Boolean =
+    !hasShuffle(df.queryExecution.executedPlan)
+
+  private def hasShuffle(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasShuffle(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hasShuffle(q.plan)
+      case _ => false
+    }
 }

@@ -36,6 +36,13 @@ class BucketingSpec extends SparkSuite {
       agg.collect()
       assert(Bucketing.shuffleFree(agg),
         "bucketed groupBy planned a shuffle")
+      // the detector must see THROUGH AQE: a plain shuffled join is the
+      // negative control (this was vacuously true before the unwrap)
+      val control = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)))
+      control.collect()
+      assert(!Bucketing.shuffleFree(control),
+        "shuffleFree failed to detect a real shuffle under AQE")
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS or_b")

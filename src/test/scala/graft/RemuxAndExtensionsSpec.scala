@@ -38,6 +38,52 @@ class RemuxAndExtensionsSpec extends SparkSuite {
     assert(decoded.forall(p => p.pid <= TsCodec.MaxPid))
   }
 
+  test("partitioned cbr fill == global-window reference; plan has no " +
+      "unpartitioned window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // reference semantics: one global seq-ordered last-fill per stream
+    def reference(tl: org.apache.spark.sql.DataFrame) = tl
+      .withColumn("bucket",
+        last(col("pcr_sec"), ignoreNulls = true).over(
+          W.partitionBy("stream_id").orderBy("seq")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .filter(col("bucket").isNotNull)
+      .groupBy("stream_id", "bucket")
+      .agg(count(lit(1)).as("n_packets"))
+    // capture timeline (single stream)
+    val cap = TsPipeline.packets(spark).toDF().select(
+      lit(0L).as("stream_id"), col("seq"),
+      (col("af.pcr") / Remux.TicksPerSec).cast("long").as("pcr_sec"))
+    // synthetic 3-stream timeline with sparse PCRs and leading gaps
+    import spark.implicits._
+    val synth = (0 until 3).flatMap { sid =>
+      (0L until 5000L).map { i =>
+        val pcr = if (i % 37 == sid * 5 + 7)
+          Some(i * 27000000L / 50) else None
+        (sid.toLong, i, pcr)
+      }
+    }.toDF("stream_id", "seq", "pcr_sec")
+    for (tl <- Seq(cap, synth)) {
+      val got = Remux.cbrPlanStreams(tl, 400000L)
+        .select("stream_id", "bucket", "n_packets")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = reference(tl)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want)
+    }
+    // the scalability property itself: no Window without a partitionSpec
+    // anywhere in the optimized plan
+    val plan = Remux.cbrPlan(TsPipeline.packets(spark), 400000L)
+      .queryExecution.optimizedPlan
+    val globals = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "cbrPlan still contains a global window")
+  }
+
   test("GraftExtensions registers SQL functions on a fresh session") {
     val prior = spark // ensure shared context exists
     SparkSession.clearActiveSession()
