@@ -63,12 +63,9 @@ object SparkEntry {
        |  AND s.section_number = k.section_number
        |  AND s.first_seq = k.keep_seq)""".stripMargin.replace('\n', ' ')
 
-  private val ts9DocFmt =
-    "{\"input_bitrate\":%d.%d,\"input_bitrate_peak\":%d.%d," +
-      "\"output_bitrate\":%d.%d,\"settings\":{" +
-      "\"selected_brctrl_type_value\":\"CBR\",\"cbr\":0," +
-      "\"output_url\":\"\",\"max_ts_pcr_guard_msec\":200," +
-      "\"min_stc_delay_output_msec\":300}}"
+  // single source of truth for the program-processor JSON body — the
+  // Spark queries format with the same constant
+  private val ts9DocFmt = "{" + graft.operators.TsQueries.procBodyFmt + "}"
 
   private def tsOracles: Map[String, String] = Map(
     "ts1_pid_stats" ->
@@ -164,6 +161,120 @@ object SparkEntry {
          |    t_avg // 10, t_avg % 10, t_peak // 10, t_peak % 10,
          |    t_avg // 10, t_avg % 10) AS doc
          |FROM br""",
+    "ts10_instance_doc" ->
+      s"""WITH ${winCte(tsrel("pat_entries"), "p")},
+         |  ${winCte(tsrel("sdt_rows"), "s")},
+         |  ${winCte(tsrel("pmt_rows"), "m")},
+         |  pk AS (SELECT seq, pid FROM ${tsrel("packets")}),
+         |  pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
+         |      PARTITION BY pid ORDER BY seq) AS delta
+         |    FROM ${tsrel("packets")} WHERE pcr IS NOT NULL),
+         |  span AS (SELECT max(sm) / 27000000.0 AS span_s FROM (
+         |    SELECT pid, sum(delta) AS sm FROM pcrs
+         |    WHERE delta > 0 AND delta <= 27000000 GROUP BY pid)),
+         |  tot AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+         |    min(seq) AS seq0 FROM pk),
+         |  prog_pids AS (SELECT DISTINCT program_number, pid FROM (
+         |    SELECT program_number,
+         |      unnest([pid, pcr_pid, elementary_pid]) AS pid FROM mcur)),
+         |  persec AS (SELECT program_number,
+         |      floor((pk.seq - tot.seq0) * span.span_s / tot.total) AS sec,
+         |      count(*) * 188 * 8 AS bits
+         |    FROM pk JOIN prog_pids USING (pid)
+         |    CROSS JOIN span CROSS JOIN tot
+         |    GROUP BY 1, 2),
+         |  br AS (SELECT program_number,
+         |      CAST(floor((CAST(sum(bits) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE)) / 100.0 + 0.5) AS BIGINT)
+         |        AS t_avg,
+         |      CAST(floor(CAST(max(bits) AS DOUBLE) / 100.0 + 0.5)
+         |        AS BIGINT) AS t_peak
+         |    FROM persec GROUP BY 1),
+         |  pmtagg AS (SELECT program_number, count(*) AS n_es
+         |    FROM mcur GROUP BY 1),
+         |  prog AS (SELECT p.program_number,
+         |      coalesce(sd.service_name, '') AS service_name,
+         |      coalesce(pmtagg.n_es, 0) AS n_es
+         |    FROM (SELECT program_number FROM pcur
+         |      WHERE program_number <> 0) p
+         |    LEFT JOIN (SELECT service_id, service_name FROM scur) sd
+         |      ON p.program_number = sd.service_id
+         |    LEFT JOIN pmtagg ON p.program_number = pmtagg.program_number),
+         |  progs_json AS (SELECT coalesce(string_agg(
+         |      printf('${graft.operators.TsQueries.progFragFmt}',
+         |        program_number, service_name,
+         |        CASE WHEN n_es > 0 THEN 'true' ELSE 'false' END,
+         |        program_number),
+         |      ',' ORDER BY program_number), '') AS programs_json
+         |    FROM prog),
+         |  procs_json AS (SELECT coalesce(string_agg(
+         |      printf('${graft.operators.TsQueries.procFragFmt}',
+         |        program_number, t_avg // 10, t_avg % 10,
+         |        t_peak // 10, t_peak % 10, t_avg // 10, t_avg % 10),
+         |      ',' ORDER BY program_number), '') AS procs_json FROM br),
+         |  tt AS (SELECT CAST(floor((CAST(count(*) * 188 * 8 AS DOUBLE)
+         |      / (SELECT span_s FROM span)) / 100.0 + 0.5) AS BIGINT)
+         |      AS t_tot FROM pk)
+         |SELECT 'mpeg2_sp-0' AS id_str,
+         |  printf('${graft.operators.TsQueries.instanceDocFmt}',
+         |    t_tot // 10, t_tot % 10,
+         |    '${graft.ts.TsPipeline.DefaultCapture}',
+         |    programs_json, procs_json) AS doc
+         |FROM tt, progs_json, procs_json""",
+    "ts11_es_proc_doc" ->
+      s"""WITH ${winCte(tsrel("pmt_rows"), "m")},
+         |  subs_win AS (SELECT s.*
+         |    FROM ${tsrel("pmt_es_subtitling")} s JOIN mkeep k
+         |    ON s.pid = k.pid AND s.table_id = k.table_id
+         |    AND s.table_id_extension = k.table_id_extension
+         |    AND s.version_number = k.version_number
+         |    AND s.section_number = k.section_number
+         |    AND s.first_seq = k.keep_seq),
+         |  svc AS (SELECT elementary_pid, string_agg(
+         |      printf('${graft.operators.TsQueries.svcFragFmt}',
+         |        lang, subtitling_type, composition_page_id,
+         |        ancillary_page_id),
+         |      ',' ORDER BY lang) AS services_json
+         |    FROM subs_win GROUP BY 1),
+         |  span AS (SELECT max(sm) / 27000000.0 AS span_s FROM (
+         |    SELECT pid, sum(delta) AS sm FROM (
+         |      SELECT pid, pcr - lag(pcr) OVER (
+         |        PARTITION BY pid ORDER BY seq) AS delta
+         |      FROM ${tsrel("packets")} WHERE pcr IS NOT NULL)
+         |    WHERE delta > 0 AND delta <= 27000000 GROUP BY pid)),
+         |  pes AS (SELECT pid AS elementary_pid, count(*) AS n_pes,
+         |      min(pts) AS min_pts, max(pts) AS max_pts
+         |    FROM ${tsrel("pes")} GROUP BY 1),
+         |  bits AS (SELECT pid AS elementary_pid,
+         |      count(*) * 188 * 8 AS bits
+         |    FROM ${tsrel("packets")} GROUP BY 1),
+         |  j AS (SELECT es.program_number, es.elementary_pid,
+         |      es.stream_type, coalesce(bits.bits, 0) AS bits,
+         |      pes.n_pes, pes.min_pts, pes.max_pts, svc.services_json,
+         |      span.span_s
+         |    FROM (SELECT program_number, elementary_pid, stream_type
+         |      FROM mcur) es
+         |    LEFT JOIN bits USING (elementary_pid)
+         |    LEFT JOIN pes USING (elementary_pid)
+         |    LEFT JOIN svc USING (elementary_pid)
+         |    CROSS JOIN span),
+         |  t AS (SELECT *,
+         |      CAST(floor((CAST(bits AS DOUBLE) / span_s) / 100.0 + 0.5)
+         |        AS BIGINT) AS t_in,
+         |      CASE WHEN stream_type = 6 AND elementary_pid IN
+         |          (SELECT DISTINCT elementary_pid FROM subs_win)
+         |        THEN 'dvb_subt'
+         |        WHEN stream_type IN (1, 2, 27, 36) THEN 'video'
+         |        WHEN stream_type IN (3, 4, 15, 17, 129) THEN 'audio'
+         |        ELSE 'bypass' END AS extension_type
+         |    FROM j)
+         |SELECT program_number, elementary_pid, stream_type,
+         |  printf('${graft.operators.TsQueries.esDocFmt}',
+         |    extension_type, t_in // 10, t_in % 10,
+         |    t_in // 10, t_in % 10,
+         |    coalesce(n_pes, 0), coalesce(min_pts, -1),
+         |    coalesce(max_pts, -1), coalesce(services_json, '')) AS doc
+         |FROM t""",
   )
 
   def oracleSql: Map[String, String] = (tsOracles ++ Map(

@@ -72,20 +72,64 @@ object TsQueries {
       .orderBy(col("pid"))
   }
 
-  /** §2.12 program-processor detail document (UI shape
-    * `program_proc.js:82-93`): per program, input bitrate + running peak
-    * over PCR-derived seconds, output bitrate (= input: bypass parity,
-    * `app_prog_proc.c:236-239`), and the settings sub-document with the
-    * reference's defaults (`app_prog_proc.c:95-139`). Event time comes
-    * from the stream's own 27 MHz PCR span — no wall clock.
-    *
-    * Numeric fields are rendered as integer tenths (`%d.%d`) so the JSON
-    * text is bit-identical across engines — no float formatting. The
-    * stream duration sums sane PCR deltas (≤1 s; larger = discontinuity,
-    * skipped, `ts_enc.c:274+`) PER PCR PID and takes the max, so a
-    * multi-program mux with several PCR timelines isn't double-counted.
-    */
-  def ts9ProgramProcDoc(s: SparkSession, d: String): DataFrame = {
+  /** Program-processor JSON body (shared by ts9 and ts10): the
+    * reference's defaults (`app_prog_proc.c:95-139`), numerics rendered
+    * as integer tenths (`%d.%d`) so the text is bit-identical across
+    * engines — no float formatting. */
+  private[graft] val procBodyFmt =
+    "\"input_bitrate\":%d.%d,\"input_bitrate_peak\":%d.%d," +
+      "\"output_bitrate\":%d.%d,\"settings\":{" +
+      "\"selected_brctrl_type_value\":\"CBR\",\"cbr\":0," +
+      "\"output_url\":\"\",\"max_ts_pcr_guard_msec\":200," +
+      "\"min_stc_delay_output_msec\":300}"
+
+  /** Shared printf/format_string templates for the composed documents —
+    * the oracle SQL interpolates the SAME constants, so the JSON text is
+    * definitionally identical on both sides. */
+  private[graft] val progFragFmt =
+    "{\"program_number\":%d,\"service_name\":\"%s\"," +
+      "\"processor_associated\":%s,\"links\":[{\"rel\":\"self\"," +
+      "\"href\":\"mpeg2_sp-0/programs/%d.json\"}]}"
+  private[graft] val procFragFmt =
+    "{\"program_number\":%d," + procBodyFmt + "}"
+  private[graft] val instanceDocFmt =
+    "{\"id_str\":\"mpeg2_sp-0\",\"input_bitrate\":%d.%d," +
+      "\"log_traces\":[],\"settings\":{\"tag\":\"\"," +
+      "\"input_url\":\"%s\",\"flag_clear_logs\":false," +
+      "\"flag_purge_disassociated_processors\":false}," +
+      "\"programs\":[%s],\"program_processors\":[%s]," +
+      "\"links\":[{\"rel\":\"self\",\"href\":\"mpeg2_sp-0.json\"}]}"
+  private[graft] val svcFragFmt =
+    "{\"lang\":\"%s\",\"subtitling_type\":%d," +
+      "\"composition_page_id\":%d,\"ancillary_page_id\":%d}"
+  private[graft] val esDocFmt =
+    "{\"extension_type\":\"%s\",\"input_bitrate\":%d.%d," +
+      "\"output_bitrate\":%d.%d,\"output_buf_level\":0," +
+      "\"time_stamp_stats\":{\"n_pes\":%d,\"min_pts\":%d," +
+      "\"max_pts\":%d},\"settings\":{" +
+      "\"flag_enable_interl_output\":true," +
+      "\"time_shift_offset_msec\":0,\"ts_pcr_guard_msec\":200," +
+      "\"restamping\":false},\"services\":[%s]}"
+
+  /** Stream duration (one row: span_s) from the PCR timelines: sane
+    * positive deltas (≤1 s; larger = discontinuity, skipped —
+    * `ts_enc.c:274+`) summed PER PCR PID, max across PIDs, so a
+    * multi-program mux with several PCR timelines isn't double-counted. */
+  private def spanSeconds(pk: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("pid").orderBy("seq")
+    pk.filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
+      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
+      .filter(col("delta") > 0 && col("delta") <= 27000000L)
+      .groupBy("pid")
+      .agg(sum(col("delta")).as("pid_ticks"))
+      .agg((max(col("pid_ticks")) / 27000000.0).as("span_s"))
+  }
+
+  /** Per-program avg/peak input bitrate as integer tenths of kbps over
+    * PCR-derived seconds (event time from the stream's own 27 MHz
+    * timeline — no wall clock). */
+  private def progProcTenths(s: SparkSession): DataFrame = {
     val pk = pkts(s).toDF()
     val pmt = TsPipeline.pmtTable(s, secs(s))
     val progPids = pmt
@@ -93,49 +137,136 @@ object TsQueries {
         explode(array(col("pmt_pid"), col("pcr_pid"),
           col("elementary_pid"))).as("pid"))
       .distinct()
-    val wd = Window.partitionBy("pid").orderBy("seq")
-    val spanS = pk.filter(col("af.pcr").isNotNull)
-      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
-      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
-      .filter(col("delta") > 0 && col("delta") <= 27000000L)
-      .groupBy("pid")
-      .agg(sum(col("delta")).as("pid_ticks"))
-      .agg((max(col("pid_ticks")) / 27000000.0).as("span_s"))
     val span = pk
       .agg(count(lit(1)).cast("double").as("total"),
         min(col("seq")).as("seq0"))
-      .crossJoin(spanS)
+      .crossJoin(spanSeconds(pk))
     val perSec = pk.join(broadcast(progPids), Seq("pid"))
       .crossJoin(broadcast(span))
       .withColumn("sec",
         floor((col("seq") - col("seq0")) * col("span_s") / col("total")))
       .groupBy("program_number", "sec")
       .agg((count(lit(1)) * 188 * 8).as("bits"))
-    val br = perSec.groupBy("program_number")
+    perSec.groupBy("program_number")
       .agg(
         floor((sum(col("bits")).cast("double") /
           count(lit(1)).cast("double")) / 100.0 + 0.5)
           .cast("long").as("t_avg"),
         floor(max(col("bits")).cast("double") / 100.0 + 0.5)
           .cast("long").as("t_peak"))
-    br.select(
+  }
+
+  /** §2.12 program-processor detail document (UI shape
+    * `program_proc.js:82-93`): per program, input bitrate + running peak
+    * over PCR-derived seconds, output bitrate (= input: bypass parity,
+    * `app_prog_proc.c:236-239`), and the settings sub-document with the
+    * reference's defaults. */
+  def ts9ProgramProcDoc(s: SparkSession, d: String): DataFrame =
+    progProcTenths(s).select(
         col("program_number"),
-        format_string(
-          "{\"input_bitrate\":%d.%d,\"input_bitrate_peak\":%d.%d," +
-            "\"output_bitrate\":%d.%d,\"settings\":{" +
-            "\"selected_brctrl_type_value\":\"CBR\",\"cbr\":0," +
-            "\"output_url\":\"\",\"max_ts_pcr_guard_msec\":200," +
-            "\"min_stc_delay_output_msec\":300}}",
+        format_string("{" + procBodyFmt + "}",
           expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)),
           expr("t_peak div 10"), pmod(col("t_peak"), lit(10L)),
           expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)))
           .as("doc"))
       .orderBy(col("program_number"))
+
+  /** §2.12 the composed instance REST document (`GET /stream_procs/<id>`
+    * shape, `mpeg2_sp.c:828-876`): id_str + input_bitrate + log_traces +
+    * settings + programs[] + program_processors[] + links in ONE JSON
+    * doc — the reference's main GET, assembled from the same shared
+    * relations as ts1–ts9. */
+  def ts10InstanceDoc(s: SparkSession, d: String): DataFrame = {
+    val pk = pkts(s).toDF()
+    val summary = TsPipeline.programsSummaryFrom(s, secs(s))
+    def joined(c: org.apache.spark.sql.Column) =
+      array_join(transform(array_sort(collect_list(c)),
+        e => e.getField("frag")), ",")
+    val progFrags = summary.select(
+        struct(col("program_number"),
+          format_string(progFragFmt,
+            col("program_number"), col("service_name"),
+            when(col("n_es") > 0, lit("true")).otherwise(lit("false")),
+            col("program_number")).as("frag")).as("x"))
+      .agg(joined(col("x")).as("programs_json"))
+    val procFrags = progProcTenths(s).select(
+        struct(col("program_number"),
+          format_string(procFragFmt,
+            col("program_number"),
+            expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)),
+            expr("t_peak div 10"), pmod(col("t_peak"), lit(10L)),
+            expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)))
+            .as("frag")).as("x"))
+      .agg(joined(col("x")).as("procs_json"))
+    val total = pk.agg(count(lit(1)).as("n"))
+      .crossJoin(spanSeconds(pk))
+      .select(floor(((col("n") * 188 * 8).cast("double") / col("span_s"))
+        / 100.0 + 0.5).cast("long").as("t_tot"))
+    total.crossJoin(progFrags).crossJoin(procFrags)
+      .select(
+        lit("mpeg2_sp-0").as("id_str"),
+        format_string(instanceDocFmt,
+          expr("t_tot div 10"), pmod(col("t_tot"), lit(10L)),
+          lit(TsPipeline.DefaultCapture),
+          col("programs_json"), col("procs_json")).as("doc"))
+  }
+
+  /** ES-processor detail/settings document (`es_proc.js:87-108`): per
+    * elementary stream, extension type, PCR-span bitrate,
+    * time_stamp_stats, the settings defaults, and the editable 0x59
+    * dvb-subtitling service rows. */
+  def ts11EsProcDoc(s: SparkSession, d: String): DataFrame = {
+    val pk = pkts(s).toDF()
+    val pmt = TsPipeline.pmtTable(s, secs(s))
+    val subs = TsPipeline.pmtSubtitling(s, secs(s))
+    val pes = TsPipeline.pesTimestampStats(pkts(s))
+      .select(col("pid").as("elementary_pid"), col("n_pes"),
+        col("min_pts"), col("max_pts"))
+    val pidBits = pk.groupBy("pid")
+      .agg((count(lit(1)) * 188 * 8).as("bits"))
+      .withColumnRenamed("pid", "elementary_pid")
+    val svc = subs.select(col("elementary_pid"),
+        struct(col("lang"),
+          format_string(svcFragFmt,
+            col("lang"), col("subtitling_type"),
+            col("composition_page_id"), col("ancillary_page_id"))
+            .as("frag")).as("x"))
+      .groupBy("elementary_pid")
+      .agg(array_join(transform(array_sort(collect_list(col("x"))),
+        e => e.getField("frag")), ",").as("services_json"))
+    pmt
+      .join(pidBits, Seq("elementary_pid"), "left")
+      .join(broadcast(pes), Seq("elementary_pid"), "left")
+      .join(broadcast(svc), Seq("elementary_pid"), "left")
+      .crossJoin(broadcast(spanSeconds(pk)))
+      .withColumn("t_in",
+        floor((coalesce(col("bits"), lit(0L)).cast("double") /
+          col("span_s")) / 100.0 + 0.5).cast("long"))
+      .withColumn("extension_type",
+        when(col("stream_type") === 0x06 &&
+          col("services_json").isNotNull, "dvb_subt")
+          .when(col("stream_type").isin(0x01, 0x02, 0x1B, 0x24), "video")
+          .when(col("stream_type").isin(0x03, 0x04, 0x0F, 0x11, 0x81),
+            "audio")
+          .otherwise("bypass"))
+      .select(
+        col("program_number"), col("elementary_pid"), col("stream_type"),
+        format_string(esDocFmt,
+          col("extension_type"),
+          expr("t_in div 10"), pmod(col("t_in"), lit(10L)),
+          expr("t_in div 10"), pmod(col("t_in"), lit(10L)),
+          coalesce(col("n_pes"), lit(0L)),
+          coalesce(col("min_pts"), lit(-1L)),
+          coalesce(col("max_pts"), lit(-1L)),
+          coalesce(col("services_json"), lit(""))).as("doc"))
+      .orderBy(col("elementary_pid"))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts9_program_proc_doc" -> ts9ProgramProcDoc _,
+    "ts10_instance_doc" -> ts10InstanceDoc _,
+    "ts11_es_proc_doc" -> ts11EsProcDoc _,
     "ts7_pes_stats" -> ts7PesStats _,
     "ts1_pid_stats" -> ts1PidStats _,
     "ts2_cc_audit" -> ts2CcAudit _,

@@ -104,6 +104,31 @@ object TsLake {
         "elementary_pid"),
       "pmt_rows")
 
+    // per-section PMT 0x59 subtitling rows (all versions; empty when the
+    // mux carries none — schema still lands for the oracle's left join)
+    save(secs.filter(_.tableId == 0x02)
+      .flatMap { sec =>
+        PsiCodec.decodePmt(sec).toSeq.flatMap { p =>
+          p.es.flatMap { e =>
+            e.descriptors.filter(_.tag == 0x59)
+              .flatMap(_.subtitling.getOrElse(Nil))
+              .map(t =>
+                (sec.pid, sec.tableId, sec.tableIdExtension,
+                  sec.versionNumber, sec.currentNext, sec.sectionNumber,
+                  sec.lastSectionNumber, sec.firstSeq, sec.crcOk,
+                  p.programNumber, e.elementaryPid, t.lang,
+                  t.subtitlingType, t.compositionPageId,
+                  t.ancillaryPageId))
+          }
+        }
+      }
+      .toDF("pid", "table_id", "table_id_extension", "version_number",
+        "current_next", "section_number", "last_section_number",
+        "first_seq", "crc_ok", "program_number", "elementary_pid",
+        "lang", "subtitling_type", "composition_page_id",
+        "ancillary_page_id"),
+      "pmt_es_subtitling")
+
     // per-section decoded SDT services (empty on SDT-less muxes — the
     // dump still carries the schema so the oracle's left join nullfills)
     save(secs.filter(s => s.tableId == 0x42 || s.tableId == 0x46)

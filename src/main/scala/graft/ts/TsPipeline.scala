@@ -171,6 +171,29 @@ object TsPipeline {
         "elementary_pid")
   }
 
+  /** Current-PMT DVB-subtitling rows (0x59 descriptors exploded to one
+    * row per (ES, language) — `es_proc.js` dvb_subt services,
+    * `psi_desc.c:251-392`). */
+  def pmtSubtitling(spark: SparkSession, secs: Dataset[PsiSection])
+      : DataFrame = {
+    import spark.implicits._
+    latestTables(secs)
+      .filter(col("tableId") === 0x02)
+      .as[PsiSection](Encoders.product[PsiSection])
+      .flatMap { sec =>
+        PsiCodec.decodePmt(sec).toSeq.flatMap { p =>
+          p.es.flatMap { e =>
+            e.descriptors.filter(_.tag == 0x59)
+              .flatMap(_.subtitling.getOrElse(Nil))
+              .map(t => (p.programNumber, e.elementaryPid, t.lang,
+                t.subtitlingType, t.compositionPageId, t.ancillaryPageId))
+          }
+        }
+      }
+      .toDF("program_number", "elementary_pid", "lang",
+        "subtitling_type", "composition_page_id", "ancillary_page_id")
+  }
+
   /** Current SDT services. */
   def sdtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
     import spark.implicits._
