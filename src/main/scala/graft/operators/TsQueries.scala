@@ -16,6 +16,22 @@ object TsQueries {
   private def pkts(s: SparkSession) = TsLake.packets(s)
   private def secs(s: SparkSession) = TsLake.sections(s)
 
+  // tiny PSI dimension tables (a handful of rows each) shared by
+  // ts4/ts5/ts6/ts9/ts10/ts11 — winner-version selection runs ONCE per
+  // session (memoized latest-tables relation), not once per query
+  private def latest(s: SparkSession) =
+    memoized(s, "latest") { TsPipeline.latestTables(secs(s)) }
+  private def pat(s: SparkSession) =
+    memoized(s, "pat") { TsPipeline.patFromLatest(s, latest(s)) }
+  private def pmt(s: SparkSession) =
+    memoized(s, "pmt") { TsPipeline.pmtFromLatest(s, latest(s)) }
+  private def sdt(s: SparkSession) =
+    memoized(s, "sdt") { TsPipeline.sdtFromLatest(s, latest(s)) }
+  private def summary(s: SparkSession) =
+    memoized(s, "summary") {
+      TsPipeline.programsSummaryFromTables(pat(s), pmt(s), sdt(s))
+    }
+
   /** F1/F2 + P1: PID histogram of the demuxed stream. */
   def ts1PidStats(s: SparkSession, d: String): DataFrame =
     TsPipeline.pidStats(pkts(s)).orderBy(col("pid"))
@@ -38,17 +54,15 @@ object TsQueries {
 
   /** R3/R4 + P5: the current PAT. */
   def ts4Pat(s: SparkSession, d: String): DataFrame =
-    TsPipeline.patTable(s, secs(s))
-      .orderBy(col("program_number"))
+    pat(s).orderBy(col("program_number"))
 
   /** P6 + J2: current PMT exploded to ES rows. */
   def ts5PmtEs(s: SparkSession, d: String): DataFrame =
-    TsPipeline.pmtTable(s, secs(s))
-      .orderBy(col("program_number"), col("elementary_pid"))
+    pmt(s).orderBy(col("program_number"), col("elementary_pid"))
 
   /** §3.2: the programs-summary join (PAT ⋈ PMT ⋈ SDT). */
   def ts6ProgramsSummary(s: SparkSession, d: String): DataFrame =
-    TsPipeline.programsSummaryFrom(s, secs(s))
+    summary(s)
 
   /** ES layer: PES header parse + PTS/DTS stats (time_stamp_stats). */
   def ts7PesStats(s: SparkSession, d: String): DataFrame =
@@ -111,6 +125,26 @@ object TsQueries {
       "\"time_shift_offset_msec\":0,\"ts_pcr_guard_msec\":200," +
       "\"restamping\":false},\"services\":[%s]}"
 
+  /** Tiny shared sub-relations (1–2 rows each), memoized + cached per
+    * session: ts9/ts10/ts11 all read the PCR span and the per-program
+    * bitrate tenths. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  // NOT computeIfAbsent: builders nest (summary -> pat/pmt/sdt) and a
+  // nested computeIfAbsent on the same map throws "Recursive update" —
+  // a reentrant lock + double-checked get handles the nesting
+  private def memoized(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (s, key)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else memo.synchronized {
+      val again = memo.get(k)
+      if (again != null) again
+      else { val df = build.cache(); memo.put(k, df); df }
+    }
+  }
+
   /** Stream duration (one row: span_s) from the PCR timelines: sane
     * positive deltas (≤1 s; larger = discontinuity, skipped —
     * `ts_enc.c:274+`) summed PER PCR PID, max across PIDs, so a
@@ -129,10 +163,10 @@ object TsQueries {
   /** Per-program avg/peak input bitrate as integer tenths of kbps over
     * PCR-derived seconds (event time from the stream's own 27 MHz
     * timeline — no wall clock). */
-  private def progProcTenths(s: SparkSession): DataFrame = {
+  private def progProcTenths(s: SparkSession): DataFrame =
+    memoized(s, "prog_proc_tenths") {
     val pk = pkts(s).toDF()
-    val pmt = TsPipeline.pmtTable(s, secs(s))
-    val progPids = pmt
+    val progPids = pmt(s)
       .select(col("program_number"),
         explode(array(col("pmt_pid"), col("pcr_pid"),
           col("elementary_pid"))).as("pid"))
@@ -178,11 +212,10 @@ object TsQueries {
     * relations as ts1–ts9. */
   def ts10InstanceDoc(s: SparkSession, d: String): DataFrame = {
     val pk = pkts(s).toDF()
-    val summary = TsPipeline.programsSummaryFrom(s, secs(s))
     def joined(c: org.apache.spark.sql.Column) =
       array_join(transform(array_sort(collect_list(c)),
         e => e.getField("frag")), ",")
-    val progFrags = summary.select(
+    val progFrags = summary(s).select(
         struct(col("program_number"),
           format_string(progFragFmt,
             col("program_number"), col("service_name"),
@@ -217,8 +250,7 @@ object TsQueries {
     * dvb-subtitling service rows. */
   def ts11EsProcDoc(s: SparkSession, d: String): DataFrame = {
     val pk = pkts(s).toDF()
-    val pmt = TsPipeline.pmtTable(s, secs(s))
-    val subs = TsPipeline.pmtSubtitling(s, secs(s))
+    val subs = TsPipeline.pmtSubtitlingFromLatest(s, latest(s))
     val pes = TsPipeline.pesTimestampStats(pkts(s))
       .select(col("pid").as("elementary_pid"), col("n_pes"),
         col("min_pts"), col("max_pts"))
@@ -234,7 +266,7 @@ object TsQueries {
       .groupBy("elementary_pid")
       .agg(array_join(transform(array_sort(collect_list(col("x"))),
         e => e.getField("frag")), ",").as("services_json"))
-    pmt
+    pmt(s)
       .join(pidBits, Seq("elementary_pid"), "left")
       .join(broadcast(pes), Seq("elementary_pid"), "left")
       .join(broadcast(svc), Seq("elementary_pid"), "left")

@@ -144,10 +144,14 @@ object TsPipeline {
 
   /** Current PAT as a dimension DataFrame(program_number, reference_pid).
     */
-  def patTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
-    implicit val enc = Encoders.product[PatRow]
+  def patTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame =
+    patFromLatest(spark, latestTables(secs))
+
+  /** Same, over a precomputed (typically session-cached) winner-version
+    * relation. */
+  def patFromLatest(spark: SparkSession, latest: DataFrame): DataFrame = {
     import spark.implicits._
-    latestTables(secs)
+    latest
       .filter(col("tableId") === 0x00)
       .as[PsiSection](Encoders.product[PsiSection])
       .flatMap(PsiCodec.decodePat _)
@@ -155,9 +159,12 @@ object TsPipeline {
   }
 
   /** Current PMTs: one row per (program, ES). */
-  def pmtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
+  def pmtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame =
+    pmtFromLatest(spark, latestTables(secs))
+
+  def pmtFromLatest(spark: SparkSession, latest: DataFrame): DataFrame = {
     import spark.implicits._
-    latestTables(secs)
+    latest
       .filter(col("tableId") === 0x02)
       .as[PsiSection](Encoders.product[PsiSection])
       .flatMap { sec =>
@@ -175,9 +182,13 @@ object TsPipeline {
     * row per (ES, language) — `es_proc.js` dvb_subt services,
     * `psi_desc.c:251-392`). */
   def pmtSubtitling(spark: SparkSession, secs: Dataset[PsiSection])
+      : DataFrame =
+    pmtSubtitlingFromLatest(spark, latestTables(secs))
+
+  def pmtSubtitlingFromLatest(spark: SparkSession, latest: DataFrame)
       : DataFrame = {
     import spark.implicits._
-    latestTables(secs)
+    latest
       .filter(col("tableId") === 0x02)
       .as[PsiSection](Encoders.product[PsiSection])
       .flatMap { sec =>
@@ -195,9 +206,12 @@ object TsPipeline {
   }
 
   /** Current SDT services. */
-  def sdtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame = {
+  def sdtTable(spark: SparkSession, secs: Dataset[PsiSection]): DataFrame =
+    sdtFromLatest(spark, latestTables(secs))
+
+  def sdtFromLatest(spark: SparkSession, latest: DataFrame): DataFrame = {
     import spark.implicits._
-    latestTables(secs)
+    latest
       .filter(col("tableId") === 0x42)
       .as[PsiSection](Encoders.product[PsiSection])
       .flatMap(PsiCodec.decodeSdt _)
@@ -221,14 +235,24 @@ object TsPipeline {
     * sections relation. */
   def programsSummaryFrom(spark: SparkSession, secs: Dataset[PsiSection])
       : DataFrame = {
-    val pat = patTable(spark, secs).filter(col("program_number") =!= 0)
-    val pmt = pmtTable(spark, secs)
+    val latest = latestTables(secs)
+    programsSummaryFromTables(
+      patFromLatest(spark, latest),
+      pmtFromLatest(spark, latest),
+      sdtFromLatest(spark, latest))
+  }
+
+  /** The summary join itself, over precomputed (typically
+    * session-cached) PAT/PMT/SDT dimension tables. */
+  def programsSummaryFromTables(patT: DataFrame, pmtT: DataFrame,
+      sdtT: DataFrame): DataFrame = {
+    val pat = patT.filter(col("program_number") =!= 0)
+    val pmt = pmtT
       .groupBy("program_number")
       .agg(
         first(col("pcr_pid")).as("pcr_pid"),
         count(lit(1)).as("n_es"))
-    val sdt = sdtTable(spark, secs)
-      .select(col("service_id"), col("service_name"))
+    val sdt = sdtT.select(col("service_id"), col("service_name"))
     pat
       .join(broadcast(sdt),
         col("program_number") === col("service_id"), "left")
