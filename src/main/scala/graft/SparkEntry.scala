@@ -293,6 +293,30 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O'
         |  AND o_totalprice BETWEEN 1000.0 AND 50000.0""",
+    "f10_url_routing" ->
+      """WITH u AS (SELECT event_id,
+        |  CASE CAST(event_id % 4 AS INTEGER)
+        |    WHEN 0 THEN '/stream_procs.json'
+        |    WHEN 1 THEN '/stream_procs/' || CAST(user_id AS VARCHAR)
+        |      || '.json'
+        |    WHEN 2 THEN '/stream_procs/' || CAST(user_id AS VARCHAR)
+        |      || '/program_processors/' || CAST(event_id % 3 AS VARCHAR)
+        |      || '.json'
+        |    ELSE '/bogus/' || CAST(user_id AS VARCHAR) END AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |  CASE WHEN url = '/stream_procs.json' THEN 'list'
+        |    WHEN regexp_matches(url, '^/stream_procs/[0-9]+\.json$')
+        |      THEN 'instance'
+        |    WHEN regexp_matches(url,
+        |      '^/stream_procs/[0-9]+/program_processors/[0-9]+\.json$')
+        |      THEN 'program_proc'
+        |    ELSE 'not_found' END AS route,
+        |  CAST(nullif(regexp_extract(url, '^/stream_procs/([0-9]+)', 1),
+        |    '') AS INTEGER) AS sp_id,
+        |  CAST(nullif(regexp_extract(url, '/program_processors/([0-9]+)',
+        |    1), '') AS INTEGER) AS prog_id
+        |FROM u""",
     "j1_inner_join" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -62,6 +62,43 @@ object Relational {
           col("o_totalprice").between(1000.0, 50000.0))
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
+  /** F10 — URL route dispatch (`main/stream_procs_api_http.c:113-173`,
+    * `mpeg2_sp.c` REST path scheme): classify request paths against the
+    * reference's route table and extract the path parameters
+    * (stream-proc id, program-processor id) — pure codegen'd regexp,
+    * no UDF. URLs are derived deterministically from the events table
+    * so the same relation exists on the oracle side. */
+  def f10UrlRouting(s: SparkSession, d: String): DataFrame = {
+    val uid = col("user_id").cast("string")
+    val url = when(pmod(col("event_id"), lit(4L)) === 0,
+        lit("/stream_procs.json"))
+      .when(pmod(col("event_id"), lit(4L)) === 1,
+        concat(lit("/stream_procs/"), uid, lit(".json")))
+      .when(pmod(col("event_id"), lit(4L)) === 2,
+        concat(lit("/stream_procs/"), uid, lit("/program_processors/"),
+          pmod(col("event_id"), lit(3L)).cast("string"), lit(".json")))
+      .otherwise(concat(lit("/bogus/"), uid))
+    val instPat = "^/stream_procs/([0-9]+)\\.json$"
+    val procPat =
+      "^/stream_procs/([0-9]+)/program_processors/([0-9]+)\\.json$"
+    events(s, d)
+      .select(col("event_id"), url.as("url"))
+      .select(
+        col("event_id"), col("url"),
+        when(col("url") === "/stream_procs.json", "list")
+          .when(col("url").rlike(instPat), "instance")
+          .when(col("url").rlike(procPat), "program_proc")
+          .otherwise("not_found").as("route"),
+        numParam(regexp_extract(col("url"), "^/stream_procs/([0-9]+)", 1))
+          .as("sp_id"),
+        numParam(regexp_extract(col("url"),
+          "/program_processors/([0-9]+)", 1)).as("prog_id"))
+  }
+
+  /** '' (regexp_extract's no-match) → null, else int — ANSI-safe. */
+  private def numParam(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = when(c =!= "", c.cast("int"))
+
   // ------------------------------------------------------------------ joins
   /** J1/J3: 3-way inner equi-join fact⋈fact-dim⋈dim with grouped rollup
     * (reference: PAT⋈PMT⋈SDT program summary, `mpeg2_sp.c:1120-1235`).
@@ -440,6 +477,7 @@ object Relational {
     "f2_in_filter" -> f2InFilter _,
     "f3_like_filter" -> f3LikeFilter _,
     "f4_pred_combo" -> f4PredCombo _,
+    "f10_url_routing" -> f10UrlRouting _,
     "j1_inner_join" -> j1InnerJoin _,
     "j2_left_join_nullfill" -> j2LeftJoinNullFill _,
     "j3_semi_join" -> j3SemiJoin _,
