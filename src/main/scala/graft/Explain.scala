@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val catalog = SparkEntry.queries ++ graft.operators.TextOps.diag ++
+      graft.operators.Similarity.diag
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
@@ -20,7 +22,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catalog(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

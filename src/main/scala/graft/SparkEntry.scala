@@ -756,6 +756,19 @@ object SparkEntry {
           s"CAST(length(s) - length(replace(s, '$digit', '')) AS BIGINT)" +
             s" AS h$k"
         }.mkString(", ") + " FROM hn"),
+    "t12_hash_split" ->
+      """SELECT doc_id,
+        |  CAST((ascii(substr(md5(text), 1, 1))
+        |    + ascii(substr(md5(text), 2, 1)) * 31) % 100 AS INTEGER)
+        |    AS bucket,
+        |  CASE WHEN (ascii(substr(md5(text), 1, 1))
+        |      + ascii(substr(md5(text), 2, 1)) * 31) % 100 < 90
+        |    THEN 'train'
+        |    WHEN (ascii(substr(md5(text), 1, 1))
+        |      + ascii(substr(md5(text), 2, 1)) * 31) % 100 < 95
+        |    THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents""",
     "m3_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
         |SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,

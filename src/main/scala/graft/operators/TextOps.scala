@@ -50,7 +50,10 @@ object TextOps {
 
   /** Quality scoring: stopword ratio, punctuation ratio, token density —
     * the length/punct/stopword heuristics of C4-style filters. */
-  def t3QualityScore(s: SparkSession, d: String): DataFrame = {
+  def t3QualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoreOf(documents(s, d))
+
+  private def qualityScoreOf(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and")
     val toks = split(trim(col("text")), "\\s+")
     val nTok = size(toks).cast("double")
@@ -58,12 +61,31 @@ object TextOps {
       size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double")
     val punctCnt =
       length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
-    documents(s, d)
+    docs
       .select(
         col("doc_id"),
         (stopCnt / nTok).as("stopword_ratio"),
         (punctCnt / length(col("text")).cast("double")).as("punct_ratio"),
         (nTok / length(col("text")).cast("double")).as("token_density"))
+  }
+
+  /** t12 — deterministic hash-based train/val/test split: the
+    * materialization step every training pipeline runs before export.
+    * Bucketing is a pure function of the CONTENT hash (not doc_id), so
+    * re-ingested duplicates land in the same split and the assignment
+    * survives re-partitioning/re-ingestion — no RNG, no state. */
+  def t12HashSplit(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val bucket = pmod(
+      ascii(substring(h, 1, 1)) + ascii(substring(h, 2, 1)) * 31,
+      lit(100)).cast("int")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train")
+          .when(bucket < 95, "val")
+          .otherwise("test").as("split"))
   }
 
   /** Language identification: deterministic marker-word scoring (en/es/fr
@@ -155,17 +177,17 @@ object TextOps {
     * pass shared by the exact (t6) and approximate (t7/t8) near-dup
     * paths and their composites (t10/t11); the per-doc distinct count
     * rides a window over the doc_id shuffle. */
-  /** The per-doc distinct-shingle count rides a broadcast join of the
-    * tiny per-doc aggregate instead of a `Window.partitionBy(doc_id)`:
-    * the window would shuffle the ENTIRE exploded shingle relation just
-    * to annotate it, while the aggregate shuffles map-side-combined
-    * counts only and the big side never moves. */
-  private def shRelation(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleExploded(s, d).cache()
-    ex.join(
-      broadcast(ex.groupBy("doc_id").agg(count(lit(1)).as("n"))),
-      Seq("doc_id"))
-  }
+  /** The shared (doc_id, h1, h2) relation carries NO per-doc count
+    * column: annotating every shingle row with its doc's count costs
+    * either a full-relation window shuffle or a join whose build side
+    * the static planner mis-sizes (the pre-materialization cache
+    * estimate) into a corpus-scaled broadcast. The only consumer of
+    * counts is t6, which derives them itself behind a real Exchange. */
+  private def shRelationOf(docs: DataFrame): DataFrame =
+    shingleExplodedOf(docs).cache()
+
+  private def shRelation(s: SparkSession, d: String): DataFrame =
+    shRelationOf(documents(s, d))
 
   /** Verified LSH near-dup pair set, memoized per (session, dir): t7,
     * t10 and t11 all consume the same pairs — one banded join + verify
@@ -177,17 +199,18 @@ object TextOps {
       (_: (SparkSession, String)) => minHashLshOf(shRelation(s, d)).cache())
 
   def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // carrying n on every row enables the size-ratio prefilter below
-    val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"),
-      col("n"))
-    val sizes = sh.groupBy("doc_id").agg(first(col("n")).as("n"))
+    val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // exactness-preserving input cut: a shingle held by a single doc can
     // never produce a pair, so the self-join only needs the globally
     // duplicated shingles (sizes still come from the FULL counts above);
-    // on mostly-unique corpora this shrinks the join input by ~10×
+    // on mostly-unique corpora this shrinks the join input by ~10×.
+    // n is annotated onto the reduced relation (enables the size-ratio
+    // prefilter inside the self-join) — sizes sit behind an Exchange,
+    // so AQE sizes the annotation join from real stats
     val hot = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
-    val shHot = sh.join(hot, Seq("h"))
+    val shHot = sh.join(hot, Seq("h")).join(sizes, Seq("doc_id"))
     // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
     // so pairs past the 0.5 gate must have sizes within 2× — pruning
     // pair generation inside the shingle join, before the heavy groupBy
@@ -248,16 +271,27 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-jaccard verification of the candidate set against the SAME
-    // cached relation: count matching hashes per pair (candidates are
-    // few, the join fans out only over true shingle matches)
+    // exact-jaccard verification via per-doc shingle-SET arrays: one
+    // bounded row per doc (≤ distinct shingles), candidates join the
+    // sets once and intersect in-task. The alternative — joining pairs
+    // back onto the exploded shingle relation — either broadcasts a
+    // corpus-scaled side (the pre-materialization cache stats
+    // under-estimate it, and AQE cannot demote a broadcast with no
+    // shuffle boundary under the build side: driver OOM at 20×) or
+    // materializes a pair×shingles intermediate (disk blowup). The
+    // array build sits behind its own Exchange, so AQE picks the join
+    // strategy from REAL sizes: broadcast at small SF, shuffle at scale.
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("h1")).as("hs"))
     cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.h1") === col("sb.h1"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).cast("double").as("inter"),
-        first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
+      .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.hs"), col("sb.hs")))
+          .cast("double").as("inter"),
+        size(col("sa.hs")).cast("double").as("na"),
+        size(col("sb.hs")).cast("double").as("nb"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter")))
@@ -326,8 +360,11 @@ object TextOps {
       .select(col("doc_b").as("doc_id"), col("doc_a").as("cand"))
       .groupBy("doc_id")
       .agg(min(col("cand")).as("min_nb"))
+    // the neighbor set scales with the corpus — pin the join to a
+    // shuffle so no plan ever builds a corpus-sized broadcast (the
+    // driver-side broadcast build is what dies first at 20×/100 TB)
     documents(s, d).select(col("doc_id"))
-      .join(neighborMin, Seq("doc_id"), "left")
+      .join(neighborMin.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
@@ -345,10 +382,11 @@ object TextOps {
       .select(col("doc_id"))
     // LSH pair set for the same reason as t10 — this is the query that
     // was corpus-quadratic through t6 and the slowest of the bench sweep
+    // corpus-scaled right side — shuffle, never broadcast (see t10)
     val dupLosers = lshPairs(s, d)
       .select(col("doc_b").as("doc_id"))
       .distinct()
-    q.join(dupLosers, Seq("doc_id"), "left_anti")
+    q.join(dupLosers.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")
   }
 
   /** Sub-plan probes for hotspot profiling (wired into `graft.Profile`
@@ -364,11 +402,25 @@ object TextOps {
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
-      val ex = shingleExplodedOf(reps).cache()
-      val sh = ex.join(
-        broadcast(ex.groupBy("doc_id").agg(count(lit(1)).as("n"))),
-        Seq("doc_id"))
-      minHashLshOf(sh)
+      minHashLshOf(shRelationOf(reps))
+    }),
+    // composed-pipeline scale stress: the full t11 shape (quality filter
+    // + LSH dup removal) on the corpus replicated 20× — the run the
+    // round-1 t6-composed version could not survive
+    "z8_t11_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      val losers = minHashLshOf(shRelationOf(reps))
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      qualityScoreOf(reps)
+        .filter(
+          col("stopword_ratio") <= 0.5 &&
+            col("token_density") >= 0.05 && col("token_density") <= 0.5)
+        .select(col("doc_id"))
+        .join(losers.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")
     }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
@@ -396,5 +448,6 @@ object TextOps {
     "t6_ngram_jaccard" -> t6NgramJaccard _,
     "t7_minhash_lsh" -> t7MinHashLsh _,
     "t8_simhash" -> t8SimHash _,
+    "t12_hash_split" -> t12HashSplit _,
   )
 }
