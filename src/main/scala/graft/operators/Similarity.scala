@@ -27,6 +27,23 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
+  /** Nearest-centroid assignment as a partial-aggregated `max_by`
+    * (ties → lowest centroid id), NOT a `Window.partitionBy(vec_id)`
+    * row_number: the window shuffles the full corpus×K sim relation,
+    * the aggregate map-side-combines K rows per vector before one
+    * corpus-keyed exchange. */
+  private def assignToCentroids(emb: DataFrame, centroids: DataFrame)
+      : DataFrame =
+    emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("centroid_id"),
+          struct(col("sim"), (-col("centroid_id")).as("tie")))
+          .as("centroid_id"))
+
   /** Brute-force exact cosine top-5 neighbors for query vectors
     * (vec_id < 10) against the whole corpus. Query side broadcast. */
   def e1CosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -113,14 +130,7 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("cv"))
     // assignment: nearest centroid per vector (broadcast K centroids)
-    val assigned = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val assigned = assignToCentroids(emb, centroids)
     // queries probe their nprobe closest centroids
     val probes = emb.filter(col("vec_id") < 10)
       .join(broadcast(centroids))
@@ -159,7 +169,12 @@ object Similarity {
       .map(_._2.map(_.toDouble))
     (0 until iters).foreach { _ =>
       val cents = centroids
-      centroids = vecs
+      // per-dimension means via groupBy aggregation, NOT
+      // groupByKey.mapGroups: mapGroups has no map-side combine, so it
+      // would shuffle EVERY vector into k tasks (corpus/k rows through
+      // one task each at scale); posexplode + sum/count partial-
+      // aggregates per (centroid, dim) and only k×dim rows move
+      val sums = vecs
         .mapPartitions { it =>
           it.map { case (_, v) =>
             var best = 0
@@ -174,21 +189,28 @@ object Similarity {
               if (acc < bestD) { bestD = acc; best = c }
               c += 1
             }
-            (best, v.map(_.toDouble), 1L)
+            (best, v)
           }
         }
-        .groupByKey(_._1)
-        .mapGroups { (cid, rows) =>
-          val sum = new Array[Double](64)
-          var n = 0L
-          rows.foreach { case (_, v, c) =>
-            var i = 0
-            while (i < v.length) { sum(i) += v(i); i += 1 }
-            n += c
-          }
-          (cid, sum.map(_ / n))
-        }
-        .collect().sortBy(_._1).map(_._2)
+        .toDF("cid", "v")
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("double")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val dim = centroids.head.length
+      val next = Array.fill(cents.length)(new Array[Double](dim))
+      sums.foreach { r =>
+        val cid = r.getAs[Int]("cid")
+        next(cid)(r.getAs[Int]("pos")) =
+          r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      // empty clusters keep their previous centroid
+      centroids = next.zipWithIndex.map { case (v, i) =>
+        if (v.forall(_ == 0.0) && sums.forall(_.getAs[Int]("cid") != i))
+          cents(i)
+        else v
+      }
     }
     centroids
   }
@@ -204,14 +226,7 @@ object Similarity {
       .map { case (v, i) => (i, v.map(_.toFloat)) }.toSeq
       .toDF("centroid_id", "cv")
     val emb = embeddings(s, d)
-    val assigned = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val assigned = assignToCentroids(emb, centroids)
     val probes = emb.filter(col("vec_id") < 10)
       .join(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
