@@ -67,7 +67,45 @@ object SparkEntry {
   // Spark queries format with the same constant
   private val ts9DocFmt = "{" + graft.operators.TsQueries.procBodyFmt + "}"
 
+  /** The DuckDB cosine identical (op-for-op, so bit-for-bit in IEEE
+    * doubles) to the codegen'd `vec_dot`/`vec_norm` kernels — proven by
+    * the e1 hash match; reused for the full IVF oracle. */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform(range(1, len($b) + 1), " +
+      s"i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"
+
   private def tsOracles: Map[String, String] = Map(
+    // e5's whole pipeline is deterministic (centroids = first 16 corpus
+    // vectors) — assignment, probes and in-list scoring re-derived in SQL
+    "e5_ivf_ann" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |    FROM embeddings WHERE vec_id < 16),
+         |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ${cosSql("e.embedding", "c.cv")} AS sim
+         |    FROM embeddings e CROSS JOIN c),
+         |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+         |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+         |        AS rn
+         |      FROM sims) WHERE rn = 1),
+         |  probes AS (SELECT query_id, q, centroid_id FROM (
+         |      SELECT vec_id AS query_id, embedding AS q, centroid_id,
+         |        row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+         |          AS rn
+         |      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+         |  scored AS (SELECT p.query_id, a.vec_id AS cand_id,
+         |      ${cosSql("p.q", "a.embedding")} AS cosine
+         |    FROM probes p JOIN assigned a USING (centroid_id)
+         |    WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5""",
     "ts1_pid_stats" ->
       s"""SELECT pid, count(*) AS n_packets,
          |  CAST(count(*) * 188 AS BIGINT) AS bytes,
