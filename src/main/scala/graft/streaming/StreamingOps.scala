@@ -145,6 +145,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(
         "pid", "tableId", "versionNumber", "sectionNumber")
 
+  /** Training-corpus continuous ingest (extension t1 as a stream):
+    * exact dedup of a document stream by CONTENT hash with
+    * watermark-bounded state — the first arrival of each content wins,
+    * re-ingested copies inside the watermark horizon are suppressed,
+    * and the dedup state never outgrows the horizon (the same bounded-
+    * state posture as `dedupSections`). The shuffle carries the 16-byte
+    * hash, never the text. Input columns: (doc_id, text, ts). */
+  def dedupDocsStream(docsWithTs: DataFrame): DataFrame =
+    docsWithTs
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** §4 profiling hooks → `observe()`: the reference's distr-loop probe
     * (mean ns/packet per 10 000-packet batch, `mpeg2_sp.c:1385-1418`)
     * becomes streaming metrics riding the query itself — no second pass,
