@@ -746,6 +746,21 @@ object SparkEntry {
         |SELECT label, count(*) AS n, min(nrm) AS min_norm,
         |  max(nrm) AS max_norm
         |FROM e GROUP BY label""",
+    "e7_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |  sc AS (SELECT vec_id, vd,
+        |    127.0 / greatest(list_max(list_transform(vd, x -> abs(x))),
+        |      1e-30) AS scale
+        |  FROM e),
+        |  q AS (SELECT vec_id,
+        |    list_transform(vd, x -> CAST(floor(x * scale + 0.5)
+        |      AS INTEGER)) AS qv
+        |  FROM sc)
+        |SELECT vec_id, list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(len(list_filter(qv, x -> x = 0)) AS INTEGER) AS q_zeros
+        |FROM q""",
     "p9_dual_parse" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_json,

@@ -154,6 +154,25 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** e7 — int8 symmetric quantization of the embedding column (the
+    * vector-compression step of a large-scale ANN index build): per
+    * vector, scale = 127/max|v|, q_i = floor(v_i·scale + 0.5). Reported
+    * stats are integer-only so the cross-engine compare is exact;
+    * floor(x+0.5) instead of round() keeps the half-way rule identical
+    * across engines. Pure higher-order column functions, no UDF. */
+  def e7Quantize(s: SparkSession, d: String): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val mx = greatest(array_max(transform(vd, x => abs(x))), lit(1e-30))
+    val scale = lit(127.0) / mx
+    val q = transform(vd, x => floor(x * scale + lit(0.5)).cast("int"))
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        size(filter(q, x => x === 0)).as("q_zeros"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding corpus: init from
     * the first k vectors (by id), `iters` rounds of distributed assign +
     * per-dimension mean. The model (k×dim doubles) is the one legitimate
@@ -272,5 +291,6 @@ object Similarity {
     "e2_lsh_ann" -> e2LshAnn _,
     "e3_cosine_near_dup" -> e3CosineNearDup _,
     "e4_label_centroid" -> e4LabelCentroidDist _,
+    "e7_quantize" -> e7Quantize _,
   )
 }
