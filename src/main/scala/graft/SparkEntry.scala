@@ -32,6 +32,11 @@ object SparkEntry {
   private val TsDump = graft.ts.TsLake.DumpDir
   private def tsrel(n: String) = s"read_parquet('$TsDump/$n/*.parquet')"
 
+  // Engine-specific artifact dumps (simhash signatures, LSH buckets,
+  // trained centroids, HLL estimates) — same pattern, non-TS queries.
+  private val OpDump = graft.OpLake.DumpDir
+  private def oprel(n: String) = s"read_parquet('$OpDump/$n/*.parquet')"
+
   /** Winner-version CTE chain replicating `TsPipeline.latestTables` over
     * a per-section-entry dump: CRC-ok current tables, complete (all
     * section numbers present), latest by last-section arrival then
@@ -78,34 +83,81 @@ object SparkEntry {
       s"sqrt(list_sum(list_transform(range(1, len($b) + 1), " +
       s"i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"
 
+  /** The IVF pipeline SQL (assignment → probes → in-list scoring →
+    * top-5), parameterized by the coarse-centroid source: e5 derives the
+    * centroids in SQL (first 16 corpus vectors); e6 reads the TRAINED
+    * model from the Verify dump and re-derives everything downstream. */
+  private def ivfSql(centroidSrc: String): String =
+    s"""WITH c AS ($centroidSrc),
+       |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      ${cosSql("e.embedding", "c.cv")} AS sim
+       |    FROM embeddings e CROSS JOIN c),
+       |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+       |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+       |        AS rn
+       |      FROM sims) WHERE rn = 1),
+       |  probes AS (SELECT query_id, q, centroid_id FROM (
+       |      SELECT vec_id AS query_id, embedding AS q, centroid_id,
+       |        row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+       |          AS rn
+       |      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+       |  scored AS (SELECT p.query_id, a.vec_id AS cand_id,
+       |      ${cosSql("p.q", "a.embedding")} AS cosine
+       |    FROM probes p JOIN assigned a USING (centroid_id)
+       |    WHERE p.query_id <> a.vec_id)
+       |SELECT query_id, cand_id, rnk FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored) WHERE rnk <= 5"""
+
   private def tsOracles: Map[String, String] = Map(
     // e5's whole pipeline is deterministic (centroids = first 16 corpus
     // vectors) — assignment, probes and in-list scoring re-derived in SQL
-    "e5_ivf_ann" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |    FROM embeddings WHERE vec_id < 16),
-         |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
-         |      ${cosSql("e.embedding", "c.cv")} AS sim
-         |    FROM embeddings e CROSS JOIN c),
-         |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
-         |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
-         |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
-         |        AS rn
-         |      FROM sims) WHERE rn = 1),
-         |  probes AS (SELECT query_id, q, centroid_id FROM (
-         |      SELECT vec_id AS query_id, embedding AS q, centroid_id,
-         |        row_number() OVER (
-         |          PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
-         |          AS rn
-         |      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
-         |  scored AS (SELECT p.query_id, a.vec_id AS cand_id,
-         |      ${cosSql("p.q", "a.embedding")} AS cosine
-         |    FROM probes p JOIN assigned a USING (centroid_id)
-         |    WHERE p.query_id <> a.vec_id)
-         |SELECT query_id, cand_id, rnk FROM (
-         |  SELECT query_id, cand_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
-         |  FROM scored) WHERE rnk <= 5""",
+    "e5_ivf_ann" -> ivfSql(
+      "SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id < 16"),
+    // e6: the trained k-means model (16 rows) is the dumped artifact;
+    // the whole IVF remainder is re-derived from it in SQL
+    "e6_ivf_kmeans" -> ivfSql(
+      s"SELECT centroid_id, cv FROM ${oprel("kmeans_centroids")}"),
+    // t8: signatures dumped; banding (4×12-bit chunks), hamming
+    // (bit_count of xor), pair dedup and the ≤12 gate re-derived in SQL
+    "t8_simhash" ->
+      s"""WITH s AS (SELECT doc_id, sh FROM ${oprel("simhash_sigs")}),
+         |  ch AS (SELECT doc_id, sh, c, (sh >> (c * 12)) & 4095 AS ckey
+         |    FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+         |  p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |      bit_count(xor(x.sh, y.sh)) AS hamming
+         |    FROM ch x JOIN ch y
+         |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12""",
+    // e2: bucket assignment dumped; same-bucket pair generation + exact
+    // cosine scoring (the e1-proven kernel SQL) re-derived in SQL
+    "e2_lsh_ann" ->
+      s"""WITH b AS (SELECT vec_id, bucket FROM ${oprel("lsh_buckets")}),
+         |  p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |    FROM b x JOIN b y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b FROM p
+         |JOIN embeddings ea ON p.vec_a = ea.vec_id
+         |JOIN embeddings eb ON p.vec_b = eb.vec_id
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.2""",
+    // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
+    // independently re-derived — the contract is checked, not the bits
+    "a7_approx_distinct" ->
+      s"""WITH est AS (SELECT * FROM ${oprel("a7_est")}),
+         |  ex AS (SELECT l_returnflag,
+         |      count(DISTINCT l_partkey) AS exact_parts,
+         |      count(DISTINCT l_suppkey) AS exact_supps
+         |    FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, exact_parts, exact_supps,
+         |  abs(CAST(approx_parts AS DOUBLE) - CAST(exact_parts AS DOUBLE))
+         |    <= 0.15 * CAST(exact_parts AS DOUBLE) AS parts_within_rsd,
+         |  abs(CAST(approx_supps AS DOUBLE) - CAST(exact_supps AS DOUBLE))
+         |    <= 0.15 * CAST(exact_supps AS DOUBLE) AS supps_within_rsd
+         |FROM ex JOIN est USING (l_returnflag)""",
     "ts1_pid_stats" ->
       s"""SELECT pid, count(*) AS n_packets,
          |  CAST(count(*) * 188 AS BIGINT) AS bytes,

@@ -20,6 +20,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] tsdump failed: ${e.getMessage}")
     }
+    // …and the engine-specific artifacts (simhash signatures, LSH
+    // buckets, trained centroids, HLL estimates) their oracles read
+    try OpLake.ensureDumped(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] opdump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -42,6 +48,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SessionMemo.clearAll()
     spark.stop()
   }
 }

@@ -215,15 +215,42 @@ object Relational {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
         countDistinct(col("user_id")).as("uniq_users"))
 
-  /** A-class extension: approximate distinct (HLL) — declared in SURVEY §2.7
-    * as the scalable cardinality path (no DuckDB oracle: estimator differs;
-    * rows-only check). */
-  def a7ApproxDistinct(s: SparkSession, d: String): DataFrame =
+  /** The raw HLL estimates — the engine-specific layer of a7. Verify
+    * dumps this relation to parquet ([[graft.OpLake]]); the oracle reads
+    * the dump and bound-checks it against DuckDB's own exact
+    * count(DISTINCT). Spark's HLL++ is deterministic, so the dump equals
+    * what the a7 query recomputes. */
+  private[graft] def a7Estimates(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+
+  /** A-class extension: approximate distinct (HLL) — the scalable
+    * cardinality path (SURVEY §2.7). Driver-checkable form: exact
+    * distinct counts (independently re-derived by the oracle) plus
+    * "estimate within 3·rsd of exact" flags, where the oracle takes the
+    * estimates from the Verify dump and the exact side from its own
+    * count(DISTINCT) — the estimator's accuracy contract is what gets
+    * hash-matched, not the (engine-specific) estimate bits. rsd = 0.05
+    * (Spark's default), bound = 3·rsd. */
+  def a7ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    def ok(est: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <=
+        lit(0.15) * exact.cast("double")
+    val exact = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    a7Estimates(s, d).join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        ok(col("approx_parts"), col("exact_parts")).as("parts_within_rsd"),
+        ok(col("approx_supps"), col("exact_supps")).as("supps_within_rsd"))
+  }
 
   /** A5: gauge registers — running peak + current (last-by-sequence) value
     * per series (reference: getPeakRSS/getCurrentRSS each second,

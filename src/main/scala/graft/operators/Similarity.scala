@@ -64,10 +64,17 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** The (vec_id, bucket) assignment — the engine-specific layer of e2.
+    * Verify dumps it to parquet ([[graft.OpLake]]); the oracle re-derives
+    * same-bucket pairs + exact cosine from the dump in SQL. */
+  private[graft] def e2Buckets(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      hyperplane_sig(col("embedding"), 12).as("bucket"))
+
   /** Random-hyperplane LSH bucketing + in-bucket exact cosine — the scale
     * path for ANN. 12-bit signatures; same-bucket pairs are scored
-    * exactly, keeping pairs ≥ 0.2 cosine. (Rows-only oracle: bucketing is
-    * engine-specific.) */
+    * exactly, keeping pairs ≥ 0.2 cosine. Oracle: bucket dump + SQL
+    * re-derivation of the pair generation and scoring. */
   def e2LshAnn(s: SparkSession, d: String): DataFrame =
     lshAnnOf(embeddings(s, d))
 
@@ -234,16 +241,26 @@ object Similarity {
     centroids
   }
 
-  /** IVF with TRAINED centroids: k-means model → assignment → probe —
-    * the full coarse-quantization path (rows-only oracle). */
-  def e6IvfKmeans(s: SparkSession, d: String): DataFrame = {
+  /** The trained e6 centroid table (16 × dim floats), memoized per
+    * (session, dir): e6 and the Verify-time dump ([[graft.OpLake]]) must
+    * see the SAME model, and Lloyd's iterations shouldn't re-run per
+    * consumer. Float32 — identical to what the assignment join sees. */
+  private val kmMemo = graft.SessionMemo.forDataFrames()
+  private[graft] def trainedCentroids(s: SparkSession, d: String)
+      : DataFrame = kmMemo(s, d) {
     import s.implicits._
-    val k = 16
-    val nprobe = 4
-    val model = kmeansCentroids(s, d, k, iters = 3)
-    val centroids = model.zipWithIndex
+    kmeansCentroids(s, d, k = 16, iters = 3).zipWithIndex
       .map { case (v, i) => (i, v.map(_.toFloat)) }.toSeq
       .toDF("centroid_id", "cv")
+  }
+
+  /** IVF with TRAINED centroids: k-means model → assignment → probe —
+    * the full coarse-quantization path. Oracle: the trained centroids are
+    * dumped to parquet and the e5 pipeline SQL re-derives assignment /
+    * probe / scoring from them. */
+  def e6IvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 4
+    val centroids = trainedCentroids(s, d)
     val emb = embeddings(s, d)
     val assigned = assignToCentroids(emb, centroids)
     val probes = emb.filter(col("vec_id") < 10)

@@ -191,12 +191,10 @@ object TextOps {
 
   /** Verified LSH near-dup pair set, memoized per (session, dir): t7,
     * t10 and t11 all consume the same pairs — one banded join + verify
-    * per session instead of three. */
-  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshMemo.computeIfAbsent((s, d),
-      (_: (SparkSession, String)) => minHashLshOf(shRelation(s, d)).cache())
+    * per session instead of three. Evicted via [[graft.SessionMemo]]. */
+  private val lshMemo = graft.SessionMemo.forDataFrames()
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshMemo(s, d)(minHashLshOf(shRelation(s, d)).cache())
 
   def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"))
@@ -299,14 +297,21 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Per-doc 48-bit simhash signatures — the engine-specific layer of t8.
+    * Verify dumps this relation to parquet ([[graft.OpLake]]) so the
+    * DuckDB oracle can re-derive the banding + hamming + gate
+    * independently (the TsLake dump-and-recompute pattern). */
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    shRelation(s, d)
+      .groupBy("doc_id")
+      .agg(collect_list(col("h1")).as("hs"))
+      .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))
+
   /** SimHash near-dup: 48-bit simhash over shingle hashes (codegen'd
     * `simhash` kernel, no explode/shuffle for the signature), pairs
     * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
   def t8SimHash(s: SparkSession, d: String): DataFrame = {
-    val sigs = shRelation(s, d)
-      .groupBy("doc_id")
-      .agg(collect_list(col("h1")).as("hs"))
-      .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))
+    val sigs = simhashSigs(s, d)
     val chunks = sigs.select(
       col("doc_id"), col("sh"),
       explode(expr(

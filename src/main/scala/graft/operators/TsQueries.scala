@@ -127,23 +127,11 @@ object TsQueries {
 
   /** Tiny shared sub-relations (1–2 rows each), memoized + cached per
     * session: ts9/ts10/ts11 all read the PCR span and the per-program
-    * bitrate tenths. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  // NOT computeIfAbsent: builders nest (summary -> pat/pmt/sdt) and a
-  // nested computeIfAbsent on the same map throws "Recursive update" —
-  // a reentrant lock + double-checked get handles the nesting
+    * bitrate tenths. Eviction (stopped sessions, clearAll hook) lives in
+    * [[graft.SessionMemo]]. */
+  private val memo = graft.SessionMemo.forDataFrames()
   private def memoized(s: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = {
-    val k = (s, key)
-    val hit = memo.get(k)
-    if (hit != null) hit
-    else memo.synchronized {
-      val again = memo.get(k)
-      if (again != null) again
-      else { val df = build.cache(); memo.put(k, df); df }
-    }
-  }
+      build: => DataFrame): DataFrame = memo(s, key)(build.cache())
 
   /** Stream duration (one row: span_s) from the PCR timelines: sane
     * positive deltas (≤1 s; larger = discontinuity, skipped —

@@ -1,7 +1,5 @@
 package graft.ts
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,18 +19,21 @@ object TsLake {
   /** Fixed absolute dump location — referenced by the oracle SQL text. */
   val DumpDir = "/root/repo/target/tsdump"
 
-  private val cache = new ConcurrentHashMap[
-    SparkSession, (Dataset[TsPacket], Dataset[PsiSection])]()
+  private val cache =
+    new graft.SessionMemo[(Dataset[TsPacket], Dataset[PsiSection])]({
+      case (pk, secs) =>
+        pk.unpersist(blocking = false); secs.unpersist(blocking = false)
+    })
 
   def packets(s: SparkSession): Dataset[TsPacket] = rel(s)._1
   def sections(s: SparkSession): Dataset[PsiSection] = rel(s)._2
 
   private def rel(s: SparkSession) =
-    cache.computeIfAbsent(s, (sess: SparkSession) => {
-      val pk = TsPipeline.packets(sess).cache()
-      val secs = TsPipeline.psiSections(sess, pk).cache()
+    cache(s, "lake") {
+      val pk = TsPipeline.packets(s).cache()
+      val secs = TsPipeline.psiSections(s, pk).cache()
       (pk, secs)
-    })
+    }
 
   @volatile private var dumped = false
 
