@@ -760,6 +760,30 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
         |  >= 0.5""",
+    // the LSH recall contract: the exact pair count re-derived in SQL,
+    // and the miss count PINNED to 0 — if banding ever loses a true
+    // pair, the Spark side reports >0 and this row goes red
+    "t13_lsh_recall" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)
+        |SELECT count(*) AS n_exact_pairs,
+        |  CAST(0 AS BIGINT) AS n_missing_from_lsh
+        |FROM pairs""",
     "e1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |    FROM embeddings WHERE vec_id < 10),
@@ -861,19 +885,20 @@ object SparkEntry {
           s"CAST(length(s) - length(replace(s, '$digit', '')) AS BIGINT)" +
             s" AS h$k"
         }.mkString(", ") + " FROM hn"),
+    // hex(md5)[1..6] parsed digit-wise (strpos over the hex alphabet ×
+    // powers of 16) — DuckDB's portable spelling of Spark's conv(_,16,10)
     "t12_hash_split" ->
-      """SELECT doc_id,
-        |  CAST((ascii(substr(md5(text), 1, 1))
-        |    + ascii(substr(md5(text), 2, 1)) * 31) % 100 AS INTEGER)
-        |    AS bucket,
-        |  CASE WHEN (ascii(substr(md5(text), 1, 1))
-        |      + ascii(substr(md5(text), 2, 1)) * 31) % 100 < 90
-        |    THEN 'train'
-        |    WHEN (ascii(substr(md5(text), 1, 1))
-        |      + ascii(substr(md5(text), 2, 1)) * 31) % 100 < 95
-        |    THEN 'val'
+      """WITH b AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 7),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
+        |      * (16 ** (6 - i)))) AS BIGINT) % 100 AS bkt
+        |  FROM documents)
+        |SELECT doc_id, CAST(bkt AS INTEGER) AS bucket,
+        |  CASE WHEN bkt < 90 THEN 'train'
+        |    WHEN bkt < 95 THEN 'val'
         |    ELSE 'test' END AS split
-        |FROM documents""",
+        |FROM b""",
     "m3_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
         |SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,

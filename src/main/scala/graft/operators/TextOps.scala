@@ -76,9 +76,13 @@ object TextOps {
     * survives re-partitioning/re-ingestion — no RNG, no state. */
   def t12HashSplit(s: SparkSession, d: String): DataFrame = {
     val h = md5(col("text").cast("binary"))
-    val bucket = pmod(
-      ascii(substring(h, 1, 1)) + ascii(substring(h, 2, 1)) * 31,
-      lit(100)).cast("int")
+    // 24 bits of hash (6 hex chars) → near-uniform buckets: 16^6 % 100
+    // leaves a ≤6e-6 relative bias per bucket (the earlier 2-char ascii
+    // derivation had only 256 reachable values — a systematic 90.2/5.5/
+    // 4.3 skew). conv() parses hex; the oracle rebuilds the same integer
+    // digit-wise (DuckDB has no conv).
+    val bucket =
+      (conv(substring(h, 1, 6), 16, 10).cast("long") % 100).cast("int")
     documents(s, d)
       .select(
         col("doc_id"),
@@ -231,15 +235,19 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** MinHash + LSH banded near-dup: 16 permutations via double hashing
-    * (h1 + i·h2), 8 bands of 2; same-band candidates verified with exact
+  /** MinHash + LSH banded near-dup: 24 permutations via double hashing
+    * (h1 + i·h2), 12 bands of 2; same-band candidates verified with exact
     * jaccard over the hash sets (array_intersect on the candidates only —
-    * never the full pair space). */
+    * never the full pair space). 12 bands put per-pair candidate recall
+    * at the jaccard=0.5 gate at 1-(1-0.5²)¹² ≈ 97% (8 bands was ~90%);
+    * actual recall vs the exact pair set is asserted every Verify run by
+    * `t13_lsh_recall`, so a corpus where banding loses a true pair fails
+    * the driver gate loudly instead of silently thinning t7/t10/t11. */
   def t7MinHashLsh(s: SparkSession, d: String): DataFrame =
     lshPairs(s, d)
 
   private def minHashLshOf(sh: DataFrame): DataFrame = {
-    val numHashes = 16
+    val numHashes = 24
     val bandSize = 2
     val numBands = numHashes / bandSize
     // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs, no
@@ -358,8 +366,9 @@ object TextOps {
     // pair set from the bounded LSH path (t7), not the quadratic exact
     // join (t6): candidates are same-band only and get exact-jaccard
     // verified, so at the 0.5 gate the result equals the exact pair set
-    // whenever banding recall is total (verified on this corpus; t6
-    // remains the oracle baseline)
+    // whenever banding recall is total — a property t13_lsh_recall
+    // re-asserts against the oracle on every Verify run (t6 remains the
+    // exact baseline)
     val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
     val neighborMin = pairs
       .select(col("doc_b").as("doc_id"), col("doc_a").as("cand"))
@@ -392,6 +401,21 @@ object TextOps {
       .select(col("doc_b").as("doc_id"))
       .distinct()
     q.join(dupLosers.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")
+  }
+
+  /** t13 — the LSH recall contract as a driver-checkable query: count of
+    * exact (t6) pairs, and how many of them the banded+verified LSH path
+    * (t7) misses. The oracle pins n_missing_from_lsh to 0 — t10/t11
+    * substitute the LSH pair set for the exact one, and this row is what
+    * makes that substitution fail LOUDLY (red correctness row) on any
+    * corpus where banding recall stops being total, rather than silently
+    * dropping duplicate pairs. */
+  def t13LshRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = t6NgramJaccard(s, d).select("doc_a", "doc_b")
+    val lsh = lshPairs(s, d).select("doc_a", "doc_b")
+    val missing = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing_from_lsh")))
   }
 
   /** Sub-plan probes for hotspot profiling (wired into `graft.Profile`
@@ -454,5 +478,6 @@ object TextOps {
     "t7_minhash_lsh" -> t7MinHashLsh _,
     "t8_simhash" -> t8SimHash _,
     "t12_hash_split" -> t12HashSplit _,
+    "t13_lsh_recall" -> t13LshRecall _,
   )
 }

@@ -131,8 +131,12 @@ object TsLake {
       "pmt_es_subtitling")
 
     // per-section decoded SDT services (empty on SDT-less muxes — the
-    // dump still carries the schema so the oracle's left join nullfills)
-    save(secs.filter(s => s.tableId == 0x42 || s.tableId == 0x46)
+    // dump still carries the schema so the oracle's left join nullfills).
+    // SDT-actual (0x42) ONLY — `sdtFromLatest` filters the same way, and
+    // the ts6/ts10 oracles consume this dump unfiltered; dumping
+    // SDT-other (0x46) too would diverge the two sides on any capture
+    // that carries other-mux tables
+    save(secs.filter(s => s.tableId == 0x42)
       .flatMap(sec => PsiCodec.decodeSdt(sec).map(v =>
         (sec.pid, sec.tableId, sec.tableIdExtension, sec.versionNumber,
           sec.currentNext, sec.sectionNumber, sec.lastSectionNumber,
