@@ -302,15 +302,22 @@ object SparkEntry {
          |        program_number, t_avg // 10, t_avg % 10,
          |        t_peak // 10, t_peak % 10, t_avg // 10, t_avg % 10),
          |      ',' ORDER BY program_number), '') AS procs_json FROM br),
+         |  lt AS (SELECT event_type AS code, count(*) AS cnt,
+         |      strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS dt
+         |    FROM events GROUP BY 1),
+         |  lt_json AS (SELECT coalesce(string_agg(
+         |      printf('${graft.operators.TsQueries.logTraceFragFmt}',
+         |        code, 'trace: ' || code, dt, cnt),
+         |      ',' ORDER BY code), '') AS logs_json FROM lt),
          |  tt AS (SELECT CAST(floor((CAST(count(*) * 188 * 8 AS DOUBLE)
          |      / (SELECT span_s FROM span)) / 100.0 + 0.5) AS BIGINT)
          |      AS t_tot FROM pk)
          |SELECT 'mpeg2_sp-0' AS id_str,
          |  printf('${graft.operators.TsQueries.instanceDocFmt}',
-         |    t_tot // 10, t_tot % 10,
+         |    t_tot // 10, t_tot % 10, logs_json,
          |    '${graft.ts.TsPipeline.DefaultCapture}',
          |    programs_json, procs_json) AS doc
-         |FROM tt, progs_json, procs_json""",
+         |FROM tt, progs_json, procs_json, lt_json""",
     "ts11_es_proc_doc" ->
       s"""WITH ${winCte(tsrel("pmt_rows"), "m")},
          |  subs_win AS (SELECT s.*
@@ -489,6 +496,26 @@ object SparkEntry {
         |  to_json(list(struct_pack(m := m, n := n) ORDER BY m DESC)[1:60])
         |    AS series
         |FROM per_min GROUP BY event_type""",
+    // composed flot stats doc: same shared format constants as the Spark
+    // side; x = newest-minute rank, emitted descending (oldest first)
+    "ts12_stats_doc" ->
+      s"""WITH per_min AS (SELECT event_type,
+         |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS m,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |  ranked AS (SELECT event_type, n, row_number() OVER (
+         |      PARTITION BY event_type ORDER BY m DESC) - 1 AS x
+         |    FROM per_min),
+         |  ser AS (SELECT event_type, string_agg(
+         |      printf('${graft.operators.Relational.statsXyFmt}', x, n),
+         |      ',' ORDER BY x DESC) AS data_json
+         |    FROM ranked WHERE x < 60 GROUP BY 1),
+         |  f AS (SELECT count(*) AS n_types, string_agg(
+         |      printf('${graft.operators.Relational.statsSeriesFragFmt}',
+         |        event_type, data_json),
+         |      ',' ORDER BY event_type) AS stats_json FROM ser)
+         |SELECT printf('${graft.operators.Relational.statsDocFmt}',
+         |  n_types, stats_json) AS doc FROM f""",
     "t10_dedup_resolve" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

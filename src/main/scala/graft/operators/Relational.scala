@@ -291,6 +291,50 @@ object Relational {
           sort_array(collect_list(struct(col("m"), col("n"))), asc = false),
           1, 60)).as("series"))
 
+  /** Shared printf/format_string templates for the composed flot stats
+    * document — the oracle SQL interpolates the SAME constants, so the
+    * JSON text is definitionally identical on both sides. */
+  private[graft] val statsXyFmt = "[%d,%d]"
+  private[graft] val statsSeriesFragFmt = "{\"label\":\"%s\",\"data\":[%s]}"
+  private[graft] val statsDocFmt =
+    "{\"cpu_number\":%d,\"time_window\":60,\"cpu_stats\":[%s]}"
+
+  /** §2.12 the composed flot stats document (`GET /stats/cpu_stats.json`
+    * shape, `stats/src/stats.c:232-267`): one JSON doc with the series
+    * count, the 60-slot window, and per-series `{label, data:[[x,y]…]}`
+    * arrays — x runs newest=0, emitted descending exactly like the
+    * reference's `for(j=WINDOW-1; j>=0; j--)` loop. Series = per-minute
+    * event counts per type (the a8 newest-60 shape); all-integer
+    * rendering so the cross-engine compare is exact. */
+  def ts12StatsDoc(s: SparkSession, d: String): DataFrame = {
+    val perMin = events(s, d)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("m"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("m").desc)
+    val ser = perMin
+      .withColumn("x", row_number().over(w) - 1)
+      .filter(col("x") < 60)
+      .groupBy("event_type")
+      .agg(array_join(
+        transform(
+          reverse(array_sort(collect_list(struct(col("x"),
+            format_string(statsXyFmt, col("x"), col("n")).as("frag"))))),
+          e => e.getField("frag")), ",").as("data_json"))
+    ser
+      .select(struct(col("event_type"),
+        format_string(statsSeriesFragFmt, col("event_type"),
+          col("data_json")).as("frag")).as("x"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        array_join(transform(array_sort(collect_list(col("x"))),
+          e => e.getField("frag")), ",").as("stats_json"))
+      .select(format_string(statsDocFmt, col("n_types"), col("stats_json"))
+        .as("doc"))
+  }
+
   // --------------------------------------------------- window functions (W)
   /** W2: latest/best-per-key via row_number (reference: latest-version table
     * state, `psi_proc.c:361-390`). */
@@ -519,6 +563,7 @@ object Relational {
     "a7_approx_distinct" -> a7ApproxDistinct _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
+    "ts12_stats_doc" -> ts12StatsDoc _,
     "w6_asof_join" -> AsOf.w6AsofJoin _,
     "w1_row_number" -> w1RowNumber _,
     "w2_rank" -> w2Rank _,

@@ -108,11 +108,16 @@ object TsQueries {
     "{\"program_number\":%d," + procBodyFmt + "}"
   private[graft] val instanceDocFmt =
     "{\"id_str\":\"mpeg2_sp-0\",\"input_bitrate\":%d.%d," +
-      "\"log_traces\":[],\"settings\":{\"tag\":\"\"," +
+      "\"log_traces\":[%s],\"settings\":{\"tag\":\"\"," +
       "\"input_url\":\"%s\",\"flag_clear_logs\":false," +
       "\"flag_purge_disassociated_processors\":false}," +
       "\"programs\":[%s],\"program_processors\":[%s]," +
       "\"links\":[{\"rel\":\"self\",\"href\":\"mpeg2_sp-0.json\"}]}"
+  /** One deduplicated log-register row (`mpeg2_sp.c:961-991`:
+    * code/desc/date/counter per distinct trace). */
+  private[graft] val logTraceFragFmt =
+    "{\"log_trace_code\":\"%s\",\"log_trace_desc\":\"%s\"," +
+      "\"log_trace_date\":\"%s\",\"log_trace_counter\":%d}"
   private[graft] val svcFragFmt =
     "{\"lang\":\"%s\",\"subtitling_type\":%d," +
       "\"composition_page_id\":%d,\"ancillary_page_id\":%d}"
@@ -219,15 +224,30 @@ object TsQueries {
             expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)))
             .as("frag")).as("x"))
       .agg(joined(col("x")).as("procs_json"))
+    // the deduplicated log register (A6/k4 shape) composed into the
+    // document — the reference walks its log_get() register the same way
+    // (`mpeg2_sp.c:961-991`); the register source here is the events
+    // table, collapsed to (code, last-seen, count) per distinct trace
+    val logFrags = graft.Tables.events(s, d)
+      .groupBy(col("event_type").as("code"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("dt"))
+      .select(struct(col("code"),
+        format_string(logTraceFragFmt,
+          col("code"), concat(lit("trace: "), col("code")),
+          col("dt"), col("cnt")).as("frag")).as("x"))
+      .agg(joined(col("x")).as("logs_json"))
     val total = pk.agg(count(lit(1)).as("n"))
       .crossJoin(spanSeconds(pk))
       .select(floor(((col("n") * 188 * 8).cast("double") / col("span_s"))
         / 100.0 + 0.5).cast("long").as("t_tot"))
-    total.crossJoin(progFrags).crossJoin(procFrags)
+    total.crossJoin(progFrags).crossJoin(procFrags).crossJoin(logFrags)
       .select(
         lit("mpeg2_sp-0").as("id_str"),
         format_string(instanceDocFmt,
           expr("t_tot div 10"), pmod(col("t_tot"), lit(10L)),
+          col("logs_json"),
           lit(TsPipeline.DefaultCapture),
           col("programs_json"), col("procs_json")).as("doc"))
   }
