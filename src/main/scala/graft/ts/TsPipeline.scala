@@ -70,18 +70,38 @@ object TsPipeline {
       decoded.flatMap(_.left.toOption).toDS())
   }
 
-  /** R2 as a batch operator: shuffle by PID, order by seq within the
-    * group, run the assembler state machine. Callers route PSI PIDs only
-    * (F2) — PES payloads on ES PIDs are not sections. */
+  /** R2 as a batch operator: shuffle by PID, sort (pid, seq) within
+    * partitions, stream each pid-run through the assembler state machine.
+    *
+    * Deliberately NOT `groupByKey.flatMapGroups` + in-task sort: that
+    * buffers the whole per-PID group in one task's heap, which is fine
+    * for PSI PIDs but would OOM an executor if a caller ever routed a
+    * hot ES PID (~90% of a mux) through it. Here the ordering comes from
+    * Spark's external (spilling) sort and the assembler holds only its
+    * ≤4 KiB section buffer, so memory stays constant per task no matter
+    * which PIDs arrive — misuse degrades to wasted CPU, not an OOM. */
   def sections(pkts: Dataset[TsPacket]): Dataset[PsiSection] = {
     import pkts.sparkSession.implicits._
     pkts
-      .groupByKey(_.pid)
-      .flatMapGroups { (pid, it) =>
-        // groups fit in memory for PSI PIDs (sections are ≤4 KiB and
-        // PSI traffic is a tiny fraction of the mux)
-        SectionAssembler.assemble(pid,
-          it.toArray.sortBy(_.seq).iterator)
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("seq"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        // lazily chunk the sorted partition into same-pid runs; each
+        // run's packets are pulled one at a time by the assembler
+        // (Iterator.flatten drains an inner iterator fully before
+        // advancing, so run boundaries are respected)
+        new Iterator[Iterator[PsiSection]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[PsiSection] = {
+            val pid = buf.head.pid
+            val run = new Iterator[TsPacket] {
+              def hasNext: Boolean = buf.hasNext && buf.head.pid == pid
+              def next(): TsPacket = buf.next()
+            }
+            SectionAssembler.assemble(pid, run)
+          }
+        }.flatten
       }
   }
 

@@ -63,6 +63,21 @@ class CaptureE2ESpec extends SparkSuite {
     assert(r.getAs[Long]("n_es") == 2L)
   }
 
+  test("sections on the FULL mux (hot ES PIDs included) stays bounded " +
+    "and agrees with the PSI-routed path on PSI PIDs") {
+    // misuse case the operator must survive: no PSI routing — the two hot
+    // ES PIDs (14 331 of 15 029 packets) flow through the assembler too.
+    // The sort-within-partitions + streaming-run design makes this
+    // wasted CPU, not an executor OOM; PES payloads mostly fail to frame
+    // as sections, and whatever does frame must not pollute PSI PIDs.
+    val full = TsPipeline.sections(pkts).collect()
+    val psiOnly = TsPipeline.psiSections(spark, pkts).collect()
+    def key(s: PsiSection) =
+      (s.pid, s.tableId, s.versionNumber, s.sectionNumber, s.firstSeq)
+    assert(full.filter(s => s.pid == 0 || s.pid == 66).map(key).sorted
+      .sameElements(psiOnly.map(key).sorted))
+  }
+
   test("version churn: a new PAT version supersedes the old one") {
     import spark.implicits._
     // synthesize: 2 sections of v1, then v2 arrives → latest = v2
