@@ -318,6 +318,40 @@ object SparkEntry {
          |    '${graft.ts.TsPipeline.DefaultCapture}',
          |    programs_json, procs_json) AS doc
          |FROM tt, progs_json, procs_json, lt_json""",
+    // ts14: per-PID sane-delta PCR spans, max across PIDs, per-second
+    // bucketing and tenths rendering re-derived from the fixture dump
+    "ts14_mpts_bitrate" ->
+      s"""WITH pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
+         |      PARTITION BY pid ORDER BY seq) AS delta
+         |    FROM ${tsrel("mpts_packets")} WHERE pcr IS NOT NULL),
+         |  span AS (SELECT max(sm) / 27000000.0 AS span_s FROM (
+         |    SELECT pid, sum(delta) AS sm FROM pcrs
+         |    WHERE delta > 0 AND delta <= 27000000 GROUP BY pid)),
+         |  pk AS (SELECT seq, pid FROM ${tsrel("mpts_packets")}),
+         |  tot AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+         |    min(seq) AS seq0 FROM pk),
+         |  prog_pids AS (SELECT DISTINCT program_number, pid FROM (
+         |    SELECT program_number,
+         |      unnest([pmt_pid, pcr_pid, elementary_pid]) AS pid
+         |    FROM ${tsrel("mpts_pmt")})),
+         |  persec AS (SELECT program_number,
+         |      floor((pk.seq - tot.seq0) * span.span_s / tot.total) AS sec,
+         |      count(*) * 188 * 8 AS bits
+         |    FROM pk JOIN prog_pids USING (pid)
+         |    CROSS JOIN span CROSS JOIN tot
+         |    GROUP BY 1, 2),
+         |  br AS (SELECT program_number,
+         |      CAST(floor((CAST(sum(bits) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE)) / 100.0 + 0.5) AS BIGINT)
+         |        AS t_avg,
+         |      CAST(floor(CAST(max(bits) AS DOUBLE) / 100.0 + 0.5)
+         |        AS BIGINT) AS t_peak
+         |    FROM persec GROUP BY 1)
+         |SELECT program_number,
+         |  printf('%d.%d', t_avg // 10, t_avg % 10) AS input_bitrate,
+         |  printf('%d.%d', t_peak // 10, t_peak % 10)
+         |    AS input_bitrate_peak
+         |FROM br""",
     "ts11_es_proc_doc" ->
       s"""WITH ${winCte(tsrel("pmt_rows"), "m")},
          |  subs_win AS (SELECT s.*

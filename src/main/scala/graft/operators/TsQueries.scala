@@ -155,11 +155,10 @@ object TsQueries {
 
   /** Per-program avg/peak input bitrate as integer tenths of kbps over
     * PCR-derived seconds (event time from the stream's own 27 MHz
-    * timeline — no wall clock). */
-  private def progProcTenths(s: SparkSession): DataFrame =
-    memoized(s, "prog_proc_tenths") {
-    val pk = pkts(s).toDF()
-    val progPids = pmt(s)
+    * timeline — no wall clock), over any (packets, PMT) pair. */
+  private def progProcTenthsOf(pk: DataFrame, pmtT: DataFrame)
+      : DataFrame = {
+    val progPids = pmtT
       .select(col("program_number"),
         explode(array(col("pmt_pid"), col("pcr_pid"),
           col("elementary_pid"))).as("pid"))
@@ -182,6 +181,11 @@ object TsQueries {
         floor(max(col("bits")).cast("double") / 100.0 + 0.5)
           .cast("long").as("t_peak"))
   }
+
+  private def progProcTenths(s: SparkSession): DataFrame =
+    memoized(s, "prog_proc_tenths") {
+      progProcTenthsOf(pkts(s).toDF(), pmt(s))
+    }
 
   /** §2.12 program-processor detail document (UI shape
     * `program_proc.js:82-93`): per program, input bitrate + running peak
@@ -302,6 +306,35 @@ object TsQueries {
       .orderBy(col("elementary_pid"))
   }
 
+  /** The MPTS fixture's decoded relations, memoized per session: packet
+    * layer + the PMT dimension derived through the full PSI pipeline
+    * (Verify dumps both so the ts14 oracle re-derives the bitrate math
+    * independently). */
+  private[graft] def mptsPackets(s: SparkSession): DataFrame =
+    memoized(s, "mpts_pk") { graft.ts.Fixtures.mptsWithPcr(s).toDF() }
+  private[graft] def mptsPmt(s: SparkSession): DataFrame =
+    memoized(s, "mpts_pmt") {
+      TsPipeline.pmtTable(s,
+        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+    }
+
+  /** A1 on a MULTI-timeline mux: per-program avg/peak bitrate where the
+    * stream duration is the max of per-PCR-PID sane-delta sums — two
+    * independent PCR timelines (one with a discontinuity jump, one PID
+    * with no PCR at all) exercise the span semantic (`ts_enc.c:274+`)
+    * that the single-program capture can't. */
+  def ts14MptsBitrate(s: SparkSession, d: String): DataFrame =
+    progProcTenthsOf(mptsPackets(s), mptsPmt(s))
+      .select(
+        col("program_number"),
+        format_string("%d.%d",
+          expr("t_avg div 10"), pmod(col("t_avg"), lit(10L)))
+          .as("input_bitrate"),
+        format_string("%d.%d",
+          expr("t_peak div 10"), pmod(col("t_peak"), lit(10L)))
+          .as("input_bitrate_peak"))
+      .orderBy(col("program_number"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts9_program_proc_doc" -> ts9ProgramProcDoc _,
@@ -314,5 +347,6 @@ object TsQueries {
     "ts4_pat" -> ts4Pat _,
     "ts5_pmt_es" -> ts5PmtEs _,
     "ts6_programs_summary" -> ts6ProgramsSummary _,
+    "ts14_mpts_bitrate" -> ts14MptsBitrate _,
   )
 }

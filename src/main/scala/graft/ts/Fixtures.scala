@@ -88,6 +88,10 @@ object Fixtures {
   def mpts(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[TsPacket] = {
     import spark.implicits._
+    mptsPackets.toDS()
+  }
+
+  private def mptsPackets: Seq[TsPacket] = {
     val programs = Seq(
       (1, 0x100, 0x101, Seq((0x1B, 0x101), (0x03, 0x102))), // video+audio
       (2, 0x200, 0x201, Seq((0x1B, 0x201))),
@@ -126,6 +130,58 @@ object Fixtures {
         pkts ++= sectionToPackets(pid, sec, { seq += 10; seq }, cc)
       }
     }
-    pkts.toSeq.toDS()
+    pkts.toSeq
+  }
+
+  /** The MPTS plus PCR + ES traffic on TWO independent program
+    * timelines — the shape that exercises the per-PID-span,
+    * max-across-PIDs bitrate semantic (`ts_enc.c:274+`) that the
+    * single-program capture can't:
+    *
+    *  - program 1 (PCR PID 0x101): 0.5 s cadence, 2.0 s sane span;
+    *  - program 2 (PCR PID 0x201): its own offset timeline with one
+    *    2 s discontinuity jump (> 1 s ⇒ skipped) and one exactly-1 s
+    *    delta (boundary: included) — 3.0 s sane span, the mux winner;
+    *  - program 3: no PCR at all (must still get a bitrate row);
+    *  - deterministic round-robin ES payload traffic on all five ES
+    *    PIDs so per-second buckets see a stable mix.
+    */
+  def mptsWithPcr(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[TsPacket] = {
+    import spark.implicits._
+    val out = ArrayBuffer(mptsPackets: _*)
+    var seq = out.map(_.seq).max
+    val cc = scala.collection.mutable.Map.empty[Int, Int]
+    def pcrPkt(pid: Int, pcr: Long): TsPacket = {
+      seq += 1
+      val af = AdaptationField(183, discontinuity = false,
+        randomAccess = false, esPriority = false, pcr = Some(pcr),
+        opcr = None, spliceCountdown = None, privateData = false,
+        extension = false, Array.emptyByteArray)
+      TsPacket(seq, pid, tei = false, pusi = false, priority = false,
+        scrambling = 0, hasAf = true, hasPayload = false,
+        cc = cc.getOrElse(pid, 0), af = Some(af), Array.emptyByteArray)
+    }
+    def esPkt(pid: Int): TsPacket = {
+      seq += 1
+      val c = cc.getOrElse(pid, 0)
+      cc(pid) = c + 1 // CC advances on payload packets only
+      TsPacket(seq, pid, tei = false, pusi = false, priority = false,
+        scrambling = 0, hasAf = false, hasPayload = true, cc = c & 0xF,
+        af = None, Array.tabulate[Byte](184)(i => ((i + pid) & 0xFF).toByte))
+    }
+    val p1Pcrs = Seq(0L, 13500000L, 27000000L, 40500000L, 54000000L)
+    val p2Pcrs = Seq(270000000L, 283500000L, 297000000L, 310500000L,
+      364500000L, 378000000L, 405000000L)
+    (0 until 10).foreach { round =>
+      Seq.fill(6)(0x101).foreach(p => out += esPkt(p))
+      Seq.fill(3)(0x102).foreach(p => out += esPkt(p))
+      Seq.fill(4)(0x201).foreach(p => out += esPkt(p))
+      Seq.fill(2)(0x301).foreach(p => out += esPkt(p))
+      out += esPkt(0x302)
+      if (round < p1Pcrs.length) out += pcrPkt(0x101, p1Pcrs(round))
+      if (round < p2Pcrs.length) out += pcrPkt(0x201, p2Pcrs(round))
+    }
+    out.toSeq.toDS()
   }
 }

@@ -155,5 +155,16 @@ object TsLake {
         (p.pid, h.streamId, h.pts, h.dts)))
       .toDF("pid", "stream_id", "pts", "dts"),
       "pes")
+
+    // the 2-PCR-timeline MPTS fixture, decoded layers only: the ts14
+    // oracle re-derives the per-PID-span / max-across-PIDs bitrate math
+    // from these (the capture can't exercise it — single program)
+    save(graft.operators.TsQueries.mptsPackets(s)
+      .select(col("seq"), col("pid"), col("af.pcr").as("pcr")),
+      "mpts_packets")
+    save(graft.operators.TsQueries.mptsPmt(s)
+      .select(col("program_number"), col("pmt_pid"), col("pcr_pid"),
+        col("elementary_pid")),
+      "mpts_pmt")
   }
 }

@@ -37,6 +37,27 @@ class MptsSpec extends SparkSuite {
     }
   }
 
+  test("ts14: two PCR timelines -> max-span bitrate, PCR-less program " +
+    "still reported") {
+    val rows = graft.operators.TsQueries.ts14MptsBitrate(spark, "")
+      .collect()
+      .map(r => (r.getAs[Int]("program_number"),
+        r.getAs[String]("input_bitrate"),
+        r.getAs[String]("input_bitrate_peak")))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3)) // incl. PCR-less prog 3
+    val fmt = """\d+\.\d""".r
+    rows.foreach { case (_, a, p) =>
+      assert(fmt.matches(a) && fmt.matches(p), s"bad tenths: $a / $p")
+    }
+    // program 2's sane-delta span (3.0 s: 4×0.5 s + one boundary 1.0 s,
+    // the 2 s jump skipped) wins over program 1's 2.0 s. Program 1
+    // (~97 pkts ≈ 146 kbit) spread over the 3.0 s-scaled second buckets
+    // lands near 29 kbps; under a (wrong) 2.0 s span the same bits fall
+    // into 2/3 as many buckets ⇒ ~44 kbps — the band separates the two.
+    val p1avg = rows.head._2.toDouble
+    assert(p1avg > 22 && p1avg < 37, s"p1 avg=$p1avg (span wrong?)")
+  }
+
   test("repeated sections converge to one row per entity") {
     // every section was sent twice; state must still be single-valued
     val secs = TsPipeline.psiSections(spark, Fixtures.mpts(spark))
