@@ -448,6 +448,40 @@ object SparkEntry {
         |  CAST(nullif(regexp_extract(url, '/program_processors/([0-9]+)',
         |    1), '') AS INTEGER) AS prog_id
         |FROM u""",
+    // the (method, end_code) -> (code, status) translation table inlined
+    // as a VALUES dimension; envelope via the shared format constant
+    "f11_status_envelope" ->
+      s"""WITH dim(method, end_code, http_code, status) AS (VALUES
+        |  ('GET', 'success', 200, 'OK'),
+        |  ('POST', 'success', 201, 'Created'),
+        |  ('PUT', 'success', 200, 'OK'),
+        |  ('DELETE', 'success', 200, 'OK'),
+        |  ('GET', 'enotfound', 404, 'Not Found'),
+        |  ('POST', 'enotfound', 404, 'Not Found'),
+        |  ('PUT', 'enotfound', 204, 'No Content'),
+        |  ('DELETE', 'enotfound', 404, 'Not Found'),
+        |  ('GET', 'notmodified', 304, 'Not Modified'),
+        |  ('POST', 'notmodified', 409, 'Conflict'),
+        |  ('PUT', 'notmodified', 204, 'No Content'),
+        |  ('DELETE', 'notmodified', 404, 'Not Found'),
+        |  ('GET', 'eagain', 304, 'Not Modified'),
+        |  ('POST', 'eagain', 409, 'Conflict'),
+        |  ('PUT', 'eagain', 204, 'No Content'),
+        |  ('DELETE', 'eagain', 404, 'Not Found'),
+        |  ('GET', 'error', 404, 'Not Found'),
+        |  ('POST', 'error', 404, 'Not Found'),
+        |  ('PUT', 'error', 404, 'Not Found'),
+        |  ('DELETE', 'error', 404, 'Not Found')),
+        |u AS (SELECT event_id,
+        |    ['GET', 'POST', 'PUT', 'DELETE'][
+        |      CAST(event_id % 4 AS INTEGER) + 1] AS method,
+        |    ['success', 'enotfound', 'notmodified', 'eagain', 'error'][
+        |      CAST(user_id % 5 AS INTEGER) + 1] AS end_code
+        |  FROM events)
+        |SELECT u.event_id, u.method, u.end_code, d.http_code,
+        |  printf('${graft.operators.Relational.envelopeFmt}',
+        |    d.http_code, d.status, u.end_code) AS envelope
+        |FROM u JOIN dim d USING (method, end_code)""",
     "j1_inner_join" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

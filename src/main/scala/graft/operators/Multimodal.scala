@@ -40,15 +40,33 @@ object Multimodal {
         col("doc_id"), col("format"), col("n_bytes"),
         md5(col("media")).as("content_hash"))
 
-  /** m2 — STUB feature extraction over batched partitions: a 16-bin
-    * high-nibble byte histogram as the stand-in for a real image/audio
-    * embedding (`???` point: swap `extractFeatures` for a codec-backed
-    * implementation; everything around it — typed batch iteration,
-    * schema, partition parallelism — is production-shaped). The feature
-    * vector is projected to 16 scalar BIGINT columns h0..h15 so any
-    * downstream comparator/sink sees flat hashable columns, not an
-    * opaque array. */
-  def m2FeatureExtract(s: SparkSession, d: String): DataFrame = {
+  /** m2 — 16-bin high-nibble byte histogram, entirely in whole-stage
+    * codegen: hex() renders 2 chars per byte, dropping every second char
+    * leaves exactly the high nibbles, and per-digit char counts are the
+    * bins — the same derivation the DuckDB oracle runs. A histogram
+    * doesn't need a batch UDF; the batch-UDF extension point for a REAL
+    * codec lives in [[m2FeatureExtractBatch]]. Bins are 16 flat BIGINT
+    * columns h0..h15 so any comparator/sink sees hashable scalars. */
+  def m2FeatureExtract(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"),
+        regexp_replace(hex(col("media")), "(.).", "$1").as("hn"))
+      .select(
+        col("doc_id") +:
+          (0 until 16).map { k =>
+            val digit = f"$k%X"
+            expr(s"cast(length(hn) - length(replace(hn, '$digit', ''))" +
+              s" as bigint)").as(s"h$k")
+          }: _*)
+
+  /** The batch-UDF slot for a codec-backed extractor: typed per-partition
+    * iteration (the Scala analog of a `mapInPandas` batch UDF) with the
+    * same (doc_id, h0..h15) contract as m2. STUB: `extractFeatures` is a
+    * deterministic fake decode — swap it for a real image/audio codec;
+    * the plumbing (schema, batch iteration, partition parallelism) is
+    * the production shape and is spec-tested equal to the expression
+    * path. */
+  def m2FeatureExtractBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wide = media(s, d)
       .select(col("doc_id"), col("media"))

@@ -99,6 +99,58 @@ object Relational {
   private def numParam(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = when(c =!= "", c.cast("int"))
 
+  /** The REST response envelope (`stream_procs_api_http.c:52`). */
+  private[graft] val envelopeFmt =
+    "{\"code\":%d,\"status\":\"%s\",\"message\":\"%s\",\"data\":null}"
+
+  /** §2.12 HTTP status mapping as data
+    * (`stream_procs_api_http.c:230-291`): the (method, end_code) →
+    * (http code, status) translation table is a 20-row broadcast
+    * dimension — a join, not control flow — and each request gets the
+    * `{"code","status","message","data"}` envelope rendered through the
+    * shared format constant. Requests synthesized deterministically
+    * from events, like f10's URL dispatch. */
+  def f11StatusEnvelope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("GET", "success", 200, "OK"),
+      ("POST", "success", 201, "Created"),
+      ("PUT", "success", 200, "OK"),
+      ("DELETE", "success", 200, "OK"),
+      ("GET", "enotfound", 404, "Not Found"),
+      ("POST", "enotfound", 404, "Not Found"),
+      ("PUT", "enotfound", 204, "No Content"),
+      ("DELETE", "enotfound", 404, "Not Found"),
+      ("GET", "notmodified", 304, "Not Modified"),
+      ("POST", "notmodified", 409, "Conflict"),
+      ("PUT", "notmodified", 204, "No Content"),
+      ("DELETE", "notmodified", 404, "Not Found"),
+      ("GET", "eagain", 304, "Not Modified"),
+      ("POST", "eagain", 409, "Conflict"),
+      ("PUT", "eagain", 204, "No Content"),
+      ("DELETE", "eagain", 404, "Not Found"),
+      ("GET", "error", 404, "Not Found"),
+      ("POST", "error", 404, "Not Found"),
+      ("PUT", "error", 404, "Not Found"),
+      ("DELETE", "error", 404, "Not Found"))
+      .toDF("method", "end_code", "http_code", "status")
+    val methods = array(Seq("GET", "POST", "PUT", "DELETE").map(lit): _*)
+    val codes = array(Seq("success", "enotfound", "notmodified", "eagain",
+      "error").map(lit): _*)
+    events(s, d)
+      .select(
+        col("event_id"),
+        element_at(methods,
+          (pmod(col("event_id"), lit(4L)) + 1).cast("int")).as("method"),
+        element_at(codes,
+          (pmod(col("user_id"), lit(5L)) + 1).cast("int")).as("end_code"))
+      .join(broadcast(dim), Seq("method", "end_code"))
+      .select(
+        col("event_id"), col("method"), col("end_code"), col("http_code"),
+        format_string(envelopeFmt,
+          col("http_code"), col("status"), col("end_code")).as("envelope"))
+  }
+
   // ------------------------------------------------------------------ joins
   /** J1/J3: 3-way inner equi-join fact⋈fact-dim⋈dim with grouped rollup
     * (reference: PAT⋈PMT⋈SDT program summary, `mpeg2_sp.c:1120-1235`).
@@ -549,6 +601,7 @@ object Relational {
     "f3_like_filter" -> f3LikeFilter _,
     "f4_pred_combo" -> f4PredCombo _,
     "f10_url_routing" -> f10UrlRouting _,
+    "f11_status_envelope" -> f11StatusEnvelope _,
     "j1_inner_join" -> j1InnerJoin _,
     "j2_left_join_nullfill" -> j2LeftJoinNullFill _,
     "j3_semi_join" -> j3SemiJoin _,

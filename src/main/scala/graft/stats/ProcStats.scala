@@ -7,12 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Real system-stats samplers (SURVEY §2.7 A3/A4 sources): the
   * reference's CPU and NIC gauges read `/proc/stat` and `/proc/net/dev`
   * on a timer (`stats/src/proc_stat_cpu.c:75-140`,
-  * `proc_net_dev.c`-style field split). Here the sampling runs
-  * EXECUTOR-side inside `mapPartitions`, so on a cluster every node
-  * reports its own gauges (host column carries the origin); local mode
-  * samples this machine. Downstream, the samples feed the same
-  * windowed-aggregation shapes as `a3_tumbling_window` /
-  * `a4_sliding_window`.
+  * `proc_net_dev.c`-style field split). The sampling runs EXECUTOR-side
+  * inside `mapPartitions`, fanned out as one task per parallelism slot
+  * and deduplicated to one sample per host — so on a cluster every
+  * executor host that receives a task reports its own gauges (the host
+  * column carries the origin); local mode samples this machine once.
+  * Downstream, the samples feed the same windowed-aggregation shapes as
+  * `a3_tumbling_window` / `a4_sliding_window`.
   */
 object ProcStats {
 
@@ -57,10 +58,19 @@ object ProcStats {
     100.0 * (b.busy - a.busy).toDouble /
       math.max(1L, b.total - a.total).toDouble
 
+  /** One task per parallelism slot — the fan-out that puts at least one
+    * sampling task on every executor that holds slots; tasks landing on
+    * the same host produce duplicate samples, removed downstream by a
+    * per-host dedup. */
+  private def fanout(spark: SparkSession) = {
+    val n = math.max(1, spark.sparkContext.defaultParallelism)
+    spark.range(n.toLong).repartition(n)
+  }
+
   /** A3 live gauge: per-(host, cpu) busy% over a `intervalMs` window. */
   def cpuGauges(spark: SparkSession, intervalMs: Int = 100): DataFrame = {
     import spark.implicits._
-    spark.range(1).repartition(1).mapPartitions { _ =>
+    fanout(spark).mapPartitions { _ =>
       val host = java.net.InetAddress.getLocalHost.getHostName
       val a = readCpu()
       Thread.sleep(intervalMs.toLong)
@@ -69,13 +79,14 @@ object ProcStats {
       a.iterator.flatMap(x =>
         byCpu.get(x.cpu).map(y => (host, x.cpu, busyPct(x, y))))
     }.toDF("host", "cpu", "busy_pct")
+      .dropDuplicates("host", "cpu")
   }
 
   /** A4 live gauge: per-(host, iface) rx/tx bits-per-second over a
     * `intervalMs` window. */
   def netGauges(spark: SparkSession, intervalMs: Int = 100): DataFrame = {
     import spark.implicits._
-    spark.range(1).repartition(1).mapPartitions { _ =>
+    fanout(spark).mapPartitions { _ =>
       val host = java.net.InetAddress.getLocalHost.getHostName
       val a = readNet()
       Thread.sleep(intervalMs.toLong)
@@ -88,5 +99,6 @@ object ProcStats {
           8.0 * (y.txBytes - x.txBytes).toDouble / secs)
       })
     }.toDF("host", "iface", "rx_bps", "tx_bps")
+      .dropDuplicates("host", "iface")
   }
 }
