@@ -142,7 +142,7 @@ object TsQueries {
     * positive deltas (≤1 s; larger = discontinuity, skipped —
     * `ts_enc.c:274+`) summed PER PCR PID, max across PIDs, so a
     * multi-program mux with several PCR timelines isn't double-counted. */
-  private def spanSeconds(pk: DataFrame): DataFrame = {
+  private def spanSecondsOf(pk: DataFrame): DataFrame = {
     val wd = Window.partitionBy("pid").orderBy("seq")
     pk.filter(col("af.pcr").isNotNull)
       .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
@@ -156,8 +156,19 @@ object TsQueries {
   /** Per-program avg/peak input bitrate as integer tenths of kbps over
     * PCR-derived seconds (event time from the stream's own 27 MHz
     * timeline — no wall clock), over any (packets, PMT) pair. */
-  private def progProcTenthsOf(pk: DataFrame, pmtT: DataFrame)
-      : DataFrame = {
+  /** The capture's 1-row PCR span, computed ONCE per session: ts9/ts10
+    * (twice, via progProcTenths + the instance total) and ts11 all
+    * consume it — without the memo the window+agg over the full packet
+    * relation re-runs per consumer. */
+  private def spanSeconds(s: SparkSession): DataFrame =
+    memoized(s, "span_s") { spanSecondsOf(pkts(s).toDF()) }
+
+  /** PES timestamp stats shared by ts7 and ts11 — one PES header pass. */
+  private def pesStats(s: SparkSession): DataFrame =
+    memoized(s, "pes_stats") { TsPipeline.pesTimestampStats(pkts(s)) }
+
+  private def progProcTenthsOf(pk: DataFrame, pmtT: DataFrame,
+      span_s: DataFrame): DataFrame = {
     val progPids = pmtT
       .select(col("program_number"),
         explode(array(col("pmt_pid"), col("pcr_pid"),
@@ -166,7 +177,7 @@ object TsQueries {
     val span = pk
       .agg(count(lit(1)).cast("double").as("total"),
         min(col("seq")).as("seq0"))
-      .crossJoin(spanSeconds(pk))
+      .crossJoin(span_s)
     val perSec = pk.join(broadcast(progPids), Seq("pid"))
       .crossJoin(broadcast(span))
       .withColumn("sec",
@@ -184,7 +195,7 @@ object TsQueries {
 
   private def progProcTenths(s: SparkSession): DataFrame =
     memoized(s, "prog_proc_tenths") {
-      progProcTenthsOf(pkts(s).toDF(), pmt(s))
+      progProcTenthsOf(pkts(s).toDF(), pmt(s), spanSeconds(s))
     }
 
   /** §2.12 program-processor detail document (UI shape
