@@ -254,7 +254,7 @@ object TsQueries {
           col("dt"), col("cnt")).as("frag")).as("x"))
       .agg(joined(col("x")).as("logs_json"))
     val total = pk.agg(count(lit(1)).as("n"))
-      .crossJoin(spanSeconds(pk))
+      .crossJoin(spanSeconds(s))
       .select(floor(((col("n") * 188 * 8).cast("double") / col("span_s"))
         / 100.0 + 0.5).cast("long").as("t_tot"))
     total.crossJoin(progFrags).crossJoin(procFrags).crossJoin(logFrags)
@@ -293,7 +293,7 @@ object TsQueries {
       .join(pidBits, Seq("elementary_pid"), "left")
       .join(broadcast(pes), Seq("elementary_pid"), "left")
       .join(broadcast(svc), Seq("elementary_pid"), "left")
-      .crossJoin(broadcast(spanSeconds(pk)))
+      .crossJoin(broadcast(spanSeconds(s)))
       .withColumn("t_in",
         floor((coalesce(col("bits"), lit(0L)).cast("double") /
           col("span_s")) / 100.0 + 0.5).cast("long"))
@@ -335,7 +335,8 @@ object TsQueries {
     * with no PCR at all) exercise the span semantic (`ts_enc.c:274+`)
     * that the single-program capture can't. */
   def ts14MptsBitrate(s: SparkSession, d: String): DataFrame =
-    progProcTenthsOf(mptsPackets(s), mptsPmt(s))
+    progProcTenthsOf(mptsPackets(s), mptsPmt(s),
+        spanSecondsOf(mptsPackets(s)))
       .select(
         col("program_number"),
         format_string("%d.%d",
