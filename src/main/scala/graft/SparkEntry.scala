@@ -951,6 +951,114 @@ object SparkEntry {
       """SELECT event_type AS code, count(*) AS log_trace_counter,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS date
         |FROM events GROUP BY event_type""",
+    // k5/k6: the instance registry — the oracle re-derives the
+    // query-string parse with regexp_extract (vs Spark's str_to_map)
+    // and the proc_id allocation with the same running-count window
+    "k5_instance_create" ->
+      s"""WITH firsts AS (
+        |  SELECT user_id, min(event_id) AS event_id
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN e.event_type = 'error'
+        |      THEN 'tag=dropped-' || CAST(e.event_id AS VARCHAR)
+        |      ELSE 'proc_name=mpeg2_sp&tag=' || e.event_type || '-'
+        |        || CAST(e.user_id AS VARCHAR)
+        |        || '&input_url=udp://224.0.0.1:'
+        |        || CAST(2000 + e.event_id % 1000 AS VARCHAR)
+        |        || '&bogus_key=ignored' END AS qs
+        |  FROM events e JOIN firsts f
+        |    ON e.user_id = f.user_id AND e.event_id = f.event_id),
+        |p AS (
+        |  SELECT event_id,
+        |    nullif(regexp_extract(qs, 'proc_name=([^&]*)', 1), '')
+        |      AS proc_name,
+        |    nullif(regexp_extract(qs, '(?:^|&)tag=([^&]*)', 1), '')
+        |      AS tag,
+        |    nullif(regexp_extract(qs, 'input_url=([^&]*)', 1), '')
+        |      AS input_url
+        |  FROM r),
+        |a AS (
+        |  SELECT event_id, proc_name, tag, input_url,
+        |    CASE WHEN proc_name IS NOT NULL THEN
+        |      SUM(CASE WHEN proc_name IS NOT NULL THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    END AS proc_id,
+        |    CASE WHEN proc_name IS NOT NULL THEN 201 ELSE 404 END
+        |      AS http_code
+        |  FROM p)
+        |SELECT event_id, proc_id, proc_name, tag, input_url, http_code,
+        |  printf('${graft.operators.Relational.envelopeFmt}', http_code,
+        |    CASE WHEN http_code = 201 THEN 'Created'
+        |      ELSE 'Not Found' END,
+        |    CASE WHEN http_code = 201 THEN 'success' ELSE 'einval' END)
+        |    AS envelope
+        |FROM a""",
+    // p11: the oracle re-derives the query-string parse and the int32
+    // clamp (scte_subt2dvb.js:322-342) independently
+    "p11_scte_offsets" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    'duration_offset_msec='
+        |      || CAST((event_id - 5000) * 1000000 AS VARCHAR)
+        |      || '&vpos_offset_pels='
+        |      || CAST((user_id - 50) * 100000000 AS VARCHAR) AS qs
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id,
+        |    CAST(regexp_extract(qs, 'duration_offset_msec=(-?[0-9]+)',
+        |      1) AS BIGINT) AS dur_raw,
+        |    CAST(regexp_extract(qs, 'vpos_offset_pels=(-?[0-9]+)', 1)
+        |      AS BIGINT) AS vpos_raw
+        |  FROM r)
+        |SELECT event_id,
+        |  least(greatest(dur_raw, -2147483648), 2147483647)
+        |    AS duration_offset_msec,
+        |  least(greatest(vpos_raw, -2147483648), 2147483647)
+        |    AS vpos_offset_pels,
+        |  '{"duration_offset_msec":'
+        |    || CAST(least(greatest(dur_raw, -2147483648), 2147483647)
+        |         AS VARCHAR)
+        |    || ',"vpos_offset_pels":'
+        |    || CAST(least(greatest(vpos_raw, -2147483648), 2147483647)
+        |         AS VARCHAR)
+        |    || '}' AS settings_doc
+        |FROM p""",
+    "k6_instance_list" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(event_id) AS event_id
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN e.event_type = 'error'
+        |      THEN 'tag=dropped-' || CAST(e.event_id AS VARCHAR)
+        |      ELSE 'proc_name=mpeg2_sp&tag=' || e.event_type || '-'
+        |        || CAST(e.user_id AS VARCHAR)
+        |        || '&input_url=udp://224.0.0.1:'
+        |        || CAST(2000 + e.event_id % 1000 AS VARCHAR)
+        |        || '&bogus_key=ignored' END AS qs
+        |  FROM events e JOIN firsts f
+        |    ON e.user_id = f.user_id AND e.event_id = f.event_id),
+        |p AS (
+        |  SELECT event_id,
+        |    nullif(regexp_extract(qs, 'proc_name=([^&]*)', 1), '')
+        |      AS proc_name,
+        |    nullif(regexp_extract(qs, '(?:^|&)tag=([^&]*)', 1), '')
+        |      AS tag
+        |  FROM r),
+        |a AS (
+        |  SELECT tag,
+        |    SUM(CASE WHEN proc_name IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS proc_id
+        |  FROM p WHERE proc_name IS NOT NULL)
+        |SELECT '{"stream_procs":['
+        |  || string_agg('{"proc_id":' || CAST(proc_id AS VARCHAR)
+        |       || ',"tag":"' || tag || '"}', ',' ORDER BY proc_id)
+        |  || ']}' AS doc
+        |FROM a""",
     "t9_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,10 +102,127 @@ object Settings {
         count(lit(1)).as("log_trace_counter"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("date"))
 
+  /** The synthesized `POST /stream_procs.json` request stream: each
+    * user's FIRST event is their create request (the registry is
+    * control-plane-sized — one instance per operator, not per data row).
+    * 'error'-typed requests model a malformed POST missing the mandatory
+    * `proc_name` key (`stream_procs_api_http.c:133-138`); the rest carry
+    * the full settings query string plus an unknown key the reference
+    * ignores (`stream_procs_api_http.c:128-132`: "parameters that do not
+    * correspond to the settings ... will be just ignored"). */
+  private def createRequests(s: SparkSession, d: String): DataFrame = {
+    val firsts = events(s, d)
+      .groupBy("user_id").agg(min(col("event_id")).as("event_id"))
+    events(s, d)
+      .join(firsts, Seq("user_id", "event_id"))
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "error",
+          concat(lit("tag=dropped-"), col("event_id").cast("string")))
+          .otherwise(concat(
+            lit("proc_name=mpeg2_sp&tag="), col("event_type"), lit("-"),
+            col("user_id").cast("string"),
+            lit("&input_url=udp://224.0.0.1:"),
+            (lit(2000L) + pmod(col("event_id"), lit(1000L)))
+              .cast("string"),
+            lit("&bogus_key=ignored"))).as("qs"))
+  }
+
+  /** SCTE→DVB transcoder settings PUT (`scte_subt2dvb.js:343-346`:
+    * `?duration_offset_msec=N&vpos_offset_pels=M`): parse the query
+    * string, clamp both offsets to int32 exactly as the reference client
+    * does (`scte_subt2dvb.js:322-342`), and echo the stored settings
+    * fragment the es-proc GET returns (`scte_subt2dvb.js:40-41`).
+    * Raw values are synthesized to overflow int32 in both directions so
+    * the clamp is actually exercised. */
+  def p11ScteOffsets(s: SparkSession, d: String): DataFrame = {
+    val i32Max = 2147483647L
+    val i32Min = -2147483648L
+    def clamp(c: Column): Column =
+      least(greatest(c, lit(i32Min)), lit(i32Max))
+    val req = events(s, d).select(
+      col("event_id"),
+      concat(
+        lit("duration_offset_msec="),
+        ((col("event_id") - 5000L) * 1000000L).cast("string"),
+        lit("&vpos_offset_pels="),
+        ((col("user_id") - 50L) * 100000000L).cast("string")).as("qs"))
+    val m = expr("str_to_map(qs, '&', '=')")
+    req
+      .select(
+        col("event_id"),
+        element_at(m, "duration_offset_msec").cast(LongType).as("dur_raw"),
+        element_at(m, "vpos_offset_pels").cast(LongType).as("vpos_raw"))
+      .select(
+        col("event_id"),
+        clamp(col("dur_raw")).as("duration_offset_msec"),
+        clamp(col("vpos_raw")).as("vpos_offset_pels"))
+      .withColumn("settings_doc",
+        format_string(
+          "{\"duration_offset_msec\":%d,\"vpos_offset_pels\":%d}",
+          col("duration_offset_msec"), col("vpos_offset_pels")))
+  }
+
+  /** §2.12 instance create — `POST /stream_procs.json?proc_name=...`
+    * (`stream_procs_api_http.c:125-141`): parse the query string with
+    * the P9 machinery, reject requests without `proc_name`
+    * (STAT_EINVAL → the 404 envelope branch,
+    * `stream_procs_api_http.c:270-274`), allocate monotonically
+    * increasing proc_ids to accepted requests (the reference's procs
+    * module hands out the next free slot), and render each response
+    * through the shared envelope constant. The proc_id allocation is a
+    * running count over arrival order — a single-partition window, safe
+    * here because the registry is bounded by operator count (hundreds),
+    * never by corpus size. */
+  def k5InstanceCreate(s: SparkSession, d: String): DataFrame = {
+    val m = expr("str_to_map(qs, '&', '=')")
+    val parsed = createRequests(s, d).select(
+      col("event_id"),
+      element_at(m, "proc_name").as("proc_name"),
+      element_at(m, "tag").as("tag"),
+      element_at(m, "input_url").as("input_url"))
+    val wd = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parsed
+      .withColumn("proc_id",
+        when(col("proc_name").isNotNull,
+          sum(when(col("proc_name").isNotNull, 1L).otherwise(0L))
+            .over(wd) - 1L))
+      .withColumn("http_code",
+        when(col("proc_name").isNotNull, 201).otherwise(404))
+      .select(
+        col("event_id"), col("proc_id"), col("proc_name"), col("tag"),
+        col("input_url"), col("http_code"),
+        format_string(Relational.envelopeFmt,
+          col("http_code"),
+          when(col("http_code") === 201, "Created").otherwise("Not Found"),
+          when(col("http_code") === 201, "success").otherwise("einval"))
+          .as("envelope"))
+  }
+
+  /** §2.12 instance list — `GET /stream_procs.json`
+    * (`stream_procs_api_http.c:142-143`): the created registry projected
+    * to the one-document list shape the UI walks
+    * (`stream_procs.js:80-90` reads `.stream_procs[]{proc_id, tag}`).
+    * Single-doc collect is the endpoint's own semantics; the list is
+    * control-plane-bounded. */
+  def k6InstanceList(s: SparkSession, d: String): DataFrame =
+    k5InstanceCreate(s, d)
+      .filter(col("proc_id").isNotNull)
+      .select(struct(col("proc_id"),
+        format_string("{\"proc_id\":%d,\"tag\":\"%s\"}",
+          col("proc_id"), col("tag")).as("frag")).as("x"))
+      .agg(format_string("{\"stream_procs\":[%s]}",
+        array_join(transform(array_sort(collect_list(col("x"))),
+          e => e.getField("frag")), ",")).as("doc"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p9_dual_parse" -> p9DualParse _,
     "p10_base64_roundtrip" -> p10Base64Roundtrip _,
     "k3_json_projection" -> k3JsonProjection _,
     "k4_log_register" -> k4LogRegister _,
+    "k5_instance_create" -> k5InstanceCreate _,
+    "k6_instance_list" -> k6InstanceList _,
+    "p11_scte_offsets" -> p11ScteOffsets _,
   )
 }

@@ -200,7 +200,17 @@ object TextOps {
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshMemo(s, d)(minHashLshOf(shRelation(s, d)).cache())
 
-  def t6NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** Exact (t6) near-dup pair set, memoized per (session, dir) like
+    * [[lshPairs]]: t6 and the t13 recall contract both consume it, and
+    * t13's two aggregates would otherwise re-run the quadratic self-join
+    * twice more per bench sweep. */
+  private[graft] def exactPairs(s: SparkSession, d: String): DataFrame =
+    lshMemo(s, d + "#exact")(exactPairsOf(s, d).cache())
+
+  def t6NgramJaccard(s: SparkSession, d: String): DataFrame =
+    exactPairs(s, d)
+
+  private def exactPairsOf(s: SparkSession, d: String): DataFrame = {
     val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // exactness-preserving input cut: a shingle held by a single doc can
@@ -411,7 +421,7 @@ object TextOps {
     * corpus where banding recall stops being total, rather than silently
     * dropping duplicate pairs. */
   def t13LshRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = t6NgramJaccard(s, d).select("doc_a", "doc_b")
+    val exact = exactPairs(s, d).select("doc_a", "doc_b")
     val lsh = lshPairs(s, d).select("doc_a", "doc_b")
     val missing = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact_pairs"))

@@ -83,6 +83,50 @@ class SinksAndSourcesSpec extends SparkSuite {
       r.getString(1) == "udp://1.2.3.4:2000" && r.getLong(2) == 300L))
   }
 
+  test("k5 instance create: malformed POSTs rejected, ids dense") {
+    val df = Settings.k5InstanceCreate(spark, sf).cache()
+    val rejected = df.filter(col("proc_name").isNull)
+    val accepted = df.filter(col("proc_name").isNotNull)
+    // the sf0.001 events table has 'error'-typed first events → both
+    // branches of the mandatory-proc_name check are exercised
+    assert(accepted.count() > 0)
+    assert(rejected.filter(col("http_code") =!= 404).count() == 0)
+    assert(rejected.filter(col("proc_id").isNotNull).count() == 0)
+    // accepted proc_ids are dense 0..n-1 in arrival order (the
+    // reference's next-free-slot allocation under creation-only load)
+    val ids = accepted.select("proc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+    assert(accepted.filter(col("http_code") =!= 201).count() == 0)
+    assert(accepted.filter(!col("envelope").contains("\"Created\""))
+      .count() == 0)
+    df.unpersist()
+  }
+
+  test("k6 instance list: one doc, every accepted instance present") {
+    val doc = Settings.k6InstanceList(spark, sf).collect()
+    assert(doc.length == 1)
+    val json = doc(0).getString(0)
+    assert(json.startsWith("{\"stream_procs\":[") && json.endsWith("]}"))
+    val n = Settings.k5InstanceCreate(spark, sf)
+      .filter(col("proc_id").isNotNull).count()
+    assert("\\{\"proc_id\":".r.findAllIn(json).length == n)
+  }
+
+  test("p11 scte offsets: int32 clamp exercised both directions") {
+    val df = Settings.p11ScteOffsets(spark, sf).cache()
+    assert(df.filter(col("duration_offset_msec") > 2147483647L ||
+      col("duration_offset_msec") < -2147483648L).count() == 0)
+    assert(df.filter(col("vpos_offset_pels") > 2147483647L ||
+      col("vpos_offset_pels") < -2147483648L).count() == 0)
+    // sf0.001 raw values overflow int32 low (duration: (id-5000)*1e6
+    // reaches -5e9) — the clamp actually fires
+    assert(df.filter(col("duration_offset_msec") === -2147483648L)
+      .count() > 0)
+    assert(df.filter(col("settings_doc").contains("-2147483648"))
+      .count() > 0)
+    df.unpersist()
+  }
+
   test("S1 udp source: capture packets stream through and parse") {
     import graft.ts.TsCodec
     val stream = spark.readStream
