@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.operators.{Relational, Settings, TextOps}
+
+/** Plan-hygiene regression guards: the properties that make these plans
+  * survive a 100× scale-up are asserted on the EXECUTED physical plans,
+  * not just eyeballed in `.explain` — filter pushdown reaching the
+  * parquet scan, column pruning in `ReadSchema`, whole-stage codegen on
+  * the hot column paths, broadcast only on provably-small sides, and the
+  * SHUFFLE_HASH pin on corpus-scaled join sides. A regression in any of
+  * these (a refactor that caches too early, a new column that defeats
+  * pruning, a hint that stops resolving) fails here instead of surfacing
+  * as a 100 TB incident. */
+class PlanHygieneSpec extends SparkSuite {
+
+  /** Flatten the executed plan, descending through AQE wrappers (which
+    * are leaves to a plain traversal — see `Bucketing.shuffleFree`). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec => flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  /** Execute and return the final plan nodes (AQE needs the run to have
+    * happened for `executedPlan` to be the real one). */
+  private def ranPlan(df: DataFrame): Seq[SparkPlan] = {
+    df.count()
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def scans(nodes: Seq[SparkPlan]): Seq[FileSourceScanExec] =
+    nodes.collect { case f: FileSourceScanExec => f }
+
+  test("f1 range filter: predicates are pushed to the parquet scan") {
+    val nodes = ranPlan(Relational.f1RangeFilter(spark, sf))
+    val sc = scans(nodes)
+    assert(sc.nonEmpty, "expected a FileSourceScanExec leaf")
+    val pushed = sc.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    // both the timestamp range and the discount gate reach the reader
+    assert(pushed.exists(p =>
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("LessThan(l_shipdate") &&
+        p.contains("GreaterThan(l_discount")),
+      s"pushed filters were: $pushed")
+  }
+
+  test("t2 token stats: scan reads only the projected columns") {
+    val nodes = ranPlan(TextOps.t2TokenStats(spark, sf))
+    val sc = scans(nodes)
+    assert(sc.nonEmpty)
+    val schemas = sc.map(_.metadata.getOrElse("ReadSchema", ""))
+    // documents carries more columns (source, lang, ...); the 2-column
+    // projection must prune them out of the scan itself
+    assert(schemas.exists(s =>
+      s.contains("doc_id") && s.contains("text") &&
+        !s.contains("source") && !s.contains("lang")),
+      s"read schemas were: $schemas")
+  }
+
+  test("a1 grouped agg: lineitem scan is column-pruned") {
+    val nodes = ranPlan(Relational.a1GroupedAgg(spark, sf))
+    val schemas = scans(nodes).map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(schemas.exists(s => !s.contains("l_comment")),
+      s"l_comment (widest column) must not be scanned: $schemas")
+  }
+
+  test("hot column paths run inside whole-stage codegen") {
+    // quality scoring is pure column math — the whole thing should sit
+    // in codegen'd stages (a UDF or non-codegen Expression would break
+    // the span and show up as a plan-shape change here)
+    val nodes = ranPlan(TextOps.t3QualityScore(spark, sf))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"no codegen stage in: ${nodes.map(_.nodeName).distinct}")
+  }
+
+  test("j1: the dimension side broadcasts, the fact join does not") {
+    val nodes = ranPlan(Relational.j1InnerJoin(spark, sf))
+    val s = nodes.map(_.nodeName)
+    assert(s.exists(_.contains("BroadcastHashJoin")),
+      s"customer (dim) should broadcast: ${s.distinct}")
+  }
+
+  test("k5 instance registry: allocation window input is pre-aggregated") {
+    val nodes = ranPlan(Settings.k5InstanceCreate(spark, sf))
+    // the single-partition window is fed by the firsts-join (one row per
+    // user), never by the raw events relation: there must be an
+    // aggregate below the window in the same plan
+    val windowIdx = nodes.indexWhere(_.nodeName.contains("Window"))
+    assert(windowIdx >= 0)
+    assert(nodes.drop(windowIdx).exists(_.nodeName.contains("Aggregate")),
+      "window must sit above the per-user first-event aggregation")
+  }
+
+  test("t11 composite: corpus-scaled join sides never broadcast") {
+    val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
+    // the LSH loser set scales with the corpus — the anti-join must be
+    // a shuffle join (the SHUFFLE_HASH pin), not a driver-built
+    // broadcast; dims (none here) are the only legal broadcasts
+    val joins = nodes.map(_.nodeName).filter(_.contains("Join"))
+    assert(joins.nonEmpty)
+    assert(joins.exists(j => j.contains("ShuffledHashJoin") ||
+      j.contains("SortMergeJoin")),
+      s"anti-join should be shuffle-based, joins were: $joins")
+  }
+}
