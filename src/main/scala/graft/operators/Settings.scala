@@ -174,22 +174,33 @@ object Settings {
     * running count over arrival order — a single-partition window, safe
     * here because the registry is bounded by operator count (hundreds),
     * never by corpus size. */
-  def k5InstanceCreate(s: SparkSession, d: String): DataFrame = {
-    val m = expr("str_to_map(qs, '&', '=')")
-    val parsed = createRequests(s, d).select(
-      col("event_id"),
-      element_at(m, "proc_name").as("proc_name"),
-      element_at(m, "tag").as("tag"),
-      element_at(m, "input_url").as("input_url"))
-    val wd = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parsed
-      .withColumn("proc_id",
-        when(col("proc_name").isNotNull,
-          sum(when(col("proc_name").isNotNull, 1L).otherwise(0L))
-            .over(wd) - 1L))
-      .withColumn("http_code",
-        when(col("proc_name").isNotNull, 201).otherwise(404))
+  /** The parsed-and-allocated registry relation, memoized per
+    * (session, dir) — k5 (create responses) and k6 (list projection)
+    * both read it; it is tiny (one row per user), so the cache is a few
+    * KB. Evicted via [[graft.SessionMemo]]. */
+  private val registryMemo = graft.SessionMemo.forDataFrames()
+  private def registry(s: SparkSession, d: String): DataFrame =
+    registryMemo(s, d) {
+      val m = expr("str_to_map(qs, '&', '=')")
+      val parsed = createRequests(s, d).select(
+        col("event_id"),
+        element_at(m, "proc_name").as("proc_name"),
+        element_at(m, "tag").as("tag"),
+        element_at(m, "input_url").as("input_url"))
+      val wd = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parsed
+        .withColumn("proc_id",
+          when(col("proc_name").isNotNull,
+            sum(when(col("proc_name").isNotNull, 1L).otherwise(0L))
+              .over(wd) - 1L))
+        .withColumn("http_code",
+          when(col("proc_name").isNotNull, 201).otherwise(404))
+        .cache()
+    }
+
+  def k5InstanceCreate(s: SparkSession, d: String): DataFrame =
+    registry(s, d)
       .select(
         col("event_id"), col("proc_id"), col("proc_name"), col("tag"),
         col("input_url"), col("http_code"),
@@ -198,7 +209,6 @@ object Settings {
           when(col("http_code") === 201, "Created").otherwise("Not Found"),
           when(col("http_code") === 201, "success").otherwise("einval"))
           .as("envelope"))
-  }
 
   /** §2.12 instance list — `GET /stream_procs.json`
     * (`stream_procs_api_http.c:142-143`): the created registry projected
@@ -207,7 +217,7 @@ object Settings {
     * Single-doc collect is the endpoint's own semantics; the list is
     * control-plane-bounded. */
   def k6InstanceList(s: SparkSession, d: String): DataFrame =
-    k5InstanceCreate(s, d)
+    registry(s, d)
       .filter(col("proc_id").isNotNull)
       .select(struct(col("proc_id"),
         format_string("{\"proc_id\":%d,\"tag\":\"%s\"}",

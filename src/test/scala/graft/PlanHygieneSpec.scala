@@ -22,6 +22,8 @@ class PlanHygieneSpec extends SparkSuite {
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
     case q: QueryStageExec => flatten(q.plan)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      m +: flatten(m.relation.cachedPlan)
     case other => other +: other.children.flatMap(flatten)
   }
 
