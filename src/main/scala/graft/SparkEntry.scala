@@ -112,7 +112,67 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
        |  FROM scored) WHERE rnk <= 5"""
 
+  /** dot(a,b) in double — the SQL twin of the codegen'd vec_dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** ||a-b||² composed from the same dot primitives the Spark side
+    * uses (`Similarity.l2sq`), so both engines share rounding. */
+  private def l2Sql(a: String, b: String): String =
+    s"(${dotSql(a, a)} + ${dotSql(b, b)} - 2 * ${dotSql(a, b)})"
+
+  /** The IVF-PQ pipeline re-derived end-to-end in SQL: coarse
+    * assignment/probes (= the proven e5 CTEs), per-subspace codebooks
+    * from the first-16 subvectors, nearest-code encoding, per-query
+    * distance tables and the ADC sum — all deterministic, no dump. */
+  private def ivfPqSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |    FROM embeddings WHERE vec_id < 16),
+       |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      ${cosSql("e.embedding", "c.cv")} AS sim
+       |    FROM embeddings e CROSS JOIN c),
+       |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+       |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+       |        AS rn
+       |      FROM sims) WHERE rn = 1),
+       |  probes AS (SELECT query_id, centroid_id FROM (
+       |      SELECT vec_id AS query_id, centroid_id,
+       |        row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+       |          AS rn
+       |      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+       |  js AS (SELECT unnest(range(0, 8)) AS j),
+       |  cb AS (SELECT x.vec_id AS code, js.j,
+       |      list_slice(x.embedding, js.j * 8 + 1, js.j * 8 + 8) AS cbv
+       |    FROM embeddings x CROSS JOIN js WHERE x.vec_id < 16),
+       |  enc AS (SELECT vec_id, centroid_id, j, code FROM (
+       |      SELECT a.vec_id, a.centroid_id, cb.j, cb.code,
+       |        row_number() OVER (PARTITION BY a.vec_id, cb.j
+       |          ORDER BY ${l2Sql(
+             "list_slice(a.embedding, cb.j * 8 + 1, cb.j * 8 + 8)",
+             "cb.cbv")} ASC, cb.code ASC) AS rn
+       |      FROM assigned a CROSS JOIN cb) WHERE rn = 1),
+       |  dtab AS (SELECT q.vec_id AS query_id, cb.j, cb.code,
+       |      ${l2Sql(
+             "list_slice(q.embedding, cb.j * 8 + 1, cb.j * 8 + 8)",
+             "cb.cbv")} AS dt
+       |    FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+       |  scored AS (SELECT p.query_id, e.vec_id AS cand_id,
+       |      sum(dt) AS adist
+       |    FROM probes p JOIN enc e USING (centroid_id)
+       |    JOIN dtab ON dtab.query_id = p.query_id AND dtab.j = e.j
+       |      AND dtab.code = e.code
+       |    WHERE p.query_id <> e.vec_id
+       |    GROUP BY 1, 2)
+       |SELECT query_id, cand_id, rnk FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, cand_id) AS rnk
+       |  FROM scored) WHERE rnk <= 5"""
+
   private def tsOracles: Map[String, String] = Map(
+    "e8_ivf_pq" -> ivfPqSql,
     // e5's whole pipeline is deterministic (centroids = first 16 corpus
     // vectors) — assignment, probes and in-list scoring re-derived in SQL
     "e5_ivf_ann" -> ivfSql(

@@ -284,6 +284,83 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** Squared L2 distance composed from the codegen'd dot kernels —
+    * the same primitives (and therefore the same double rounding) the
+    * oracle SQL mirrors with `list_sum(list_transform(...))`. */
+  private def l2sq(a: Column, b: Column): Column =
+    vec_dot(a, a) + vec_dot(b, b) - lit(2.0) * vec_dot(a, b)
+
+  /** e8 — IVF-PQ, the standard architecture for billion-scale ANN
+    * (coarse inverted lists + product-quantization codes + asymmetric
+    * distance): coarse quantization into e5's inverted lists; m=8
+    * subspaces × 8 dims with ks=16 codes per subspace (codebooks =
+    * the first 16 corpus vectors' subvectors — deterministic, like
+    * e5's coarse centroids); every corpus vector encoded to m 4-bit
+    * codes (nearest codebook entry per subspace, squared-L2); queries
+    * score candidates inside their nprobe probed lists with a per-query
+    * (m × ks) distance lookup table joined on (subspace, code) —
+    * candidate raw vectors are never touched in the scoring path.
+    *
+    * 100 TB shape: the codes relation carries (vec_id, list, j, code) —
+    * ints only, 8 bytes of code payload per vector instead of 256 bytes
+    * of floats (pack the m codes into one BINARY column for storage);
+    * codebooks (128 rows) and per-query dtabs (queries × 128) are
+    * broadcast; scoring is a partial-aggregated sum behind the
+    * inverted-list join, so the shuffle carries probed-list candidates
+    * only, never the corpus product. */
+  def e8IvfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val nprobe = 4; val m = 8; val sub = 8; val ks = 16
+    val emb = embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val assigned = assignToCentroids(emb, centroids)
+    def subspaces(vecCol: String): Column =
+      slice(col(vecCol), col("j") * sub + 1, lit(sub))
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    val codebooks = emb.filter(col("vec_id") < ks)
+      .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
+      .select(col("code"), col("j"), subspaces("embedding").as("cb"))
+    // encode: nearest codebook entry per (vector, subspace); ties →
+    // lowest code, exactly the oracle's (d2 ASC, code ASC) row_number
+    val codes = assigned
+      .select(col("vec_id"), col("centroid_id"), col("embedding"), js)
+      .select(col("vec_id"), col("centroid_id"), col("j"),
+        subspaces("embedding").as("xj"))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("vec_id"), col("centroid_id"), col("j"), col("code"),
+        l2sq(col("xj"), col("cb")).as("d2"))
+      .groupBy("vec_id", "centroid_id", "j")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val dtab = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"), js)
+      .select(col("query_id"), col("j"), subspaces("embedding").as("qj"))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("query_id"), col("j"), col("code"),
+        l2sq(col("qj"), col("cb")).as("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("cand_id"))
+    probes
+      .join(codes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(dtab), Seq("query_id", "j", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dt")).as("adist"))
+      .withColumnRenamed("vec_id", "cand_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   /** Sub-plan probes for hotspot/scale profiling (wired into
     * `graft.Profile` only — not part of the driver-visible surface). */
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -309,5 +386,6 @@ object Similarity {
     "e3_cosine_near_dup" -> e3CosineNearDup _,
     "e4_label_centroid" -> e4LabelCentroidDist _,
     "e7_quantize" -> e7Quantize _,
+    "e8_ivf_pq" -> e8IvfPqAnn _,
   )
 }

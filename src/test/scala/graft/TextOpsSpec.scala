@@ -69,6 +69,39 @@ class TextOpsSpec extends SparkSuite {
     assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
   }
 
+  test("e8 ivf-pq: ranked neighbors per query, ADC agrees with exact " +
+    "L2 ordering well above chance") {
+    import org.apache.spark.sql.functions.{broadcast, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val df = Similarity.e8IvfPqAnn(spark, sf).cache()
+    val counts = df.groupBy("query_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+    assert(df.filter(col("query_id") === col("cand_id")).count() == 0)
+    // recall floor vs EXACT squared-L2 top-5 over the full corpus: at
+    // this 50-vector sf the probe misses dominate (4 of 16 lists ≈ a
+    // dozen candidates per query), so the floor is modest — but chance
+    // overlap is only ~6/50, so ≥10 still proves ADC ranks signal
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (graft.functions.VectorExprs.vec_dot(col("qv"), col("qv")) +
+          graft.functions.VectorExprs.vec_dot(col("cv"), col("cv")) -
+          lit(2.0) * graft.functions.VectorExprs.vec_dot(col("qv"),
+            col("cv"))).as("d2"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("cand_id"))))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id")
+    val hits = df.select("query_id", "cand_id")
+      .intersect(exact).count()
+    assert(hits >= 10, s"ADC recall vs exact L2 top-5: $hits/50")
+    df.unpersist()
+  }
+
   test("e4 label centroid covers every label") {
     val df = Similarity.e4LabelCentroidDist(spark, sf)
     val labels = Tables.embeddings(spark, sf).select("label").distinct()
