@@ -308,27 +308,36 @@ object Similarity {
     * broadcast; scoring is a partial-aggregated sum behind the
     * inverted-list join, so the shuffle carries probed-list candidates
     * only, never the corpus product. */
-  def e8IvfPqAnn(s: SparkSession, d: String): DataFrame = {
+  def e8IvfPqAnn(s: SparkSession, d: String): DataFrame =
+    ivfPqOf(embeddings(s, d))
+
+  private[graft] def ivfPqOf(emb: DataFrame): DataFrame = {
     val k = 16; val nprobe = 4; val m = 8; val sub = 8; val ks = 16
-    val emb = embeddings(s, d)
     val centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
     val assigned = assignToCentroids(emb, centroids)
     def subspaces(vecCol: String): Column =
       slice(col(vecCol), col("j") * sub + 1, lit(sub))
     val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    // self-dots are precomputed per side (n2 columns) so the per-pair
+    // work is ONE dot kernel, not three: n2x + n2cb - 2·dot is the same
+    // double arithmetic as l2sq term-for-term, so the oracle's
+    // dot-composed L2 still matches bitwise
     val codebooks = emb.filter(col("vec_id") < ks)
       .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
       .select(col("code"), col("j"), subspaces("embedding").as("cb"))
+      .withColumn("n2cb", vec_dot(col("cb"), col("cb")))
     // encode: nearest codebook entry per (vector, subspace); ties →
     // lowest code, exactly the oracle's (d2 ASC, code ASC) row_number
     val codes = assigned
       .select(col("vec_id"), col("centroid_id"), col("embedding"), js)
       .select(col("vec_id"), col("centroid_id"), col("j"),
         subspaces("embedding").as("xj"))
+      .withColumn("n2x", vec_dot(col("xj"), col("xj")))
       .join(broadcast(codebooks), Seq("j"))
       .select(col("vec_id"), col("centroid_id"), col("j"), col("code"),
-        l2sq(col("xj"), col("cb")).as("d2"))
+        (col("n2x") + col("n2cb") -
+          lit(2.0) * vec_dot(col("xj"), col("cb"))).as("d2"))
       .groupBy("vec_id", "centroid_id", "j")
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
     val probes = emb.filter(col("vec_id") < 10)
@@ -375,6 +384,16 @@ object Similarity {
             col("embedding")))
         .reduce(_ unionByName _)
       lshAnnOf(reps)
+    }),
+    // IVF-PQ at 20×: scoring cost must track probed-list candidate
+    // count (codes only — 8 ints/vector through the ADC join), never
+    // the corpus×corpus product or the raw float payload
+    "z9_e8_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => embeddings(s, d)
+          .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      ivfPqOf(reps)
     }),
   )
 
