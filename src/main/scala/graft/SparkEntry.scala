@@ -1119,6 +1119,66 @@ object SparkEntry {
         |       || ',"tag":"' || tag || '"}', ',' ORDER BY proc_id)
         |  || ']}' AS doc
         |FROM a""",
+    // t14: trigram derivation + 3-gram-overlap contamination re-derived
+    // independently (DuckDB list functions vs Spark HOFs)
+    "t14_decontaminate" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+        |    AS trigram
+        |  FROM tk)
+        |SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM tg c JOIN tg e ON c.trigram = e.trigram
+        |WHERE e.doc_id < 10 AND c.doc_id >= 10
+        |GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // t15: the planted PII and both regexes are identical on both
+    // sides (Java regex ∩ RE2 dialect)
+    "t15_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+        |    AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM p""",
+    // t16: duplicated-trigram fraction + top-token share, re-derived
+    // via unnest/group-by
+    "t16_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tg AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |      AS g
+        |  FROM tk),
+        |dup AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN len(g) > 0 THEN
+        |      CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+        |        / CAST(len(g) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_trigram_frac
+        |  FROM tg),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens, d.dup_trigram_frac,
+        |  CAST(t.maxc AS DOUBLE) / CAST(d.n_tokens AS DOUBLE)
+        |    AS top_token_ratio
+        |FROM dup d JOIN top t USING (doc_id)""",
     "t9_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

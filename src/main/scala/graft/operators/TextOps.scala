@@ -475,7 +475,111 @@ object TextOps {
     }),
   )
 
+  /** The distinct token-trigram STRINGS of every document (doc_id,
+    * trigram) — the decontamination join key. Production would hash the
+    * trigram (xxhash64, as the dedup family does); strings here keep the
+    * relation oracle-derivable in an independent engine. */
+  private def tokenTrigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+            |ELSE array() END""".stripMargin)).as("trigram"))
+
+  /** t14 — benchmark decontamination: flag corpus documents that share
+    * ≥ 3 distinct token trigrams with any eval-set document (the
+    * train/test-overlap scrub every LLM pipeline runs before training;
+    * the 3-gram-overlap criterion is the standard published recipe).
+    * The eval set (here: doc_id < 10) is benchmark-suite-sized, so it
+    * BROADCASTS — the corpus side streams through one hash join and the
+    * shuffle carries only (doc, eval, hit) matches, never the corpus
+    * trigram relation. */
+  def t14Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val tg = tokenTrigrams(documents(s, d))
+    val eval_ = tg.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("eval_id"), col("trigram"))
+    tg.filter(col("doc_id") >= 10)
+      .join(broadcast(eval_), Seq("trigram"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** t15 — PII scrub: count and redact email / phone patterns (the
+    * pre-training privacy pass). The corpus is synthetic, so PII is
+    * planted deterministically inside the query (both engines plant
+    * identically); patterns are kept in the Java∩RE2 regex dialect so
+    * the oracle's engine matches byte-for-byte. Pure codegen'd regexp
+    * work — the scrub runs inside the scan projection at scale. */
+  def t15PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val planted = documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+    planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+        .as("n_phones"),
+      regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  /** t16 — intra-document repetition score (the Gopher/MassiveText
+    * repetition filters): duplicated-trigram fraction and the most
+    * frequent token's share of the document. Both are per-doc column
+    * math + one partial-aggregated explode — no cross-doc work, scales
+    * linearly. */
+  def t16Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(documents(s, d))
+
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val tg = expr(
+      """CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(0, size(toks) - 3),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+        |ELSE array() END""".stripMargin)
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        tg.as("tg"), col("toks"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(size(col("tg")) > 0,
+          (size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        col("toks"))
+    val topTok = base
+      .select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_tokens", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(max(col("c")).as("maxc"))
+      .select(col("doc_id"),
+        (col("maxc").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_ratio"))
+    base.select("doc_id", "n_tokens", "dup_trigram_frac")
+      .join(topTok, Seq("doc_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_decontaminate" -> t14Decontaminate _,
+    "t15_pii_scrub" -> t15PiiScrub _,
+    "t16_repetition" -> t16Repetition _,
     "t9_bpe_tokens" -> t9BpeTokens _,
     "t10_dedup_resolve" -> t10DedupResolve _,
     "t11_quality_filter" -> t11QualityFilter _,

@@ -49,6 +49,50 @@ class TextOpsSpec extends SparkSuite {
     assert(df.filter(col("hamming") > 12).count() == 0)
   }
 
+  test("t14 decontamination: eval docs never flag themselves, and a " +
+    "planted clone is caught") {
+    val df = TextOps.t14Decontaminate(spark, sf).cache()
+    assert(df.filter(col("doc_id") < 10).count() == 0)
+    assert(df.filter(col("eval_id") >= 10).count() == 0)
+    assert(df.filter(col("n_shared") < 3).count() == 0)
+    // the corpus has genuine overlap (shared shingles drive t6/t7) —
+    // the scrub must find at least one contaminated pair at this sf
+    assert(df.count() > 0)
+    df.unpersist()
+  }
+
+  test("t15 pii scrub: planted emails/phones counted and redacted") {
+    val df = TextOps.t15PiiScrub(spark, sf).cache()
+    assert(df.filter(col("doc_id") % 7 === 0 && col("n_emails") < 1)
+      .count() == 0)
+    assert(df.filter(col("doc_id") % 11 === 0 && col("n_phones") < 1)
+      .count() == 0)
+    // nothing PII-shaped survives the scrub
+    assert(df.filter(col("scrubbed").rlike(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
+    assert(df.filter(col("scrubbed").rlike("\\+1-555-[0-9]{4}"))
+      .count() == 0)
+    assert(df.filter(col("doc_id") % 7 === 0 &&
+      !col("scrubbed").contains("<EMAIL>")).count() == 0)
+    df.unpersist()
+  }
+
+  test("t16 repetition: fractions in [0,1], degenerate docs score high") {
+    import spark.implicits._
+    val df = TextOps.t16Repetition(spark, sf)
+    assert(df.filter(col("dup_trigram_frac") < 0 ||
+      col("dup_trigram_frac") > 1).count() == 0)
+    assert(df.filter(col("top_token_ratio") <= 0 ||
+      col("top_token_ratio") > 1).count() == 0)
+    // a synthetic all-same-token doc pins both signals at the ceiling:
+    // 6 tokens -> 4 trigrams, 1 distinct -> dup_frac 0.75; top ratio 1.0
+    val one = Seq((999999L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val deg = TextOps.repetitionOf(one).collect()(0)
+    assert(deg.getAs[Double]("dup_trigram_frac") == 0.75)
+    assert(deg.getAs[Double]("top_token_ratio") == 1.0)
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
