@@ -1119,6 +1119,36 @@ object SparkEntry {
         |       || ',"tag":"' || tag || '"}', ',' ORDER BY proc_id)
         |  || ']}' AS doc
         |FROM a""",
+    // t17: the transitive closure re-derived with RECURSIVE SQL over
+    // the exact pair set (valid for the LSH pair set by the t13 recall
+    // contract) — a genuinely independent algorithm vs the Spark side's
+    // label propagation
+    "t17_dup_components" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  ed AS (SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |  reach(doc_id, comp) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.doc_a, r.comp FROM ed e
+        |    JOIN reach r ON e.doc_b = r.doc_id)
+        |SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

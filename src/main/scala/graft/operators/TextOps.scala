@@ -576,7 +576,50 @@ object TextOps {
       .join(topTok, Seq("doc_id"))
   }
 
+  /** t17 — duplicate CLUSTERS with transitive closure: t10's one-hop
+    * min-neighbor resolution under-merges chains (A~B, B~C, no A~C pair
+    * leaves C pointing at B). This is min-label propagation to a
+    * fixpoint — the standard distributed connected-components algorithm
+    * (Pregel/GraphX semantics) as plain DataFrame joins: per iteration
+    * ONE edge⋈label shuffle join + a min-aggregate, repeated at most
+    * graph-diameter times (the driver loop iterates over rounds, never
+    * over rows; near-dup cluster diameters are tiny in practice). The
+    * oracle re-derives the closure independently via recursive SQL. */
+  def t17DupComponents(s: SparkSession, d: String): DataFrame =
+    componentsOf(documents(s, d).select(col("doc_id")),
+      lshPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  private[graft] def componentsOf(docs: DataFrame, pairs: DataFrame)
+      : DataFrame = {
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+      .cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < 20) {
+      val viaNb = edges
+        .join(labels.withColumnRenamed("doc_id", "nb"),
+          col("doc_b") === col("nb"))
+        .select(col("doc_a").as("doc_id"), col("comp"))
+      val next = labels.unionByName(viaNb)
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_dup_components" -> t17DupComponents _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t15_pii_scrub" -> t15PiiScrub _,
     "t16_repetition" -> t16Repetition _,

@@ -93,6 +93,28 @@ class TextOpsSpec extends SparkSuite {
     assert(deg.getAs[Double]("top_token_ratio") == 1.0)
   }
 
+  test("t17 components: transitive chains merge, singletons self-label") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    // chain 1-2-3 has NO direct 1~3 pair — one-hop resolution (t10)
+    // would leave 3 labeled 2; the closure must pull it to 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = TextOps.componentsOf(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // and on the real corpus: labels are canonical (comp <= doc_id,
+    // and every comp is itself labeled comp — a valid forest root)
+    val real = TextOps.t17DupComponents(spark, sf).cache()
+    assert(real.filter(col("comp") > col("doc_id")).count() == 0)
+    val roots = real.select(col("comp").as("doc_id")).distinct()
+    val bad = roots.join(real, Seq("doc_id"))
+      .filter(col("comp") =!= col("doc_id")).count()
+    assert(bad == 0)
+    real.unpersist()
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
