@@ -594,10 +594,19 @@ object TextOps {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+    // iterate ONLY over edge-connected nodes — on a near-dup graph
+    // that is a small fraction of the corpus (most docs are unique);
+    // singletons rejoin as self-labeled roots afterwards, so the
+    // fixpoint loop never carries corpus-scale state
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
       .cache()
+    // one propagation hop per round, then a monotone checksum —
+    // labels only ever decrease, so an unchanged sum(comp) IS the
+    // fixpoint proof (no compare-join action needed)
     var iter = 0
     var done = false
+    var prev = BigDecimal(-1)
     while (!done && iter < 20) {
       val viaNb = edges
         .join(labels.withColumnRenamed("doc_id", "nb"),
@@ -606,16 +615,20 @@ object TextOps {
       val next = labels.unionByName(viaNb)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
         .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val chk = BigDecimal(next
+        .agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .first().getDecimal(0))
       labels.unpersist(blocking = false)
       labels = next
-      done = changed == 0
+      done = chk == prev
+      prev = chk
       iter += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
