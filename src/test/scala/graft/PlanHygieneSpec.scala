@@ -98,6 +98,13 @@ class PlanHygieneSpec extends SparkSuite {
       "window must sit above the per-user first-event aggregation")
   }
 
+  test("t14 decontamination: the eval set is the broadcast side") {
+    val nodes = ranPlan(TextOps.t14Decontaminate(spark, sf))
+    val names = nodes.map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"eval trigrams should broadcast: ${names.distinct}")
+  }
+
   test("t11 composite: corpus-scaled join sides never broadcast") {
     val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
     // the LSH loser set scales with the corpus — the anti-join must be
