@@ -443,6 +443,19 @@ object TextOps {
         .reduce(_ unionByName _)
       minHashLshOf(shRelationOf(reps))
     }),
+    // connected components at 20×: every clone group is a complete
+    // 20+-node subgraph (diameter 1), so the fixpoint must land in ~2
+    // rounds while the label relation carries ~every doc — the loop's
+    // state scales with the duplicate population, and this pins it
+    "z10_t17_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      componentsOf(reps.select(col("doc_id")),
+        minHashLshOf(shRelationOf(reps))
+          .select(col("doc_a"), col("doc_b")))
+    }),
     // composed-pipeline scale stress: the full t11 shape (quality filter
     // + LSH dup removal) on the corpus replicated 20× — the run the
     // round-1 t6-composed version could not survive
