@@ -158,6 +158,30 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** §2.13 stream-stream INTERVAL join with both sides watermarked —
+    * the R5 composition (program announcements from the PAT joined to
+    * section arrivals on that PID, `mpeg2_sp.c:1484-1558`) as two LIVE
+    * streams: a section matches an announcement on the same PID only
+    * within [ann_ts, ann_ts + 5 s] (the reference's 1 s PSI refresh
+    * tolerance, widened). The time bound + watermarks are what let
+    * Spark EXPIRE join state — without them a stream-stream join
+    * buffers both sides forever, the exact unbounded-registry hazard
+    * the reference's disassociation logic exists to contain.
+    * Inputs: announcements (pid, ts), sections (pid, ts, version). */
+  def announceSectionJoin(ann: DataFrame, sect: DataFrame): DataFrame = {
+    val a = ann.select(col("pid"), col("ts").as("ann_ts"))
+      .withWatermark("ann_ts", "10 seconds")
+    val s = sect
+      .select(col("pid").as("s_pid"), col("ts").as("sec_ts"),
+        col("version"))
+      .withWatermark("sec_ts", "10 seconds")
+    a.join(s,
+        col("pid") === col("s_pid") &&
+          col("sec_ts") >= col("ann_ts") &&
+          col("sec_ts") <= col("ann_ts") + expr("INTERVAL 5 SECONDS"))
+      .select(col("pid"), col("ann_ts"), col("sec_ts"), col("version"))
+  }
+
   /** §4 profiling hooks → `observe()`: the reference's distr-loop probe
     * (mean ns/packet per 10 000-packet batch, `mpeg2_sp.c:1385-1418`)
     * becomes streaming metrics riding the query itself — no second pass,
