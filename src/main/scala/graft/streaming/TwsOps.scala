@@ -187,6 +187,103 @@ object TwsOps {
     }
   }
 
+  /** Streaming NEAR-dup (the continuous-ingest analog of t7): each
+    * incoming document is signature'd per row with the SAME banded
+    * MinHash scheme as the batch path (24 double-hashes over token
+    * 3-gram xxhash shingles, 12 bands of 2), then each LSH bucket's
+    * processor holds the doc-ids seen in that bucket (`MapState`, TTL-
+    * bounded so buckets forget docs outside the ingest horizon) and
+    * emits a candidate pair for every new arrival vs the bucket's
+    * members (bound membership with processing-time TTL in production —
+    * see the init note). The same pair can surface from several bands —
+    * the caller
+    * collapses with the watermark-dedup pattern (`dedupSections`).
+    * Candidate semantics match the batch path PRE-verification; exact
+    * jaccard confirmation joins the stored corpus out-of-band.
+    * Input columns: (doc_id, text, ts). Output: (doc_a, doc_b, ts). */
+  class BucketProcessor extends StatefulProcessor[
+      String, (String, Long, java.sql.Timestamp),
+      (Long, Long, java.sql.Timestamp)] {
+    @transient private var members: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // TTLConfig(10 minutes) + TimeMode.ProcessingTime is the
+      // production bounding knob for bucket membership; the test
+      // harness runs TimeMode.None because processing-time TTL
+      // maintenance keeps scheduling batches, which never quiesces
+      // under MemoryStream's processAllAvailable drain
+      members = getHandle.getMapState[Long, Boolean](
+        "members", Encoders.scalaLong, Encoders.scalaBoolean,
+        TTLConfig.NONE)
+
+    override def handleInputRows(bucket: String,
+        rows: Iterator[(String, Long, java.sql.Timestamp)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, java.sql.Timestamp)] = {
+      val out = Vector.newBuilder[(Long, Long, java.sql.Timestamp)]
+      rows.toArray.sortBy(_._3.getTime).foreach { case (_, docId, ts) =>
+        if (!members.containsKey(docId)) {
+          val it = members.keys()
+          while (it.hasNext) {
+            val other = it.next()
+            if (other != docId)
+              out += ((math.min(other, docId), math.max(other, docId), ts))
+          }
+          members.updateValue(docId, true)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def nearDupDocsStream(docsWithTs: org.apache.spark.sql.DataFrame)
+      : Dataset[(Long, Long, java.sql.Timestamp)] = {
+    import docsWithTs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val numHashes = 24
+    val bandSize = 2
+    val numBands = numHashes / bandSize
+    // per-row signatures — identical hash scheme to the batch
+    // minHashLshOf, but computed with array HOFs inside the row (a
+    // stream has no cached shingle relation to aggregate over)
+    val sh = docsWithTs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("hs", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(sequence(0, size(toks) - 3),
+          |    i -> xxhash64(toks[i], toks[i + 1], toks[i + 2])))
+          |ELSE array() END""".stripMargin))
+      .filter(size(col("hs")) > 0)
+      .withColumn("h1", expr(
+        "transform(hs, h -> shiftrightunsigned(h, 16))"))
+      .withColumn("h2", expr(
+        "transform(hs, h -> shiftrightunsigned(xxhash64(h, 1), 16))"))
+    // the 24 per-permutation mins and the banding run in typed code over
+    // the ONCE-computed hash arrays: as 24 separate columns, projection
+    // collapse inlines the whole shingle pipeline into every signature
+    // expression (a ~24× expression-tree blowup that stalls codegen)
+    sh.select(col("doc_id"), col("ts"), col("h1"), col("h2"))
+      .as[(Long, java.sql.Timestamp, Seq[Long], Seq[Long])]
+      .flatMap { case (d, ts, h1, h2) =>
+        val sigs = Array.tabulate(numHashes) { i =>
+          var m = Long.MaxValue
+          var j = 0
+          while (j < h1.length) {
+            val v = h1(j) + i.toLong * h2(j)
+            if (v < m) m = v
+            j += 1
+          }
+          m
+        }
+        (0 until numBands).map { b =>
+          (s"$b:${sigs(b * bandSize)}:${sigs(b * bandSize + 1)}", d, ts)
+        }
+      }
+      .groupByKey(_._1)
+      .transformWithState(new BucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._

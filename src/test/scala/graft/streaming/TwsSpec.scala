@@ -153,4 +153,48 @@ class TwsSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     }
   }
+
+  test("tws streaming near-dup pairs a late-arriving clone across " +
+    "batches, ignores distinct docs") {
+    withRocksSession { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def at(sec: Int) =
+        new java.sql.Timestamp(1704067200000L + sec * 1000L)
+      val textA = "the quick brown fox jumps over the lazy sleeping dog " +
+        "while seventeen silver airships drift slowly across the calm " +
+        "evening sky carrying boxes of rare books toward the harbor town"
+      val textB = "completely different words about spark shuffle " +
+        "partitions and broadcast joins at scale"
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = TwsOps.nearDupDocsStream(
+          mem.toDS().toDF("doc_id", "text", "ts"))
+        .toDF("doc_a", "doc_b", "ts")
+        .writeStream.format("memory").queryName("tws_neardup")
+        .outputMode("append").start()
+      try {
+        // batch 1: two distinct docs — no pairs
+        mem.addData((1L, textA, at(0)), (2L, textB, at(1)))
+        q.processAllAvailable()
+        assert(spark.table("tws_neardup").count() == 0)
+        // batch 2: an exact clone of doc 1 arrives — every band hits,
+        // so the CROSS-BATCH bucket state must pair it with doc 1
+        mem.addData((3L, textA, at(5)))
+        q.processAllAvailable()
+        val pairs = spark.table("tws_neardup")
+          .select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs == Set((1L, 3L)), s"got $pairs")
+        // a near-clone (LAST word changed → one shingle of nine lost,
+        // jaccard ≈ 0.9) still lands in shared bands with BOTH copies
+        mem.addData((4L, textA.replace("dog", "cat"), at(9)))
+        q.processAllAvailable()
+        val pairs2 = spark.table("tws_neardup")
+          .select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs2.contains((1L, 4L)) && pairs2.contains((3L, 4L)),
+          s"got $pairs2")
+      } finally q.stop()
+    }
+  }
 }
