@@ -1259,5 +1259,24 @@ object SparkEntry {
         |    AS frame_hash
         |FROM m, LATERAL unnest(range(0,
         |  greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i)""",
+    // m4: the stride decimation re-derived over the same hex rendering
+    "m4_resize" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    length(text) AS n FROM documents),
+        |d AS (SELECT doc_id, hx,
+        |    CAST(n // 32 AS INTEGER) AS in_h FROM m),
+        |e AS (SELECT doc_id, hx,
+        |    CAST(in_h // 2 AS INTEGER) AS out_h
+        |  FROM d WHERE in_h // 2 > 0),
+        |sm AS (SELECT doc_id, out_h,
+        |    array_to_string(list_transform(
+        |      range(0, out_h * 16),
+        |      i -> substring(hx,
+        |        CAST(((i // 16) * 2 * 32 + (i % 16) * 2) * 2 + 1
+        |          AS INTEGER), 2)), '') AS sampled
+        |  FROM e)
+        |SELECT doc_id, 16 AS out_w, out_h, md5(sampled) AS resized_hash,
+        |  CAST(length(sampled) // 2 AS INTEGER) AS n_out_bytes
+        |FROM sm""",
   )).map { case (k, v) => k -> v.stripMargin.replace('\n', ' ') }
 }

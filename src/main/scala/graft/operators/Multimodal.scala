@@ -111,9 +111,42 @@ object Multimodal {
             s"$frameLen)")).as("frame_hash"))
   }
 
+  /** m4 — resize plumbing: treat the payload as rows of 32 bytes and
+    * 2×-downsample (every 2nd byte of every 2nd full row — the stride
+    * decimation a real resizer performs after decode, with the codec
+    * itself stubbed like m2's). Emits the new dimensions plus a content
+    * hash of the sampled bytes, all inside codegen (hex-string
+    * indexing), so the DuckDB oracle re-derives the identical resize.
+    * At scale this is a pure per-row projection — no shuffle, payload
+    * read once. */
+  def m4Resize(s: SparkSession, d: String): DataFrame =
+    resizeOf(media(s, d))
+
+  private[graft] def resizeOf(mediaDf: DataFrame): DataFrame = {
+    val w = 32
+    val f = 2
+    mediaDf
+      .select(col("doc_id"), hex(col("media")).as("hx"), col("n_bytes"))
+      .withColumn("in_h", expr(s"cast(n_bytes div $w as int)"))
+      .withColumn("out_h", expr(s"cast(in_h div $f as int)"))
+      .withColumn("out_w", lit(w / f))
+      .filter(col("out_h") > 0)
+      .withColumn("sampled", expr(
+        s"""array_join(transform(
+           |  sequence(0, out_h * out_w - 1),
+           |  i -> substring(hx,
+           |    ((i div out_w) * $f * $w + (i % out_w) * $f) * 2 + 1,
+           |    2)),
+           |  '')""".stripMargin))
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        md5(col("sampled")).as("resized_hash"),
+        expr("cast(length(sampled) div 2 as int)").as("n_out_bytes"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> m1MediaMeta _,
     "m2_feature_extract" -> m2FeatureExtract _,
     "m3_frame_sample" -> m3FrameSample _,
+    "m4_resize" -> m4Resize _,
   )
 }

@@ -14,4 +14,28 @@ class MultimodalSpec extends SparkSuite {
     assert(expr.count() == batch.count())
     assert(expr.exceptAll(batch).isEmpty && batch.exceptAll(expr).isEmpty)
   }
+
+  test("m4 resize: 2x stride decimation on a known payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 96 bytes = 3 full 32-byte rows -> out_h = 1, out_w = 16; the
+    // sampled bytes are row 0's even columns: payload(0,2,...,30)
+    val payload = (0 until 96).map(i => ('A' + i % 26).toChar).mkString
+    val one = Seq((7L, payload)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        length(col("text")).as("n_bytes"))
+    val row = Multimodal.resizeOf(one).collect()(0)
+    assert(row.getAs[Int]("out_w") == 16 && row.getAs[Int]("out_h") == 1)
+    assert(row.getAs[Int]("n_out_bytes") == 16)
+    val expectedHex = (0 until 32 by 2)
+      .map(i => f"${payload(i).toInt}%02X").mkString
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectedHex.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(row.getAs[String]("resized_hash") == expectedMd5)
+    // corpus run: dims are consistent on every row
+    val df = Multimodal.m4Resize(spark, sf)
+    assert(df.filter(col("n_out_bytes") =!=
+      col("out_w") * col("out_h")).count() == 0)
+  }
 }
