@@ -40,5 +40,6 @@ object OpLake {
     save(operators.Similarity.e2Buckets(s, d), "lsh_buckets")
     save(operators.Similarity.trainedCentroids(s, d), "kmeans_centroids")
     save(operators.Relational.a7Estimates(s, d), "a7_est")
+    save(operators.Relational.a11Estimates(s, d), "a11_est")
   }
 }

@@ -204,6 +204,27 @@ object SparkEntry {
          |JOIN embeddings ea ON p.vec_a = ea.vec_id
          |JOIN embeddings eb ON p.vec_b = eb.vec_id
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.2""",
+    // a11: quantile estimates dumped; exact ranks + the 2ε·n+1 bound
+    // re-derived — the sketch's contract is checked, not the bits
+    "a11_quantiles" ->
+      s"""WITH est AS (SELECT * FROM ${oprel("a11_est")}),
+         |r AS (SELECT l.l_returnflag, count(*) AS n,
+         |    sum(CASE WHEN l_extendedprice <= e.p50 THEN 1 ELSE 0 END)
+         |      AS r50,
+         |    sum(CASE WHEN l_extendedprice <= e.p90 THEN 1 ELSE 0 END)
+         |      AS r90,
+         |    sum(CASE WHEN l_extendedprice <= e.p99 THEN 1 ELSE 0 END)
+         |      AS r99
+         |  FROM lineitem l JOIN est e USING (l_returnflag)
+         |  GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  abs(CAST(r50 AS DOUBLE) - 0.5 * CAST(n AS DOUBLE))
+         |    <= 0.0002 * CAST(n AS DOUBLE) + 1.0 AS p50_ok,
+         |  abs(CAST(r90 AS DOUBLE) - 0.9 * CAST(n AS DOUBLE))
+         |    <= 0.0002 * CAST(n AS DOUBLE) + 1.0 AS p90_ok,
+         |  abs(CAST(r99 AS DOUBLE) - 0.99 * CAST(n AS DOUBLE))
+         |    <= 0.0002 * CAST(n AS DOUBLE) + 1.0 AS p99_ok
+         |FROM r""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
     "a7_approx_distinct" ->

@@ -304,6 +304,46 @@ object Relational {
         ok(col("approx_supps"), col("exact_supps")).as("supps_within_rsd"))
   }
 
+  /** a11 estimates — approx_percentile (KLL/GK-class sketch) per group:
+    * the quantile companion of a7's HLL. Dumped by [[graft.OpLake]] so
+    * the oracle can check the sketch's rank-error CONTRACT (ε ≤
+    * 1/accuracy for any partition merge order) instead of the bits. */
+  private[graft] def a11Estimates(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, " +
+        "array(0.5D, 0.9D, 0.99D), 10000)").as("q"))
+      .select(col("l_returnflag"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p90"),
+        col("q").getItem(2).as("p99"))
+
+  /** a11 — approximate quantiles with the error bound asserted in-query
+    * (the a7 pattern): the exact rank of each estimate must sit within
+    * 2ε·n + 1 of the target rank. Driver-checkable even though the
+    * sketch itself is engine-specific. */
+  def a11ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val est = a11Estimates(s, d)
+    val r = lineitem(s, d)
+      .join(broadcast(est), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L))
+          .as("r50"),
+        sum(when(col("l_extendedprice") <= col("p90"), 1L).otherwise(0L))
+          .as("r90"),
+        sum(when(col("l_extendedprice") <= col("p99"), 1L).otherwise(0L))
+          .as("r99"))
+    def ok(rank: org.apache.spark.sql.Column, q: Double) =
+      abs(rank.cast("double") - lit(q) * col("n").cast("double")) <=
+        lit(0.0002) * col("n").cast("double") + lit(1.0)
+    r.select(col("l_returnflag"), col("n"),
+      ok(col("r50"), 0.5).as("p50_ok"),
+      ok(col("r90"), 0.9).as("p90_ok"),
+      ok(col("r99"), 0.99).as("p99_ok"))
+  }
+
   /** A5: gauge registers — running peak + current (last-by-sequence) value
     * per series (reference: getPeakRSS/getCurrentRSS each second,
     * `stats/src/stats.c:398-416,527-536`). `max_by` keeps the read of the
@@ -614,6 +654,7 @@ object Relational {
     "a6_log_dedup" -> a6LogDedup _,
     "a5_gauges" -> a5Gauges _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
+    "a11_quantiles" -> a11ApproxQuantiles _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
     "ts12_stats_doc" -> ts12StatsDoc _,
