@@ -423,7 +423,11 @@ object TextOps {
   def t13LshRecall(s: SparkSession, d: String): DataFrame = {
     val exact = exactPairs(s, d).select("doc_a", "doc_b")
     val lsh = lshPairs(s, d).select("doc_a", "doc_b")
-    val missing = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    // the LSH pair set scales with the corpus — same SHUFFLE_HASH pin
+    // as t10/t11 (also keeps the plan shape independent of whether the
+    // pair caches happen to be materialized with row stats)
+    val missing = exact.join(lsh.hint("SHUFFLE_HASH"),
+      Seq("doc_a", "doc_b"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(missing.agg(count(lit(1)).as("n_missing_from_lsh")))
   }

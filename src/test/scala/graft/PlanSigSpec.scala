@@ -1,0 +1,29 @@
+package graft
+
+/** Diffs every query's current physical-plan shape against the committed
+  * `PLAN_SIGS.json`. A mismatch means the plan CHANGED — if intentional,
+  * regenerate with `sbt "runMain graft.PlanSig"` and review the diff in
+  * the commit; if not, a broadcast/aggregate/exchange regressed. */
+class PlanSigSpec extends SparkSuite {
+
+  test("physical plan shapes match the committed signatures") {
+    val committed = PlanSig.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(PlanSig.SigFile)), "UTF-8"))
+    val current = PlanSig.all(spark)
+    val missing = current.collect {
+      case (n, _) if !committed.contains(n) => n
+    }
+    val changed = current.collect {
+      case (n, sig) if committed.contains(n) && committed(n) != sig =>
+        s"$n:\n  committed: ${committed(n)}\n  current:   $sig"
+    }
+    val stale = committed.keySet -- current.map(_._1).toSet
+    assert(missing.isEmpty && changed.isEmpty && stale.isEmpty,
+      s"""plan drift (regenerate via `sbt "runMain graft.PlanSig"` if
+         |intended):
+         |missing from file: ${missing.mkString(", ")}
+         |stale in file: ${stale.mkString(", ")}
+         |${changed.mkString("\n")}""".stripMargin)
+  }
+}
