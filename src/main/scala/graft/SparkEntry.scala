@@ -401,6 +401,23 @@ object SparkEntry {
          |FROM tt, progs_json, procs_json, lt_json""",
     // ts14: per-PID sane-delta PCR spans, max across PIDs, per-second
     // bucketing and tenths rendering re-derived from the fixture dump
+    // ts15: the summary join re-derived over the dumped PSI dims — the
+    // SDT side actually MATCHES here (pcr_pid constant per program, so
+    // min == the Spark side's first)
+    "ts15_mpts_summary" ->
+      s"""WITH pat AS (SELECT program_number, reference_pid
+         |    FROM ${tsrel("mpts_pat")} WHERE program_number <> 0),
+         |  pmt AS (SELECT program_number, min(pcr_pid) AS pcr_pid,
+         |      count(*) AS n_es
+         |    FROM ${tsrel("mpts_pmt")} GROUP BY 1),
+         |  sdt AS (SELECT service_id, service_name
+         |    FROM ${tsrel("mpts_sdt")})
+         |SELECT p.program_number, p.reference_pid,
+         |  coalesce(s.service_name, '') AS service_name,
+         |  m.pcr_pid, coalesce(m.n_es, 0) AS n_es
+         |FROM pat p
+         |LEFT JOIN sdt s ON p.program_number = s.service_id
+         |LEFT JOIN pmt m USING (program_number)""",
     "ts14_mpts_bitrate" ->
       s"""WITH pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
          |      PARTITION BY pid ORDER BY seq) AS delta

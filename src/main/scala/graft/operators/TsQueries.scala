@@ -339,6 +339,27 @@ object TsQueries {
       TsPipeline.pmtTable(s,
         TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
     }
+  private[graft] def mptsPat(s: SparkSession): DataFrame =
+    memoized(s, "mpts_pat") {
+      TsPipeline.patTable(s,
+        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+    }
+  private[graft] def mptsSdt(s: SparkSession): DataFrame =
+    memoized(s, "mpts_sdt") {
+      TsPipeline.sdtTable(s,
+        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+    }
+
+  /** §3.2's programs summary on the MULTI-program fixture WITH a real
+    * SDT: the capture has no SDT, so ts6 only ever exercises the
+    * null-fill branch of the J3 left join — here every program resolves
+    * an actual service name ("Service N", 0x48 descriptors built with
+    * the engine's own encoders), proving the match path of F7/J3 under
+    * the oracle too. */
+  def ts15MptsSummary(s: SparkSession, d: String): DataFrame =
+    TsPipeline.programsSummaryFromTables(mptsPat(s), mptsPmt(s),
+        mptsSdt(s))
+      .orderBy(col("program_number"))
 
   /** A1 on a MULTI-timeline mux: per-program avg/peak bitrate where the
     * stream duration is the max of per-PCR-PID sane-delta sums — two
@@ -371,5 +392,6 @@ object TsQueries {
     "ts5_pmt_es" -> ts5PmtEs _,
     "ts6_programs_summary" -> ts6ProgramsSummary _,
     "ts14_mpts_bitrate" -> ts14MptsBitrate _,
+    "ts15_mpts_summary" -> ts15MptsSummary _,
   )
 }

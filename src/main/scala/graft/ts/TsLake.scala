@@ -166,5 +166,11 @@ object TsLake {
       .select(col("program_number"), col("pmt_pid"), col("pcr_pid"),
         col("elementary_pid")),
       "mpts_pmt")
+    // ts15 re-derives the programs-summary JOIN (PAT⋈PMT⋈SDT with a
+    // REAL sdt — the capture only exercises the null-fill branch)
+    save(graft.operators.TsQueries.mptsPat(s), "mpts_pat")
+    save(graft.operators.TsQueries.mptsSdt(s)
+      .select(col("service_id"), col("service_name")),
+      "mpts_sdt")
   }
 }

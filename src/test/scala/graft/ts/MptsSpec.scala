@@ -58,6 +58,14 @@ class MptsSpec extends SparkSuite {
     assert(p1avg > 22 && p1avg < 37, s"p1 avg=$p1avg (span wrong?)")
   }
 
+  test("ts15: the driver-checkable summary resolves every service name") {
+    val rows = graft.operators.TsQueries.ts15MptsSummary(spark, "")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("service_name").startsWith(
+      "Service ")))
+  }
+
   test("repeated sections converge to one row per entity") {
     // every section was sent twice; state must still be single-valued
     val secs = TsPipeline.psiSections(spark, Fixtures.mpts(spark))
