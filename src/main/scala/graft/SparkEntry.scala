@@ -789,6 +789,43 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""",
+    "a12_cube" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS INT)
+        |    AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY CUBE (event_type, hour(ts))""",
+    "s5_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'error') AS DOUBLE) AS error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'view') AS DOUBLE) AS view
+        |FROM events GROUP BY user_id""",
+    "w8_session_agg" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS session_value
+        |FROM s GROUP BY user_id, session_id""",
     "r1_gap_detect" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL
@@ -1278,6 +1315,51 @@ object SparkEntry {
         }.mkString(", ") + " FROM hn"),
     // hex(md5)[1..6] parsed digit-wise (strpos over the hex alphabet ×
     // powers of 16) — DuckDB's portable spelling of Spark's conv(_,16,10)
+    // t18: segments re-derived from the raw text (DuckDB groups segment
+    // TEXT where Spark groups the 64-bit segment hash — count-equivalent
+    // absent a 64-bit collision, which 5k segments cannot plausibly hit)
+    "t18_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |segs AS (SELECT doc_id,
+        |    unnest([array_to_string(t[i*10+1 : i*10+10], ' ')
+        |      for i in range(0, CAST(ceil(len(t)/10.0) AS INT))]) AS seg
+        |  FROM toks),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS n_docs
+        |  FROM segs GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_segs
+        |FROM segs JOIN freq USING (seg)
+        |GROUP BY doc_id""",
+    "t19_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df
+        |  FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score
+        |FROM r WHERE rnk <= 3""",
+    "t20_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |  CAST(list_sum(list_transform(range(1, 7),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5('strat:' || text), CAST(i AS INTEGER), 1)) - 1)
+        |      * (16 ** (6 - i)))) AS BIGINT) % 1000 AS bkt
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(bkt AS INTEGER) AS bucket
+        |FROM b
+        |WHERE bkt < CASE WHEN lang = 'en' THEN 100
+        |  WHEN lang = 'zh' THEN 300 ELSE 500 END""",
     "t12_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(list_sum(list_transform(range(1, 7),

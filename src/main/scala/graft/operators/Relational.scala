@@ -515,6 +515,55 @@ object Relational {
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
   }
 
+  /** A-class: CUBE — every grouping-grain combination (type × hour, type,
+    * hour, total) in one Expand pass, with a grouping id so subtotal rows
+    * are distinguishable from genuine NULL groups. Same multi-grain stats
+    * projection family as a10's ROLLUP; one scan feeds all grains, so the
+    * cost at 100 TB is one shuffle on the expanded grouping key, not four
+    * separate aggregations. SQL path for the same resolver reason as a10. */
+  def a12Cube(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("a12_events")
+    s.sql(
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |  CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INT)
+        |    AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM a12_events
+        |GROUP BY CUBE (event_type, hour(ts))""".stripMargin)
+  }
+
+  /** S-class: PIVOT — long→wide reshape with an EXPLICIT value list, so
+    * the plan is a single partial-aggregated pass (no extra distinct-values
+    * job, deterministic schema at any scale). One conditional-sum column
+    * per event type; sums route through DECIMAL per the file contract. */
+  def s5Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast(dec)).cast("double"))
+
+  /** W-class: session windows (gaps-and-islands) — assign a session id per
+    * user from 30-min inactivity gaps, then aggregate per session. Two
+    * ordered windows + one groupBy, all partitioned by user_id: one shuffle
+    * on the user key, bounded per-key state, no global ordering anywhere.
+    * Batch analog of the timer-driven sessionization in streaming.TwsOps
+    * (reference: inter-packet-arrival session split, `ts_dec.c:98-172`). */
+  def w8SessionAgg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+    events(s, d)
+      .withColumn("new_sess", when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast(dec)).cast("double").as("session_value"))
+  }
+
   // ------------------------------------------- stateful-operator analogs (R)
   /** R1 analog: discontinuity/sessionization — count session starts per key
     * where the gap to the previous event exceeds 30 min (reference: CC
@@ -666,6 +715,9 @@ object Relational {
     "w5_running_max" -> w5RunningMax _,
     "w7_ntile" -> w7Ntile _,
     "a10_rollup" -> a10Rollup _,
+    "a12_cube" -> a12Cube _,
+    "s5_pivot" -> s5Pivot _,
+    "w8_session_agg" -> w8SessionAgg _,
     "r1_gap_detect" -> r1GapDetect _,
     "r2_latest_per_key" -> r2LatestPerKey _,
     "r3_group_complete" -> r3GroupComplete _,

@@ -648,8 +648,83 @@ object TextOps {
         coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** t18: cross-document SEGMENT dedup (the line-level dedup pass of
+    * C4/RefinedWeb-style corpus cleaning, applied to 10-token segments —
+    * this corpus has no newlines). A segment counts as duplicated when
+    * its text occurs in ≥ 2 DISTINCT documents. Per doc: total segments
+    * and cross-doc-duplicated segments.
+    *
+    * Scale: segments reduce to 8-byte xxhash64 values immediately after
+    * the in-task split, so both shuffles (hash→distinct-doc count, and
+    * the count join back) carry hashes, never segment text. The frequency
+    * side is corpus-scaled, so the join stays un-hinted for AQE to pick
+    * shuffle vs broadcast from runtime stats. */
+  def t18SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(ceil(size(t)/10.0) as int) - 1),
+          |  i -> xxhash64(array_join(slice(t, i*10+1, 10), ' ')))"""
+          .stripMargin)).as("seg_hash"))
+    val freq = segs.groupBy("seg_hash")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    segs.join(freq, Seq("seg_hash"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+  }
+
+  /** t19: per-document top-3 salient terms by a tf-idf surrogate.
+    * score = tf · (N / df) — the log is dropped deliberately: ln() is not
+    * IEEE-exact across engines (libm vs java.lang.Math differ in the last
+    * ulp) while ·/÷ are, so the surrogate is bit-deterministic for the
+    * oracle AND rank-equivalent to tf-idf per doc (log is monotone; tf
+    * ties broken by term). One explode + two hash aggregations + a
+    * bounded per-doc window (WindowGroupLimit pushes the top-3). */
+  def t19Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
+
+  /** t20: deterministic stratified sampling — per-language keep rates
+    * (rebalance an over-represented language corpus: en 10%, zh 30%,
+    * rest 50%) decided by a content-derived hash bucket, so the sample
+    * is reproducible under any partitioning and needs no sampling state.
+    * Same 24-bit md5 bucket derivation as t12 (near-uniform), salted so
+    * the sample is independent of the train/val/test split. */
+  def t20StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("strat:"), col("text")).cast("binary"))
+    val bucket =
+      (conv(substring(h, 1, 6), 16, 10).cast("long") % 1000).cast("int")
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "zh", 300)
+      .otherwise(500)
+    documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_dup_components" -> t17DupComponents _,
+    "t18_segment_dedup" -> t18SegmentDedup _,
+    "t19_tfidf" -> t19Tfidf _,
+    "t20_stratified_sample" -> t20StratifiedSample _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t15_pii_scrub" -> t15PiiScrub _,
     "t16_repetition" -> t16Repetition _,

@@ -96,4 +96,61 @@ class RelationalSpec extends SparkSuite {
     assert(n == Tables.customer(spark, sf).count() +
       Tables.supplier(spark, sf).count())
   }
+
+  test("a12 cube: all four grains present, totals consistent") {
+    val df = Relational.a12Cube(spark, sf).cache()
+    try {
+      val nEvents = Tables.events(spark, sf).count()
+      // grand total row (gid=3): one row counting everything
+      val grand = df.filter(col("gid") === 3).collect()
+      assert(grand.length == 1 && grand(0).getAs[Long]("n") == nEvents)
+      // finest grain (gid=0) re-sums to the grand total
+      val fine = df.filter(col("gid") === 0)
+        .agg(sum("n")).first().getLong(0)
+      assert(fine == nEvents)
+      // per-type subtotal grain matches an independent groupBy
+      val byType = df.filter(col("gid") === 1)
+        .select(col("event_type"), col("n"))
+      val indep = Tables.events(spark, sf).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(byType.except(indep).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("s5 pivot: one row per user, cells re-sum to the column total") {
+    val df = Relational.s5Pivot(spark, sf).cache()
+    try {
+      assert(df.count() ==
+        Tables.events(spark, sf).select("user_id").distinct().count())
+      val cells = df.select(
+        (coalesce(col("click"), lit(0.0)) + coalesce(col("error"), lit(0.0))
+          + coalesce(col("purchase"), lit(0.0))
+          + coalesce(col("signup"), lit(0.0))
+          + coalesce(col("view"), lit(0.0))).as("rowsum"))
+        .agg(sum(col("rowsum").cast("decimal(18,2)"))).first().getDecimal(0)
+      val direct = Tables.events(spark, sf)
+        .agg(sum(col("value").cast("decimal(18,2)"))).first().getDecimal(0)
+      assert(cells.compareTo(direct) == 0)
+    } finally df.unpersist()
+  }
+
+  test("w8 session agg: events conserved, sessions ordered and gapped") {
+    val df = Relational.w8SessionAgg(spark, sf).cache()
+    try {
+      assert(df.agg(sum("n_events")).first().getLong(0) ==
+        Tables.events(spark, sf).count())
+      assert(df.filter(col("session_start") > col("session_end"))
+        .count() == 0)
+      // consecutive sessions of one user are separated by > 30 min
+      // (else they would have merged)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_id")
+      val merged = df
+        .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          unix_timestamp(col("session_start")) -
+            unix_timestamp(col("prev_end")) <= 1800)
+      assert(merged.count() == 0)
+    } finally df.unpersist()
+  }
 }

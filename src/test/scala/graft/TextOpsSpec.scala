@@ -115,6 +115,59 @@ class TextOpsSpec extends SparkSuite {
     real.unpersist()
   }
 
+  test("t18 segment dedup: exact-duplicate docs have every segment " +
+    "duplicated, unique-segment docs have none") {
+    val df = TextOps.t18SegmentDedup(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_dup_segs") > col("n_segs")).count() == 0)
+    // any doc that is a full-content clone of another must have ALL of
+    // its segments flagged as cross-doc duplicates
+    val clones = TextOps.t1ExactDedup(spark, sf)
+      .filter(col("copies") >= 2).select(col("keep_id").as("doc_id"))
+    val miss = df.join(clones, Seq("doc_id"))
+      .filter(col("n_dup_segs") =!= col("n_segs")).count()
+    assert(miss == 0)
+    df.unpersist()
+  }
+
+  test("t19 tfidf: top-3 per doc, ranks dense, scores ordered") {
+    val df = TextOps.t19Tfidf(spark, sf).cache()
+    val perDoc = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(perDoc.filter(col("n") > 3 || col("lo") =!= 1 ||
+      col("hi") =!= col("n")).count() == 0)
+    // rank order agrees with score order within each doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("rnk"))
+    val disordered = df
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score"))
+    assert(disordered.count() == 0)
+    assert(df.filter(col("score") <= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("t20 stratified sample: buckets under the per-lang rate, " +
+    "en downsampled below the rest") {
+    val df = TextOps.t20StratifiedSample(spark, sf).cache()
+    assert(df.filter(col("lang") === "en" && col("bucket") >= 100)
+      .count() == 0)
+    assert(df.filter(col("lang") === "zh" && col("bucket") >= 300)
+      .count() == 0)
+    assert(df.filter(col("bucket") >= 500).count() == 0)
+    val total = Tables.documents(spark, sf)
+      .groupBy("lang").count().withColumnRenamed("count", "n_all")
+    val kept = df.groupBy("lang").count().withColumnRenamed("count", "n_kept")
+    val frac = kept.join(total, Seq("lang"))
+      .select(col("lang"),
+        (col("n_kept").cast("double") / col("n_all")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // binomial noise at this sf is wide; assert the ordering + coarse bands
+    assert(frac("en") < 0.25)
+    assert(frac("en") < frac("de") && frac("en") < frac("fr"))
+    df.unpersist()
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
