@@ -41,5 +41,6 @@ object OpLake {
     save(operators.Similarity.trainedCentroids(s, d), "kmeans_centroids")
     save(operators.Relational.a7Estimates(s, d), "a7_est")
     save(operators.Relational.a11Estimates(s, d), "a11_est")
+    save(operators.Relational.a13Estimates(s, d), "a13_est")
   }
 }

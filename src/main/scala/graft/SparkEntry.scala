@@ -225,6 +225,19 @@ object SparkEntry {
          |  abs(CAST(r99 AS DOUBLE) - 0.99 * CAST(n AS DOUBLE))
          |    <= 0.0002 * CAST(n AS DOUBLE) + 1.0 AS p99_ok
          |FROM r""",
+    // a13: count-min estimates dumped; exact token counts + the one-sided
+    // and 3N/width bounds re-derived — integer math, so the booleans are
+    // engine-exact (the sketch's contract is checked, not the bits)
+    "a13_heavy_hitters" ->
+      s"""WITH terms AS (SELECT
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |exact AS (SELECT term, count(*) AS exact FROM terms GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM terms),
+         |est AS (SELECT * FROM ${oprel("a13_est")})
+         |SELECT term, est, exact, est >= exact AS lower_ok,
+         |  (est - exact) * 1024 <= 3 * n_total AS eps_ok
+         |FROM est JOIN exact USING (term) CROSS JOIN n""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
     "a7_approx_distinct" ->
@@ -810,6 +823,21 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
         |    FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events GROUP BY user_id""",
+    "s6_unpivot" ->
+      """WITH p AS (SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'error') AS DOUBLE) AS error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'view') AS DOUBLE) AS view
+        |FROM events GROUP BY user_id)
+        |UNPIVOT p ON click, error, purchase, signup, view
+        |INTO NAME event_type VALUE total""",
     "w8_session_agg" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

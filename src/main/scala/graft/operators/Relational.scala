@@ -543,6 +543,20 @@ object Relational {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(sum(col("value").cast(dec)).cast("double"))
 
+  /** S-class: UNPIVOT — wide→long reshape, the inverse of [[s5Pivot]]:
+    * melt the per-type columns back into (event_type, total) rows. Pure
+    * row-local Expand (no shuffle beyond the pivot's own aggregation);
+    * nulls (user×type cells with no events) are dropped on both engines
+    * explicitly, since SQL UNPIVOT excludes them by default. */
+  def s6Unpivot(s: SparkSession, d: String): DataFrame =
+    s5Pivot(s, d)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "total")
+      .filter(col("total").isNotNull)
+
   /** W-class: session windows (gaps-and-islands) — assign a session id per
     * user from 30-min inactivity gaps, then aggregate per session. Two
     * ordered windows + one groupBy, all partitioned by user_id: one shuffle
@@ -562,6 +576,62 @@ object Relational {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         sum(col("value").cast(dec)).cast("double").as("session_value"))
+  }
+
+  // ------------------------------------------- sketch family part 3 (a13)
+  // (HLL distinct a7, quantiles a11, heavy hitters a13 — the bounded-
+  // error aggregates a stats daemon keeps where exact state won't fit.)
+
+  private val CmDepth = 4
+  private val CmWidth = 1024L
+
+  private def cmCells(df: DataFrame): DataFrame =
+    df.select(col("term"), explode(expr(
+      s"""transform(sequence(0, ${CmDepth - 1}),
+         |  i -> named_struct('depth', i,
+         |    'cell', pmod(xxhash64(i, term), ${CmWidth}L)))""".stripMargin))
+      .as("dc"))
+      .select(col("term"), col("dc.depth").as("depth"),
+        col("dc.cell").as("cell"))
+
+  private def corpusTerms(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+
+  /** COUNT–MIN SKETCH estimates for every candidate token, built and
+    * probed DECLARATIVELY: sketch(i,j) = #token instances whose row-i
+    * hash lands in cell j — exactly a groupBy over (depth, cell), so the
+    * build is one partial-aggregated shuffle collapsing to ≤ depth×width
+    * = 4096 rows no matter the corpus size; the probe joins each
+    * candidate's 4 cells back against the BROADCAST sketch and takes the
+    * row-minimum. No driver-side sketch object, no UDAF — the sketch IS
+    * a DataFrame, so it merges/unions/persists like any relation. */
+  def a13Estimates(s: SparkSession, d: String): DataFrame = {
+    val terms = corpusTerms(s, d)
+    val sketch = cmCells(terms)
+      .groupBy("depth", "cell").agg(count(lit(1)).as("cnt"))
+    cmCells(terms.distinct())
+      .join(broadcast(sketch), Seq("depth", "cell"))
+      .groupBy("term").agg(min(col("cnt")).as("est"))
+  }
+
+  /** A-class: heavy hitters via count–min — estimates vs exact counts
+    * with the CM error contract asserted per token: est ≥ exact (one-
+    * sided by construction) and est − exact ≤ 3N/width (Markov over the
+    * per-row expected collision mass N/width, integer math only so both
+    * engines compute the identical booleans). The oracle re-derives
+    * exact counts and the bounds from the dumped estimates. */
+  def a13HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val exact = corpusTerms(s, d)
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    val n = corpusTerms(s, d).agg(count(lit(1)).as("n_total"))
+    a13Estimates(s, d)
+      .join(exact, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("est"), col("exact"),
+        (col("est") >= col("exact")).as("lower_ok"),
+        ((col("est") - col("exact")) * lit(CmWidth) <=
+          lit(3L) * col("n_total")).as("eps_ok"))
   }
 
   // ------------------------------------------- stateful-operator analogs (R)
@@ -704,6 +774,7 @@ object Relational {
     "a5_gauges" -> a5Gauges _,
     "a7_approx_distinct" -> a7ApproxDistinct _,
     "a11_quantiles" -> a11ApproxQuantiles _,
+    "a13_heavy_hitters" -> a13HeavyHitters _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
     "ts12_stats_doc" -> ts12StatsDoc _,
@@ -717,6 +788,7 @@ object Relational {
     "a10_rollup" -> a10Rollup _,
     "a12_cube" -> a12Cube _,
     "s5_pivot" -> s5Pivot _,
+    "s6_unpivot" -> s6Unpivot _,
     "w8_session_agg" -> w8SessionAgg _,
     "r1_gap_detect" -> r1GapDetect _,
     "r2_latest_per_key" -> r2LatestPerKey _,

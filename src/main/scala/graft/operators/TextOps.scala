@@ -478,6 +478,17 @@ object TextOps {
         .select(col("doc_id"))
         .join(losers.hint("SHUFFLE_HASH"), Seq("doc_id"), "left_anti")
     }),
+    // segment-dedup scale stress: 20× corpus (every doc gains 19 perfect
+    // clones, so EVERY segment becomes cross-doc duplicated) — pins that
+    // both shuffles stay hash-only and the count join survives a corpus
+    // where the frequency side is as large as the segment side
+    "z11_t18_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      segmentDedupOf(reps)
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))
@@ -659,8 +670,11 @@ object TextOps {
     * the count join back) carry hashes, never segment text. The frequency
     * side is corpus-scaled, so the join stays un-hinted for AQE to pick
     * shuffle vs broadcast from runtime stats. */
-  def t18SegmentDedup(s: SparkSession, d: String): DataFrame = {
-    val segs = documents(s, d)
+  def t18SegmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedupOf(documents(s, d))
+
+  private[graft] def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val segs = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, cast(ceil(size(t)/10.0) as int) - 1),

@@ -134,6 +134,26 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("pid"),
         col("bps_avg"))
 
+  /** W8 streaming: NATIVE session-window aggregation — the engine-merged
+    * analog of [[sessionize]] (hand-rolled timer state) and of the batch
+    * gaps-and-islands query (`Relational.w8SessionAgg`): events within a
+    * 30-min gap of each other merge into one session per user; the
+    * watermark closes sessions and evicts their state. Emitted
+    * `session_end` is the session-window close (last event + gap), per
+    * the session_window contract. Input columns: (user_id, ts, value). */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** R4 streaming dedup — duplicate-section suppression by content key
     * with watermark-bounded state (the reference's change-detect compare
     * `psi_table.c:74-105`: identical re-broadcast sections must not

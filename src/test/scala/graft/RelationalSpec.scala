@@ -134,6 +134,36 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("s6 unpivot round-trips the pivot (same totals as a direct groupBy)") {
+    val long = Relational.s6Unpivot(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    assert(long.except(direct).count() == 0)
+    assert(direct.except(long).count() == 0)
+  }
+
+  test("a13 count-min: one-sided error, exact on this corpus' vocab scale") {
+    val df = Relational.a13HeavyHitters(spark, sf).cache()
+    try {
+      // CM guarantee: never under-counts; bound holds for every token
+      assert(df.filter(!col("lower_ok") || !col("eps_ok")).count() == 0)
+      // sketch mass conservation: each depth row counts every instance
+      val n = Tables.documents(spark, sf)
+        .select(explode(split(trim(col("text")), "\\s+")).as("t")).count()
+      val est = Relational.a13Estimates(spark, sf)
+      assert(est.count() ==
+        Tables.documents(spark, sf)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+          .distinct().count())
+      // a vocabulary much smaller than the width should mostly estimate
+      // exactly (4-row simultaneous collisions are ~1e-5 per pair)
+      val inexact = df.filter(col("est") =!= col("exact")).count()
+      assert(inexact <= df.count() / 10, s"$inexact inexact of ${df.count()}")
+      assert(n > 0)
+    } finally df.unpersist()
+  }
+
   test("w8 session agg: events conserved, sessions ordered and gapped") {
     val df = Relational.w8SessionAgg(spark, sf).cache()
     try {
