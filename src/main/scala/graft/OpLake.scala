@@ -42,5 +42,6 @@ object OpLake {
     save(operators.Relational.a7Estimates(s, d), "a7_est")
     save(operators.Relational.a11Estimates(s, d), "a11_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
+    save(operators.TextOps.t21Model(s, d), "t21_model")
   }
 }

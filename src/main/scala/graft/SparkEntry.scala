@@ -238,6 +238,45 @@ object SparkEntry {
          |SELECT term, est, exact, est >= exact AS lower_ok,
          |  (est - exact) * 1024 <= 3 * n_total AS eps_ok
          |FROM est JOIN exact USING (term) CROSS JOIN n""",
+    // t21: the quantized unigram model (term, logp DECIMAL(18,9)) is
+    // dumped; the oracle re-derives only exact decimal sums + one IEEE
+    // division, so the score is bit-identical cross-engine
+    "t21_unigram_logprob" ->
+      s"""WITH terms AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |m AS (SELECT * FROM ${oprel("t21_model")})
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(logp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_logp
+         |FROM terms JOIN m USING (term)
+         |GROUP BY doc_id""",
+    "a14_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) AS sxy,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |    * CAST(l_quantity AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) AS sxx,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop
+        |FROM a""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
     "a7_approx_distinct" ->

@@ -578,6 +578,34 @@ object Relational {
         sum(col("value").cast(dec)).cast("double").as("session_value"))
   }
 
+  /** A-class: correlation/covariance with EXACT moment accumulation —
+    * the five raw moments (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL sums, so
+    * they are partitioning-independent, and the closed-form corr/covar
+    * assembly is pure IEEE-exact double ops (·, −, ÷, sqrt) over the
+    * decimal→double conversions — bit-identical across engines, unlike
+    * built-in corr()'s streaming covariance updates whose result depends
+    * on merge order. One partial-aggregated pass, no second scan. */
+  def a14Corr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(dec)
+    val y = col("l_extendedprice").cast(dec)
+    val big = DecimalType(38, 4)
+    val agg = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast(big)).as("sxy"),
+        sum((x * x).cast(big)).as("sxx"),
+        sum((y * y).cast(big)).as("syy"))
+    def dd(c: String) = col(c).cast("double")
+    val cov = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    agg.select(col("l_returnflag"), col("n"),
+      (cov / (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+        sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy"))))
+        .as("corr_qty_price"),
+      (cov / (dd("n") * dd("n"))).as("covar_pop"))
+  }
+
   // ------------------------------------------- sketch family part 3 (a13)
   // (HLL distinct a7, quantiles a11, heavy hitters a13 — the bounded-
   // error aggregates a stats daemon keeps where exact state won't fit.)
@@ -775,6 +803,7 @@ object Relational {
     "a7_approx_distinct" -> a7ApproxDistinct _,
     "a11_quantiles" -> a11ApproxQuantiles _,
     "a13_heavy_hitters" -> a13HeavyHitters _,
+    "a14_corr" -> a14Corr _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
     "ts12_stats_doc" -> ts12StatsDoc _,

@@ -715,6 +715,42 @@ object TextOps {
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
   }
 
+  /** t21's unigram model: p(term) = corpus frequency, carried as
+    * ln(p) QUANTIZED to DECIMAL(18,9). The quantization is the
+    * cross-engine determinism trick: ln() differs in the last ulp
+    * between libm and the JVM, so the model dumps the rounded decimal
+    * and every downstream sum is exact decimal arithmetic — the oracle
+    * consumes the dumped model and re-derives only +/÷, which are
+    * IEEE-exact. (Model size = vocabulary, broadcast-scale.) */
+  def t21Model(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val n = terms.agg(count(lit(1)).as("n_total"))
+    terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        log(col("cnt").cast("double") / col("n_total").cast("double"))
+          .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** t21: unigram log-probability scoring — the CCNet/KenLM-style
+    * perplexity quality filter, reduced to its Spark-shaped core: score
+    * each document by the mean token log-probability under a unigram
+    * model of the corpus (higher = more typical; rare-token-heavy docs
+    * score low). The model is vocabulary-sized → broadcast join; the
+    * per-doc sum is a partial-aggregated DECIMAL sum, so the score is
+    * identical under any partitioning. */
+  def t21UnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    terms.join(broadcast(t21Model(s, d)), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_logp").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_logp"))
+  }
+
   /** t20: deterministic stratified sampling — per-language keep rates
     * (rebalance an over-represented language corpus: en 10%, zh 30%,
     * rest 50%) decided by a content-derived hash bucket, so the sample
@@ -739,6 +775,7 @@ object TextOps {
     "t18_segment_dedup" -> t18SegmentDedup _,
     "t19_tfidf" -> t19Tfidf _,
     "t20_stratified_sample" -> t20StratifiedSample _,
+    "t21_unigram_logprob" -> t21UnigramLogprob _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t15_pii_scrub" -> t15PiiScrub _,
     "t16_repetition" -> t16Repetition _,

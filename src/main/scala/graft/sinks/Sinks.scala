@@ -49,6 +49,33 @@ object Sinks {
       df.select(cols: _*).exceptAll(stored.select(cols: _*)).count()
   }
 
+  /** Training-corpus layout writer — the output side of the corpus
+    * pipeline: write documents as parquet partitioned by
+    * (lang, split), the layout that makes every downstream
+    * per-language / per-split read a PARTITION-PRUNED scan instead of a
+    * filter over 100 TB. `maxRecordsPerFile` bounds file size so a hot
+    * partition (English) fans into many splittable files rather than
+    * one giant one; `sortWithinPartitions(doc_id)` gives each file a
+    * monotone doc_id range for min/max-stat row-group skipping. The
+    * split column derives from the t12 content-hash bucketing, so the
+    * layout is reproducible from content alone. */
+  def writeCorpus(docs: DataFrame, path: String,
+      maxRecordsPerFile: Int = 1000000): Unit =
+    docs
+      .withColumn("split",
+        when((conv(substring(md5(col("text").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % 100) < 90, "train")
+          .when((conv(substring(md5(col("text").cast("binary")), 1, 6), 16, 10)
+            .cast("long") % 100) < 95, "val")
+          .otherwise("test"))
+      .repartition(col("lang"), col("split"))
+      .sortWithinPartitions(col("doc_id"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("lang", "split")
+      .parquet(path)
+
   /** K1 — UDP re-emission (`app_prog_proc.c:626-643` output_url): each
     * partition opens one socket and sends its rows' binary payloads as
     * datagrams (7×188 B batching like the reference's "legacy UDP" is the

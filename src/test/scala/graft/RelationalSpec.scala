@@ -164,6 +164,19 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("a14 corr: agrees with the built-in estimator, bounded by 1") {
+    val df = Relational.a14Corr(spark, sf).cache()
+    try {
+      assert(df.filter(abs(col("corr_qty_price")) > 1.0).count() == 0)
+      val builtin = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      val joined = df.join(builtin, Seq("l_returnflag"))
+        .select(abs(col("corr_qty_price") - col("c")).as("delta"))
+      assert(joined.filter(col("delta") > 1e-9).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("w8 session agg: events conserved, sessions ordered and gapped") {
     val df = Relational.w8SessionAgg(spark, sf).cache()
     try {

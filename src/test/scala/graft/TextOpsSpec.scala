@@ -168,6 +168,18 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t21 unigram logprob: scores negative, model is a distribution") {
+    val df = TextOps.t21UnigramLogprob(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("mean_logp") >= 0).count() == 0)
+    // the model's probabilities sum to 1 (within decimal quantization):
+    // sum(exp(logp)) over the vocab
+    val mass = TextOps.t21Model(spark, sf)
+      .agg(sum(exp(col("logp").cast("double")))).first().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"model mass $mass")
+    df.unpersist()
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
