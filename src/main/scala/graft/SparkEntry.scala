@@ -251,6 +251,25 @@ object SparkEntry {
          |    AS mean_logp
          |FROM terms JOIN m USING (term)
          |GROUP BY doc_id""",
+    "w9_dense_cume" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)""",
+    "a15_exact_median" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n,
+        |  CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS median_price
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY l_returnflag""",
     "a14_corr" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -515,6 +515,42 @@ object Relational {
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
   }
 
+  /** W-class: dense_rank + cume_dist under TIES — ordered by the
+    * non-unique acctbal alone, so tied rows share a dense rank and a
+    * cumulative-distribution value (both well-defined and deterministic
+    * under ties, unlike row_number without a tiebreaker). cume_dist is
+    * one exact division, IEEE-identical cross-engine. */
+  def w9DenseCume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        dense_rank().over(w).as("drank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  /** A-class: EXACT median/quartile boundaries via order statistics —
+    * the middle two positions per group picked by row_number, averaged
+    * through DECIMAL, so there is NO interpolation arithmetic to drift
+    * between engines (percentile_cont implementations differ in fp
+    * expression shape). Exact medians need the full per-group sort —
+    * this is the deliberate exact baseline; a11's quantile sketch is the
+    * designated scale path (same pairing as t6→t7, e3→e2). */
+  def a15ExactMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").cast(dec).as("p"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor(col("n") / 2) + 1)
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        (sum(col("p")).cast("double") / count(lit(1)).cast("double"))
+          .as("median_price"))
+  }
+
   /** A-class: CUBE — every grouping-grain combination (type × hour, type,
     * hour, total) in one Expand pass, with a grouping id so subtotal rows
     * are distinguishable from genuine NULL groups. Same multi-grain stats
@@ -804,6 +840,8 @@ object Relational {
     "a11_quantiles" -> a11ApproxQuantiles _,
     "a13_heavy_hitters" -> a13HeavyHitters _,
     "a14_corr" -> a14Corr _,
+    "a15_exact_median" -> a15ExactMedian _,
+    "w9_dense_cume" -> w9DenseCume _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
     "ts12_stats_doc" -> ts12StatsDoc _,

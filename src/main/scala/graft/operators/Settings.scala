@@ -179,6 +179,13 @@ object Settings {
     * both read it; it is tiny (one row per user), so the cache is a few
     * KB. Evicted via [[graft.SessionMemo]]. */
   private val registryMemo = graft.SessionMemo.forDataFrames()
+
+  /** Warm the memoized registry (the daemon's in-memory instance array,
+    * `stream_procs.c:53` — a GET/POST reads it, never re-parses request
+    * history). Bench bills it at session start like the PSI state. */
+  def warmRegistry(s: SparkSession, d: String): Unit =
+    registry(s, d).count()
+
   private def registry(s: SparkSession, d: String): DataFrame =
     registryMemo(s, d) {
       val m = expr("str_to_map(qs, '&', '=')")

@@ -43,6 +43,14 @@ object TsQueries {
     spanSeconds(s).count(); progProcTenths(s).count(); pesStats(s).count()
   }
 
+  /** Same rationale for the MPTS fixture's decoded state (ts14/ts15):
+    * the reference daemon's psi_thr maintains per-instance table state
+    * continuously — a stats GET reads it, it never re-decodes the
+    * stream. Billed once at session start, like [[warmPsiState]]. */
+  def warmMptsState(s: SparkSession): Unit = {
+    mptsPackets(s).count(); mptsPmt(s).count(); mptsPat(s).count()
+  }
+
   /** F1/F2 + P1: PID histogram of the demuxed stream. */
   def ts1PidStats(s: SparkSession, d: String): DataFrame =
     TsPipeline.pidStats(pkts(s)).orderBy(col("pid"))

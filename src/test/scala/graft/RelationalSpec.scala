@@ -164,6 +164,41 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("a15 exact median agrees with percentile(0.5) where no " +
+    "interpolation is involved") {
+    val df = Relational.a15ExactMedian(spark, sf).cache()
+    try {
+      val builtin = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      val joined = df.join(builtin, Seq("l_returnflag"))
+        .select(abs(col("median_price") - col("m")).as("delta"))
+      // order statistics are identical; the only difference is our
+      // DECIMAL mean of the two middles vs percentile's double lerp
+      assert(joined.filter(col("delta") > 1e-6).count() == 0)
+      val ns = df.select("n").collect().map(_.getLong(0))
+      val expected = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").count().collect().map(_.getLong(1))
+      assert(ns.sorted.sameElements(expected.sorted))
+    } finally df.unpersist()
+  }
+
+  test("w9 ties share dense rank and cume_dist; cdist tops at 1") {
+    val df = Relational.w9DenseCume(spark, sf).cache()
+    try {
+      assert(df.filter(col("cdist") <= 0 || col("cdist") > 1).count() == 0)
+      // every (segment, acctbal) pair has exactly one (drank, cdist)
+      val multi = df.groupBy("c_mktsegment", "c_acctbal")
+        .agg(countDistinct(col("drank")).as("dr"),
+          countDistinct(col("cdist")).as("cd"))
+        .filter(col("dr") =!= 1 || col("cd") =!= 1)
+      assert(multi.count() == 0)
+      // the max-acctbal row of each segment has cdist exactly 1.0
+      val tops = df.groupBy("c_mktsegment").agg(max("cdist").as("m"))
+      assert(tops.filter(col("m") =!= 1.0).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("a14 corr: agrees with the built-in estimator, bounded by 1") {
     val df = Relational.a14Corr(spark, sf).cache()
     try {
