@@ -1435,6 +1435,31 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score
         |FROM r WHERE rnk <= 3""",
+    "t22_gopher_filter" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nchars,
+        |    length(regexp_replace(text, '[^#…]', '', 'g')) AS nsym
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(t) AS n_words,
+        |    CAST(nchars AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(nsym AS DOUBLE) / CAST(len(t) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / CAST(len(t) AS DOUBLE) AS alpha_word_frac,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','to','and','in','is','that'], x)))
+        |      AS n_stopwords
+        |  FROM b)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+        |  symbol_ratio, alpha_word_frac,
+        |  CAST(n_stopwords AS INT) AS n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |    AND n_stopwords >= 2) AS keep
+        |FROM c""",
     "t20_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |  CAST(list_sum(list_transform(range(1, 7),

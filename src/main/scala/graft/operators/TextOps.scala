@@ -751,6 +751,40 @@ object TextOps {
           .as("mean_logp"))
   }
 
+  /** t22: the composed Gopher-rules document gate (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 — the published pre-training filter
+    * set): word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, alphabetic-word fraction, and a minimum stop-word count,
+    * evaluated together into one keep/drop decision per document. Every
+    * signal is integer counting + one exact division, so the oracle
+    * reproduces the booleans bit-for-bit; the whole gate is one codegen
+    * projection over the pruned (doc_id, text) scan — zero shuffles,
+    * which is what lets it run as the FIRST pass over 100 TB (cheapest
+    * filter first, before any dedup shuffle touches the survivors). */
+  def t22GopherFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nWords = size(toks)
+    val meanLen = (length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nWords.cast("double"))
+    val symbolCnt = length(regexp_replace(col("text"), "[^#…]", ""))
+    val alphaFrac = (size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double"))
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+    val stopCnt = size(filter(toks, t => t.isin(stop.map(lit): _*)))
+    documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      (symbolCnt.cast("double") / nWords.cast("double"))
+        .as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      stopCnt.as("n_stopwords"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        (symbolCnt.cast("double") / nWords.cast("double")) <= 0.1 &&
+        alphaFrac >= 0.8 && stopCnt >= 2).as("keep"))
+  }
+
   /** t20: deterministic stratified sampling — per-language keep rates
     * (rebalance an over-represented language corpus: en 10%, zh 30%,
     * rest 50%) decided by a content-derived hash bucket, so the sample
@@ -776,6 +810,7 @@ object TextOps {
     "t19_tfidf" -> t19Tfidf _,
     "t20_stratified_sample" -> t20StratifiedSample _,
     "t21_unigram_logprob" -> t21UnigramLogprob _,
+    "t22_gopher_filter" -> t22GopherFilter _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t15_pii_scrub" -> t15PiiScrub _,
     "t16_repetition" -> t16Repetition _,

@@ -180,6 +180,27 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t22 gopher gate: discriminates, booleans consistent, shuffle-free") {
+    val df = TextOps.t22GopherFilter(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    // both keep classes present, else the gate is vacuous on this corpus
+    assert(df.filter(col("keep")).count() > 0)
+    assert(df.filter(!col("keep")).count() > 0)
+    // keep agrees with the emitted signals it claims to summarize
+    val bad = df.filter(col("keep") =!= (
+      col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 && col("alpha_word_frac") >= 0.8 &&
+        col("n_stopwords") >= 2))
+    assert(bad.count() == 0)
+    df.unpersist()
+    // first-pass economics: the whole gate is one stage, no Exchange
+    // (checked on a fresh, uncached plan — cache would mask the shape)
+    val plan = TextOps.t22GopherFilter(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), "t22 must be shuffle-free")
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
