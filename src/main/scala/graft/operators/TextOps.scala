@@ -761,29 +761,40 @@ object TextOps {
     * projection over the pruned (doc_id, text) scan — zero shuffles,
     * which is what lets it run as the FIRST pass over 100 TB (cheapest
     * filter first, before any dedup shuffle touches the survivors). */
-  def t22GopherFilter(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val nWords = size(toks)
-    val meanLen = (length(regexp_replace(col("text"), "\\s+", ""))
-      .cast("double") / nWords.cast("double"))
-    val symbolCnt = length(regexp_replace(col("text"), "[^#…]", ""))
-    val alphaFrac = (size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast("double") / nWords.cast("double"))
-    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "that")
-    val stopCnt = size(filter(toks, t => t.isin(stop.map(lit): _*)))
-    documents(s, d).select(
+  def t22GopherFilter(s: SparkSession, d: String): DataFrame =
+    gopherFilterOf(documents(s, d))
+
+  private val gopherToks = split(trim(col("text")), "\\s+")
+  private val gopherNWords = size(gopherToks)
+  private val gopherMeanLen = (length(regexp_replace(col("text"), "\\s+", ""))
+    .cast("double") / gopherNWords.cast("double"))
+  private val gopherSymRatio =
+    (length(regexp_replace(col("text"), "[^#…]", "")).cast("double") /
+      gopherNWords.cast("double"))
+  private val gopherAlphaFrac =
+    (size(filter(gopherToks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      gopherNWords.cast("double"))
+  private val gopherStopCnt = size(filter(gopherToks, t => t.isin(
+    Seq("the", "a", "of", "to", "and", "in", "is", "that").map(lit): _*)))
+
+  /** The composed keep/drop predicate over a `text` column — row-local,
+    * so it applies identically to a batch relation or a live stream
+    * (the streaming ingest gate in CorpusIngestSpec). */
+  private[graft] val gopherKeep: org.apache.spark.sql.Column =
+    gopherNWords >= 50 && gopherNWords <= 100000 &&
+      gopherMeanLen >= 3.0 && gopherMeanLen <= 10.0 &&
+      gopherSymRatio <= 0.1 && gopherAlphaFrac >= 0.8 &&
+      gopherStopCnt >= 2
+
+  private[graft] def gopherFilterOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      (symbolCnt.cast("double") / nWords.cast("double"))
-        .as("symbol_ratio"),
-      alphaFrac.as("alpha_word_frac"),
-      stopCnt.as("n_stopwords"),
-      (nWords >= 50 && nWords <= 100000 &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        (symbolCnt.cast("double") / nWords.cast("double")) <= 0.1 &&
-        alphaFrac >= 0.8 && stopCnt >= 2).as("keep"))
-  }
+      gopherNWords.as("n_words"),
+      gopherMeanLen.as("mean_word_len"),
+      gopherSymRatio.as("symbol_ratio"),
+      gopherAlphaFrac.as("alpha_word_frac"),
+      gopherStopCnt.as("n_stopwords"),
+      gopherKeep.as("keep"))
 
   /** t20: deterministic stratified sampling — per-language keep rates
     * (rebalance an over-represented language corpus: en 10%, zh 30%,

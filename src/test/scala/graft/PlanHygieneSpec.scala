@@ -105,6 +105,40 @@ class PlanHygieneSpec extends SparkSuite {
       s"eval trigrams should broadcast: ${names.distinct}")
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact join") {
+    // The 100 TB lever for selective fact⋈fact joins that cannot
+    // broadcast: Spark's runtime row-level filtering builds a bloom
+    // filter from the filtered (creation) side and applies it inside
+    // the probe side's scan stage, cutting shuffle input before the
+    // join. Thresholds here only neutralize the size heuristics that
+    // tiny test data would otherwise fail — the injected shape is the
+    // same one a real cluster produces.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+          === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n${optimized.take(2000)}")
+      // and it still returns the right rows with the filter active
+      val expect = li.join(ord.hint("SHUFFLE_HASH"),
+        li("l_orderkey") === ord("o_orderkey")).count()
+      assert(j.count() == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("t11 composite: corpus-scaled join sides never broadcast") {
     val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
     // the LSH loser set scales with the corpus — the anti-join must be
