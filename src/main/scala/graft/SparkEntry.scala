@@ -204,6 +204,26 @@ object SparkEntry {
          |JOIN embeddings ea ON p.vec_a = ea.vec_id
          |JOIN embeddings eb ON p.vec_b = eb.vec_id
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.2""",
+    // e9: the whole SemDeDup pipeline is deterministic (fixed centroids)
+    // — assignment, in-cluster pairing, and the min-id keep resolution
+    // are all re-derived in SQL from the raw embeddings
+    "e9_semdedup" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |    FROM embeddings WHERE vec_id < 16),
+         |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      ${cosSql("e.embedding", "c.cv")} AS sim
+         |    FROM embeddings e CROSS JOIN c),
+         |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+         |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+         |        AS rn
+         |      FROM sims) WHERE rn = 1),
+         |  losers AS (SELECT DISTINCT y.vec_id
+         |    FROM assigned x JOIN assigned y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |    WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT a.vec_id, a.centroid_id FROM assigned a
+         |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)""",
     // a11: quantile estimates dumped; exact ranks + the 2ε·n+1 bound
     // re-derived — the sketch's contract is checked, not the bits
     "a11_quantiles" ->
@@ -1491,6 +1511,22 @@ object SparkEntry {
         |FROM m, LATERAL unnest(range(0,
         |  greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i)""",
     // m4: the stride decimation re-derived over the same hex rendering
+    "m5_segment_stats" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    length(text) AS n_bytes FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |    unnest(range(0, (n_bytes - 1) // 256 + 1)) AS seg FROM m),
+        |x AS (SELECT doc_id, seg,
+        |    substring(hx, CAST(seg * 512 + 1 AS INTEGER), 512) AS shx
+        |  FROM s)
+        |SELECT doc_id, CAST(seg AS INT) AS seg,
+        |  CAST(length(shx) // 2 AS INT) AS seg_bytes,
+        |  md5(shx) AS seg_hash,
+        |  CAST(list_sum(list_transform(range(1, length(shx) + 1),
+        |    i -> strpos('0123456789ABCDEF',
+        |      substring(shx, CAST(i AS INT), 1)) - 1)) AS BIGINT)
+        |    AS nibble_sum
+        |FROM x""",
     "m4_resize" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    length(text) AS n FROM documents),

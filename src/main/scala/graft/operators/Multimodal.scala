@@ -143,7 +143,34 @@ object Multimodal {
         expr("cast(length(sampled) div 2 as int)").as("n_out_bytes"))
   }
 
+  /** m5 — temporal segment stats: treat the payload as a fixed-rate
+    * timeline (256 B per "second"), explode into 1-s segments, and
+    * aggregate per segment (byte count, content hash, nibble-sum as the
+    * stubbed luminance stand-in) — the scene/segment-stats pass of a
+    * video pipeline. Generator + per-row column math: a 2-hour asset
+    * fans out across tasks BY SEGMENT instead of pinning one task, and
+    * each segment's bytes are read exactly once. */
+  def m5SegmentStats(s: SparkSession, d: String): DataFrame = {
+    val segLen = 256
+    media(s, d)
+      .select(col("doc_id"), hex(col("media")).as("hx"), col("n_bytes"))
+      .withColumn("seg", explode(expr(
+        s"sequence(0, cast((n_bytes - 1) div $segLen as int))")))
+      .withColumn("shx",
+        expr(s"substring(hx, seg * ${segLen * 2} + 1, ${segLen * 2})"))
+      .select(col("doc_id"), col("seg"),
+        expr("cast(length(shx) div 2 as int)").as("seg_bytes"),
+        md5(col("shx")).as("seg_hash"),
+        expr(
+          """aggregate(
+            |  transform(sequence(1, length(shx)),
+            |    i -> instr('0123456789ABCDEF', substring(shx, i, 1)) - 1),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+          .as("nibble_sum"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_segment_stats" -> m5SegmentStats _,
     "m1_media_meta" -> m1MediaMeta _,
     "m2_feature_extract" -> m2FeatureExtract _,
     "m3_frame_sample" -> m3FrameSample _,

@@ -397,7 +397,38 @@ object Similarity {
     }),
   )
 
+  /** e9: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication: cluster the embedding space coarsely, then remove
+    * cosine-near-duplicates WITHIN each cluster only, keeping the
+    * min-id representative of every near-dup group. The clustering is
+    * what makes it scale: the pair join is keyed on centroid_id, so the
+    * quadratic work is bounded per inverted list (corpus²/K in
+    * expectation) instead of e3's full corpus² — the same exact→bucketed
+    * relationship as t6→t7. Assignment reuses the e5 coarse-quantize
+    * path (broadcast centroids, max_by partial agg); the loser set is
+    * corpus-scaled so the anti-join pins SHUFFLE_HASH like t11. */
+  private[graft] def e9Assigned(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    assignToCentroids(emb, centroids)
+  }
+
+  def e9SemDedup(s: SparkSession, d: String): DataFrame = {
+    val assigned = e9Assigned(s, d)
+    val losers = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.4)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "centroid_id")
+      .join(losers.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_semdedup" -> e9SemDedup _,
     "e5_ivf_ann" -> e5IvfAnn _,
     "e6_ivf_kmeans" -> e6IvfKmeans _,
     "e1_cosine_topk" -> e1CosineTopK _,

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Multimodal
 
 /** The m2 contract: the codegen'd expression histogram and the batch-UDF
@@ -37,5 +39,25 @@ class MultimodalSpec extends SparkSuite {
     val df = Multimodal.m4Resize(spark, sf)
     assert(df.filter(col("n_out_bytes") =!=
       col("out_w") * col("out_h")).count() == 0)
+  }
+
+  test("m5 segment stats: segments conserve bytes, nibble sums bounded") {
+    val df = Multimodal.m5SegmentStats(spark, sf).cache()
+    // per-doc byte conservation: segment lengths re-sum to the payload
+    val perDoc = df.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("seg_bytes").as("tot"))
+    val meta = Multimodal.media(spark, sf).select("doc_id", "n_bytes")
+    assert(perDoc.join(meta, Seq("doc_id"))
+      .filter(col("tot") =!= col("n_bytes")).count() == 0)
+    // every segment but a doc's last is exactly 256 B
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val notLast = df.withColumn("mx",
+      org.apache.spark.sql.functions.max("seg").over(w))
+      .filter(col("seg") < col("mx"))
+    assert(notLast.filter(col("seg_bytes") =!= 256).count() == 0)
+    // nibble sum within [0, 15 * 2 * seg_bytes]
+    assert(df.filter(col("nibble_sum") < 0 ||
+      col("nibble_sum") > col("seg_bytes") * 30).count() == 0)
+    df.unpersist()
   }
 }

@@ -201,6 +201,36 @@ class TextOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), "t22 must be shuffle-free")
   }
 
+  test("e9 semdedup: kept set pairwise-clean per cluster, drops justified") {
+    import graft.functions.VectorExprs.{vec_dot, vec_norm}
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    val kept = Similarity.e9SemDedup(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf)
+    assert(kept.count() > 0 && kept.count() < emb.count(),
+      "semdedup must actually drop something on this corpus")
+    val withVec = kept.join(emb, Seq("vec_id"))
+    // no two KEPT vectors in one cluster are near-duplicates
+    val dirty = withVec.as("x")
+      .join(withVec.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cos(col("x.embedding"), col("y.embedding")) >= 0.4)
+    assert(dirty.count() == 0)
+    // every dropped vector has a smaller-id near-dup in its cluster
+    val losers = emb.select("vec_id")
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+    val all = Similarity.e9Assigned(spark, sf)
+    val justified = losers.join(all.as("y"), Seq("vec_id"))
+      .join(all.as("x"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(cos(col("x.embedding"), col("y.embedding")) >= 0.4)
+      .select(col("y.vec_id")).distinct()
+    assert(justified.count() == losers.count())
+    kept.unpersist()
+  }
+
   test("e1 cosine topk: 5 neighbors per query, no self-match") {
     val df = Similarity.e1CosineTopK(spark, sf)
     val counts = df.groupBy("query_id").count().collect()
