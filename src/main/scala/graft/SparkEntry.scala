@@ -178,6 +178,12 @@ object SparkEntry {
     "e5_ivf_ann" -> ivfSql(
       "SELECT vec_id AS centroid_id, embedding AS cv " +
         "FROM embeddings WHERE vec_id < 16"),
+    // e10: identical semantics to e5 through the PERSISTED partitioned
+    // index — the oracle is therefore the same full-pipeline SQL; what
+    // e10 adds (the pruned disk layout) is asserted by its plan spec
+    "e10_ivf_persisted" -> ivfSql(
+      "SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id < 16"),
     // e6: the trained k-means model (16 rows) is the dumped artifact;
     // the whole IVF remainder is re-derived from it in SQL
     "e6_ivf_kmeans" -> ivfSql(

@@ -395,6 +395,19 @@ object Similarity {
         .reduce(_ unionByName _)
       ivfPqOf(reps)
     }),
+    // SemDeDup at 20×: every vector gains 19 exact clones (cosine 1.0,
+    // same cluster by construction), so the kept set must collapse to
+    // exactly the 1× kept set — and the pair space stays bounded per
+    // inverted list while every list is 20× hotter
+    "z12_e9_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => embeddings(s, d)
+          .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      val centroids = reps.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      semDedupOf(assignToCentroids(reps, centroids))
+    }),
   )
 
   /** e9: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
@@ -414,8 +427,10 @@ object Similarity {
     assignToCentroids(emb, centroids)
   }
 
-  def e9SemDedup(s: SparkSession, d: String): DataFrame = {
-    val assigned = e9Assigned(s, d)
+  def e9SemDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOf(e9Assigned(s, d))
+
+  private[graft] def semDedupOf(assigned: DataFrame): DataFrame = {
     val losers = assigned.as("x")
       .join(assigned.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
@@ -427,8 +442,60 @@ object Similarity {
       .join(losers.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
   }
 
+  /** e10: PERSISTED inverted-file index — the index-serving layout: the
+    * assigned corpus is written ONCE to parquet partitioned by
+    * centroid_id (one directory per inverted list, the disk analog of
+    * FAISS's in-memory lists), and the query path joins its probed
+    * centroids against the read-back table. The probe side broadcasts,
+    * so Spark injects DYNAMIC PARTITION PRUNING into the list scan —
+    * a probe touches only its nprobe list directories, which is the
+    * property that makes a 100 TB index answer queries without reading
+    * the corpus. Results must equal e5 (same algorithm, same data). */
+  def e10IvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") <= 4)
+      .select(col("query_id"), col("q"),
+        col("centroid_id").cast("int").as("centroid_id"))
+    val lists = s.read.parquet(ivfIndexPath(s, d))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes).join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
+  private val ivfIndexWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once inverted-list layout for [[e10IvfPersisted]]:
+    * hive-partitioned by centroid_id under target/. Building an index
+    * is a batch job; serving reads it pruned — the split the reference's
+    * continuously-maintained PSI state also follows (build ≠ serve). */
+  private[graft] def ivfIndexPath(s: SparkSession, d: String): String =
+    ivfIndexWritten.computeIfAbsent(d, { dir =>
+      val path = s"target/ivfindex/${math.abs(dir.hashCode)}"
+      e9Assigned(s, dir)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      path
+    })
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_semdedup" -> e9SemDedup _,
+    "e10_ivf_persisted" -> e10IvfPersisted _,
     "e5_ivf_ann" -> e5IvfAnn _,
     "e6_ivf_kmeans" -> e6IvfKmeans _,
     "e1_cosine_topk" -> e1CosineTopK _,

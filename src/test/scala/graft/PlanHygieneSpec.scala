@@ -139,6 +139,24 @@ class PlanHygieneSpec extends SparkSuite {
     }
   }
 
+  test("e10 persisted IVF: probes dynamically prune the list scan, " +
+    "results equal the in-memory e5 pipeline") {
+    import graft.operators.Similarity
+    val e10 = Similarity.e10IvfPersisted(spark, sf)
+    val e5 = Similarity.e5IvfAnn(spark, sf)
+    assert(e10.exceptAll(e5).count() == 0 && e5.exceptAll(e10).count() == 0)
+    // the inverted-list scan must carry a dynamic-pruning partition
+    // filter (probe side broadcasts → DPP), so only probed centroid
+    // directories are read
+    val nodes = ranPlan(Similarity.e10IvfPersisted(spark, sf))
+    val listScan = scans(nodes).find(
+      _.relation.location.rootPaths.head.toString.contains("ivfindex"))
+    assert(listScan.isDefined, "inverted-list parquet scan not found")
+    assert(listScan.get.partitionFilters.exists(
+      _.toString.contains("dynamicpruning")),
+      s"no DPP filter on list scan: ${listScan.get.partitionFilters}")
+  }
+
   test("t11 composite: corpus-scaled join sides never broadcast") {
     val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
     // the LSH loser set scales with the corpus — the anti-join must be
