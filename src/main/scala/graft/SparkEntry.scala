@@ -277,6 +277,33 @@ object SparkEntry {
          |    AS mean_logp
          |FROM terms JOIN m USING (term)
          |GROUP BY doc_id""",
+    "w10_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS hour_sum,
+        |  count(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(epoch(ts) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "j6_range_join" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sx GROUP BY user_id, session_id)
+        |SELECT e.event_id, e.user_id, s.session_id
+        |FROM events e JOIN sess s
+        |ON e.user_id = s.user_id
+        |AND e.ts >= s.session_start AND e.ts <= s.session_end""",
     "w9_dense_cume" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(dense_rank() OVER w AS INT) AS drank,
@@ -515,6 +542,23 @@ object SparkEntry {
          |FROM pat p
          |LEFT JOIN sdt s ON p.program_number = s.service_id
          |LEFT JOIN pmt m USING (program_number)""",
+    // ts16: the CBR plan re-derived with the oracle's own forward fill
+    // (one last_value IGNORE NULLS window) against the partitioned
+    // two-pass fill the engine runs — 300 kbps → 199 pkt/s target;
+    // the PCR-second derives through the same IEEE double division
+    "ts16_cbr_plan" ->
+      s"""WITH p AS (SELECT seq,
+         |    CAST(floor(CAST(pcr AS DOUBLE) / 27000000) AS BIGINT)
+         |      AS pcr_sec
+         |  FROM ${tsrel("packets")}),
+         |f AS (SELECT seq, last_value(pcr_sec IGNORE NULLS) OVER (
+         |    ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS bucket
+         |  FROM p)
+         |SELECT bucket, count(*) AS n_packets,
+         |  CAST(greatest(0, 199 - count(*)) AS BIGINT) AS n_stuffing
+         |FROM f WHERE bucket IS NOT NULL
+         |GROUP BY bucket""",
     "ts14_mpts_bitrate" ->
       s"""WITH pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
          |      PARTITION BY pid ORDER BY seq) AS delta

@@ -551,6 +551,43 @@ object Relational {
           .as("median_price"))
   }
 
+  /** W-class: RANGE frame — a value-based sliding window (sum/count of
+    * each user's trailing hour, bounded by the ORDER-BY VALUE, not by a
+    * row count): the complement of w4's ROWS frame. Equal timestamps
+    * share one frame, so the result is deterministic without a
+    * tie-breaker; sums route through DECIMAL per the file contract. */
+  def w10RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+  }
+
+  /** J-class: BUCKETED RANGE JOIN — point-in-interval join (event →
+    * containing session) via coarse time buckets: sessions explode into
+    * the hour buckets they overlap, events key into their bucket, the
+    * equi-join runs on (user, bucket) and an in-task containment filter
+    * refines. This is the technique that keeps interval joins off the
+    * BroadcastNestedLoopJoin path at scale — the join is hash-keyed, the
+    * fan-out is bounded by interval length / bucket width. Intervals come
+    * from [[w8SessionAgg]], so every event lands in exactly one session. */
+  def j6RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sess = w8SessionAgg(s, d)
+      .withColumn("hb", explode(sequence(
+        floor(unix_timestamp(col("session_start")) / 3600),
+        floor(unix_timestamp(col("session_end")) / 3600))))
+    events(s, d)
+      .withColumn("hb", floor(unix_timestamp(col("ts")) / 3600))
+      .join(sess, Seq("user_id", "hb"))
+      .filter(col("ts") >= col("session_start") &&
+        col("ts") <= col("session_end"))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+  }
+
   /** A-class: CUBE — every grouping-grain combination (type × hour, type,
     * hour, total) in one Expand pass, with a grouping id so subtotal rows
     * are distinguishable from genuine NULL groups. Same multi-grain stats
@@ -842,6 +879,8 @@ object Relational {
     "a14_corr" -> a14Corr _,
     "a15_exact_median" -> a15ExactMedian _,
     "w9_dense_cume" -> w9DenseCume _,
+    "w10_range_frame" -> w10RangeFrame _,
+    "j6_range_join" -> j6RangeJoin _,
     "a8_stats_series" -> a8StatsSeries _,
     "a9_batch_profile" -> a9BatchProfile _,
     "ts12_stats_doc" -> ts12StatsDoc _,

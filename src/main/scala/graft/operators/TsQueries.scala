@@ -387,7 +387,19 @@ object TsQueries {
           .as("input_bitrate_peak"))
       .orderBy(col("program_number"))
 
+  /** ts16: the CBR rate-shape plan (E3/E5, `app_prog_proc.c:110-128`) as
+    * an oracle-checked query: bucket the capture by forward-filled PCR
+    * second, count payload packets, and compute the stuffing each bucket
+    * needs to hit 300 kbps (199 pkt/s). The partitioned two-pass fill in
+    * `Remux.cbrPlanStreams` (slice-local windows + broadcast boundary
+    * anchors, no global window) must agree with the oracle's single
+    * `last_value IGNORE NULLS` forward fill — the plan-shape vs
+    * semantics split this whole suite is built on. */
+  def ts16CbrPlan(s: SparkSession, d: String): DataFrame =
+    graft.ts.Remux.cbrPlan(graft.ts.TsLake.packets(s), 300000L)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts16_cbr_plan" -> ts16CbrPlan _,
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts9_program_proc_doc" -> ts9ProgramProcDoc _,
     "ts10_instance_doc" -> ts10InstanceDoc _,

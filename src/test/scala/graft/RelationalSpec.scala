@@ -199,6 +199,34 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("w10 range frame: current row always in frame, frame is trailing") {
+    val df = Relational.w10RangeFrame(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.events(spark, sf).count())
+      assert(df.filter(col("hour_n") < 1).count() == 0)
+      // a frame never exceeds the user's total event count
+      val tot = Tables.events(spark, sf).groupBy("user_id").count()
+      assert(df.join(tot, Seq("user_id"))
+        .filter(col("hour_n") > col("count")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("j6 bucketed range join: every event lands in exactly one session," +
+    " and per-session counts match w8") {
+    val df = Relational.j6RangeJoin(spark, sf).cache()
+    try {
+      val n = Tables.events(spark, sf).count()
+      assert(df.count() == n)
+      assert(df.select("event_id").distinct().count() == n)
+      val perSess = df.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("joined_n"))
+      val w8 = Relational.w8SessionAgg(spark, sf)
+        .select(col("user_id"), col("session_id"), col("n_events"))
+      assert(perSess.join(w8, Seq("user_id", "session_id"))
+        .filter(col("joined_n") =!= col("n_events")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("a14 corr: agrees with the built-in estimator, bounded by 1") {
     val df = Relational.a14Corr(spark, sf).cache()
     try {
