@@ -559,6 +559,12 @@ object SparkEntry {
          |  CAST(greatest(0, 199 - count(*)) AS BIGINT) AS n_stuffing
          |FROM f WHERE bucket IS NOT NULL
          |GROUP BY bucket""",
+    // ts17: restamp = (pcr + offset) mod 2^33·300 — integer-exact on
+    // both engines, re-derived over the dumped packet layer
+    "ts17_pcr_restamp" ->
+      s"""SELECT seq, (pcr + 1234567) % (8589934592 * 300) AS pcr
+         |FROM ${tsrel("packets")}
+         |WHERE pcr IS NOT NULL""",
     "ts14_mpts_bitrate" ->
       s"""WITH pcrs AS (SELECT pid, pcr - lag(pcr) OVER (
          |      PARTITION BY pid ORDER BY seq) AS delta
@@ -1149,6 +1155,29 @@ object SparkEntry {
     // the LSH recall contract: the exact pair count re-derived in SQL,
     // and the miss count PINNED to 0 — if banding ever loses a true
     // pair, the Spark side reports >0 and this row goes red
+    // t23: the exact cross-set jaccard pairs (t7's proven oracle math,
+    // restricted to eval × corpus) — the fuzzy-decontamination contract
+    "t23_fuzzy_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |SELECT doc_a AS eval_id, doc_b AS doc_id,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |    AS jaccard
+        |FROM ix
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        |  >= 0.5 AND doc_a < 10 AND doc_b >= 10""",
     "t13_lsh_recall" ->
       """WITH tok AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

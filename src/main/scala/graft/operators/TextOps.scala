@@ -536,6 +536,20 @@ object TextOps {
       .filter(col("n_shared") >= 3)
   }
 
+  /** t23 — FUZZY benchmark decontamination: t14's exact n-gram overlap
+    * catches verbatim contamination; this catches paraphrase-level
+    * contamination via the MinHash+LSH near-dup path — an eval doc and a
+    * corpus doc whose shingle sets are jaccard ≥ 0.5 similar. Reuses the
+    * session's verified LSH pair set (one tokenize+hash pass serves
+    * dedup, recall audit, AND decontamination), filtered to cross-set
+    * pairs; at scale the eval side is vanishingly small, so the banded
+    * candidate space bounds the work exactly as in t7. */
+  def t23FuzzyDecontaminate(s: SparkSession, d: String): DataFrame =
+    lshPairs(s, d)
+      .filter(col("doc_a") < 10 && col("doc_b") >= 10)
+      .select(col("doc_a").as("eval_id"), col("doc_b").as("doc_id"),
+        col("jaccard"))
+
   /** t15 — PII scrub: count and redact email / phone patterns (the
     * pre-training privacy pass). The corpus is synthetic, so PII is
     * planted deterministically inside the query (both engines plant
@@ -823,6 +837,7 @@ object TextOps {
     "t21_unigram_logprob" -> t21UnigramLogprob _,
     "t22_gopher_filter" -> t22GopherFilter _,
     "t14_decontaminate" -> t14Decontaminate _,
+    "t23_fuzzy_decontaminate" -> t23FuzzyDecontaminate _,
     "t15_pii_scrub" -> t15PiiScrub _,
     "t16_repetition" -> t16Repetition _,
     "t9_bpe_tokens" -> t9BpeTokens _,

@@ -398,8 +398,20 @@ object TsQueries {
   def ts16CbrPlan(s: SparkSession, d: String): DataFrame =
     graft.ts.Remux.cbrPlan(graft.ts.TsLake.packets(s), 300000L)
 
+  /** ts17: the PCR restamp (E4, `ts_enc.c:274-301`) oracle-checked —
+    * every PCR shifted by a fixed offset modulo the 33+9-bit wrap
+    * (2^33·300 ticks). The Spark side runs the typed Dataset map the
+    * remux path uses in production; the oracle re-derives the shift as
+    * pure integer arithmetic over the dumped packet layer. */
+  def ts17PcrRestamp(s: SparkSession, d: String): DataFrame =
+    graft.ts.Remux.pcrRestamp(graft.ts.TsLake.packets(s), 1234567L)
+      .toDF()
+      .filter(col("af.pcr").isNotNull)
+      .select(col("seq"), col("af.pcr").as("pcr"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts16_cbr_plan" -> ts16CbrPlan _,
+    "ts17_pcr_restamp" -> ts17PcrRestamp _,
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts9_program_proc_doc" -> ts9ProgramProcDoc _,
     "ts10_instance_doc" -> ts10InstanceDoc _,

@@ -61,6 +61,21 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t23 fuzzy decontamination: cross-set subset of t7, catches the " +
+    "known contaminated pair") {
+    val df = TextOps.t23FuzzyDecontaminate(spark, sf).cache()
+    // every flagged pair is a verified near-dup pair crossing the sets
+    assert(df.filter(col("eval_id") >= 10).count() == 0)
+    assert(df.filter(col("doc_id") < 10).count() == 0)
+    val t7 = TextOps.t7MinHashLsh(spark, sf)
+      .select(col("doc_a").as("eval_id"), col("doc_b").as("doc_id"))
+    assert(df.select("eval_id", "doc_id").except(t7).count() == 0)
+    // this corpus has genuine paraphrase-level contamination — at least
+    // one eval×corpus near-dup must surface (vacuity guard)
+    assert(df.count() > 0)
+    df.unpersist()
+  }
+
   test("t15 pii scrub: planted emails/phones counted and redacted") {
     val df = TextOps.t15PiiScrub(spark, sf).cache()
     assert(df.filter(col("doc_id") % 7 === 0 && col("n_emails") < 1)
