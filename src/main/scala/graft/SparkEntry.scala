@@ -323,6 +323,17 @@ object SparkEntry {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag""",
+    "a16_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, o_orderstatus, cnt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cnt DESC, o_orderstatus) AS rn
+        |  FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status,
+        |  cnt AS mode_n
+        |FROM r WHERE rn = 1""",
     "a14_corr" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

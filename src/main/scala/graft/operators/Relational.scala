@@ -679,6 +679,26 @@ object Relational {
       (cov / (dd("n") * dd("n"))).as("covar_pop"))
   }
 
+  /** A-class: exact MODE (most frequent value per group) with a
+    * deterministic tie policy (smallest value wins) — two partial-
+    * aggregated passes: count per (group, value), then max_by on
+    * (count, -value). Never a sort, never a window: the per-group state
+    * is one running champion, so the operator holds at any group
+    * cardinality. (Built-in mode() leaves ties undefined — unusable
+    * under an exact cross-engine oracle.) */
+  def a16Mode(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        // lexicographic struct ordering: (-cnt, value) minimized picks
+        // the highest count, then the smallest value on ties
+        min_by(col("o_orderstatus"),
+          struct((-col("cnt")).as("nc"), col("o_orderstatus")))
+          .as("mode_status"),
+        max(col("cnt")).as("mode_n"))
+
   // ------------------------------------------- sketch family part 3 (a13)
   // (HLL distinct a7, quantiles a11, heavy hitters a13 — the bounded-
   // error aggregates a stats daemon keeps where exact state won't fit.)
@@ -878,6 +898,7 @@ object Relational {
     "a13_heavy_hitters" -> a13HeavyHitters _,
     "a14_corr" -> a14Corr _,
     "a15_exact_median" -> a15ExactMedian _,
+    "a16_mode" -> a16Mode _,
     "w9_dense_cume" -> w9DenseCume _,
     "w10_range_frame" -> w10RangeFrame _,
     "j6_range_join" -> j6RangeJoin _,
