@@ -570,6 +570,15 @@ object SparkEntry {
          |  CAST(greatest(0, 199 - count(*)) AS BIGINT) AS n_stuffing
          |FROM f WHERE bucket IS NOT NULL
          |GROUP BY bucket""",
+    // ts18: the custom ForwardFillExec's one-pass fill re-derived with
+    // the oracle's windowed last_value IGNORE NULLS — same relation
+    "ts18_fill_forward" ->
+      s"""SELECT seq, pid, pcr,
+         |  last_value(pcr IGNORE NULLS) OVER (
+         |    PARTITION BY pid ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS last_pcr
+         |FROM ${tsrel("packets")}""",
     // ts17: restamp = (pcr + offset) mod 2^33·300 — integer-exact on
     // both engines, re-derived over the dumped packet layer
     "ts17_pcr_restamp" ->

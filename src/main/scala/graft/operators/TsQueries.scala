@@ -409,8 +409,22 @@ object TsQueries {
       .filter(col("af.pcr").isNotNull)
       .select(col("seq"), col("af.pcr").as("pcr"))
 
+  /** ts18: per-PID PCR clock tracking through the CUSTOM PHYSICAL
+    * OPERATOR (`plans.ForwardFillExec` — §2.14(c): LogicalPlan +
+    * Strategy + SparkPlan): every packet annotated with the latest PCR
+    * of its PID, the `ts_enc.c:203-205` clock-inherit semantic. The
+    * oracle re-derives the same relation with a windowed
+    * `last_value IGNORE NULLS`, so the one-pass exec node's semantics
+    * are independently pinned by the hash gate. */
+  def ts18FillForward(s: SparkSession, d: String): DataFrame =
+    graft.plans.ForwardFill(
+      graft.ts.TsLake.packets(s).toDF()
+        .select(col("seq"), col("pid"), col("af.pcr").as("pcr")),
+      Seq("pid"), "seq", "pcr", "last_pcr")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts16_cbr_plan" -> ts16CbrPlan _,
+    "ts18_fill_forward" -> ts18FillForward _,
     "ts17_pcr_restamp" -> ts17PcrRestamp _,
     "ts8_peek_pid_stats" -> ts8PeekPidStats _,
     "ts9_program_proc_doc" -> ts9ProgramProcDoc _,

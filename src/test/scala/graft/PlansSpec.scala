@@ -89,4 +89,50 @@ class PlansSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(viaSql == viaTyped.keySet)
     }
   }
+
+  test("ForwardFillExec: custom strategy plans a one-pass fill that " +
+    "equals the window path, with exchange+sort and no WindowExec") {
+    withExtSession { spark =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.{ForwardFill, ForwardFillExec}
+      val events = Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("sparse",
+          when(col("event_type") === "click", col("value")))
+      val filled = ForwardFill(events,
+        Seq("user_id"), "event_id", "sparse", "carried")
+      // 1. semantics: equals last(ignoreNulls) over the ordered window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val viaWindow = events
+        .withColumn("carried", last(col("sparse"), ignoreNulls = true).over(w))
+      assert(filled.exceptAll(viaWindow).count() == 0 &&
+        viaWindow.exceptAll(filled).count() == 0)
+      // 2. leading rows before the first non-null stay null
+      val firstClick = events.filter(col("sparse").isNotNull)
+        .groupBy("user_id").agg(min("event_id").as("first_ev"))
+      val badLeading = filled.join(firstClick, Seq("user_id"))
+        .filter(col("event_id") < col("first_ev") &&
+          col("carried").isNotNull)
+      assert(badLeading.count() == 0)
+      // 3. plan shape: our exec node, fed by exchange + sort, no Window
+      filled.count()
+      val plan = filled.queryExecution.executedPlan.toString
+      assert(plan.contains("ForwardFill"), plan.take(800))
+      assert(plan.contains("Exchange hashpartitioning"), plan.take(800))
+      assert(plan.contains("Sort ["), plan.take(800))
+      assert(!plan.contains("Window"), plan.take(800))
+      // 4. the physical node really is ours (not a fallback plan) —
+      // descend through the AQE wrappers, which are leaves to a plain
+      // traversal
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case q: QueryStageExec => flat(q.plan)
+        case o => o +: o.children.flatMap(flat)
+      }
+      assert(flat(filled.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ForwardFillExec]))
+    }
+  }
 }
