@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parse_ts(b).field → direct byte peek (the TS_BUF_GET_PID macro
     // fast path as an optimizer rewrite)
     e.injectOptimizerRule(_ => graft.plans.TsHeaderFieldPushdown)
+    // the custom forward-fill physical operator (§2.14(c)) — sessions
+    // without the extensions get it via ForwardFill.register at the
+    // Column-API entry point
+    e.injectPlannerStrategy(_ => graft.plans.ForwardFillStrategy)
   }
 }
