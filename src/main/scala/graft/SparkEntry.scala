@@ -323,6 +323,18 @@ object SparkEntry {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag""",
+    "sc6_url_parse" ->
+      """WITH u AS (SELECT event_id,
+        |    'udp://224.0.0.' || CAST(event_id % 256 AS VARCHAR) || ':'
+        |      || CAST(2000 + event_id % 1000 AS VARCHAR)
+        |      || '?pkts=7&tag=t' || CAST(user_id AS VARCHAR) AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |  regexp_extract(url, '://([^:/?]+)', 1) AS host,
+        |  regexp_extract(url, '[?&]tag=([^&]*)', 1) AS tag,
+        |  CAST(regexp_extract(url, ':(\d+)\?', 1) AS INT) AS port
+        |FROM u""",
     "a16_mode" ->
       """WITH c AS (SELECT o_orderpriority, o_orderstatus,
         |    count(*) AS cnt

@@ -875,7 +875,28 @@ object Relational {
         base64(col("p_name").cast("binary")).as("b64"),
         md5(col("p_name").cast("binary")).as("h"))
 
+  /** §2.10 URL parsing — the reference's `uri_parser` surface (input/
+    * output_url settings, `mpeg2_sp.c:722-736`; query-string values via
+    * `uri_parser_query_str_get_value`): synthesize the reference's own
+    * URL shapes (`udp://host:port?key=v`) and decompose them with
+    * parse_url — scheme, host, port, one query value — all inside one
+    * codegen projection. */
+  def sc6UrlParse(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("udp://224.0.0."), pmod(col("event_id"), lit(256L)).cast("string"),
+      lit(":"), (lit(2000L) + pmod(col("event_id"), lit(1000L))).cast("string"),
+      lit("?pkts=7&tag=t"), col("user_id").cast("string"))
+    events(s, d).select(
+      col("event_id"),
+      url.as("url"),
+      parse_url(url, lit("PROTOCOL")).as("scheme"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("QUERY"), lit("tag")).as("tag"),
+      regexp_extract(url, ":(\\d+)\\?", 1).cast("int").as("port"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc6_url_parse" -> sc6UrlParse _,
     "f1_range_filter" -> f1RangeFilter _,
     "f2_in_filter" -> f2InFilter _,
     "f3_like_filter" -> f3LikeFilter _,
