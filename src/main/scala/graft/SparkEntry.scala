@@ -323,6 +323,34 @@ object SparkEntry {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag""",
+    "j7_full_outer" ->
+      """WITH oa AS (SELECT o_custkey, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1),
+        |c AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY')
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_name, '') AS c_name,
+        |  CAST(coalesce(n_big_orders, 0) AS BIGINT) AS n_big_orders
+        |FROM c FULL OUTER JOIN oa ON c_custkey = o_custkey""",
+    "w11_first_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "s7_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""",
+    "a17_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_big_discount,
+        |  CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high_tax
+        |FROM lineitem GROUP BY 1""",
     "sc6_url_parse" ->
       """WITH u AS (SELECT event_id,
         |    'udp://224.0.0.' || CAST(event_id % 256 AS VARCHAR) || ':'

@@ -875,6 +875,62 @@ object Relational {
         base64(col("p_name").cast("binary")).as("b64"),
         md5(col("p_name").cast("binary")).as("h"))
 
+  /** J-class: FULL OUTER join — the one join type the matrix lacked:
+    * customers with no orders AND order-keys with no customer row both
+    * survive, null-filled. At scale a full outer cannot broadcast
+    * either side (both preserve unmatched rows) — it is always the
+    * shuffle plan, which is exactly what this query pins. */
+  def j7FullOuter(s: SparkSession, d: String): DataFrame = {
+    val ordAgg = orders(s, d)
+      .filter(col("o_totalprice") > 150000.0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big_orders"))
+    customer(s, d)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"), col("c_name"))
+      .join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("")).as("c_name"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"))
+  }
+
+  /** W-class: first_value / nth_value over an ordered frame — the
+    * remaining members of the window-function roster (earliest and
+    * third-earliest order value per customer, running frame). */
+  def w11FirstNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+  }
+
+  /** S-class: keyset-free PAGINATION — global ORDER BY + OFFSET + LIMIT
+    * (page 3 of 50). A global sort is the honest cost of OFFSET
+    * pagination at scale (every page pays the sort down to its offset);
+    * the unique tie-breaker keeps pages stable under any partitioning. */
+  def s7Pagination(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .offset(100)
+      .limit(50)
+
+  /** A-class: boolean/conditional aggregates — every/any/count_if per
+    * group (the reference's per-instance health flags: "all sections
+    * CRC-ok", "any discontinuity seen", counts of flagged packets). */
+  def a17BoolAggs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        every(col("l_quantity") > 0).as("all_positive"),
+        some(col("l_discount") > 0.09).as("any_big_discount"),
+        count_if(col("l_tax") > 0.05).as("n_high_tax"))
+
   /** §2.10 URL parsing — the reference's `uri_parser` surface (input/
     * output_url settings, `mpeg2_sp.c:722-736`; query-string values via
     * `uri_parser_query_str_get_value`): synthesize the reference's own
@@ -897,6 +953,10 @@ object Relational {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc6_url_parse" -> sc6UrlParse _,
+    "j7_full_outer" -> j7FullOuter _,
+    "w11_first_nth" -> w11FirstNth _,
+    "s7_pagination" -> s7Pagination _,
+    "a17_bool_aggs" -> a17BoolAggs _,
     "f1_range_filter" -> f1RangeFilter _,
     "f2_in_filter" -> f2InFilter _,
     "f3_like_filter" -> f3LikeFilter _,

@@ -227,6 +227,26 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("j7 full outer keeps unmatched rows from BOTH sides") {
+    val df = Relational.j7FullOuter(spark, sf).cache()
+    try {
+      // order-side rows whose customer is outside the MACHINERY segment
+      assert(df.filter(col("c_name") === "").count() > 0)
+      // customer-side unmatched count matches an independent derivation
+      // (may legitimately be 0 at tiny scale — equality, not vacuity)
+      val mach = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+      val bigCust = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val expectedNoBig = mach.join(bigCust, Seq("c_custkey"), "left_anti")
+        .count()
+      assert(df.filter(col("n_big_orders") === 0).count() == expectedNoBig)
+      // and a full outer can never lose the filtered customer set
+      assert(df.filter(col("c_name") =!= "").count() == mach.count())
+    } finally df.unpersist()
+  }
+
   test("a14 corr: agrees with the built-in estimator, bounded by 1") {
     val df = Relational.a14Corr(spark, sf).cache()
     try {
