@@ -323,6 +323,37 @@ object SparkEntry {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag""",
+    "sc7_higher_order" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INT) AS n_tokens,
+        |  list_transform(t, x -> CAST(length(x) AS INT)) AS lens,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+        |    AS total_len,
+        |  CAST(len(list_filter(t, x -> length(x) >= 5)) AS INT)
+        |    AS n_long,
+        |  array_to_string(list_sort(list_distinct(t))[1:3], ',')
+        |    AS first3
+        |FROM b""",
+    "j8_null_safe_join" ->
+      """WITH l AS (SELECT event_id,
+        |    CASE WHEN user_id % 7 = 0 THEN NULL
+        |      ELSE user_id % 7 END AS k FROM events),
+        |dim AS (SELECT DISTINCT
+        |    CASE WHEN user_id % 7 = 0 THEN NULL
+        |      ELSE user_id % 7 END AS k
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT l.k, count(*) AS n
+        |FROM l JOIN dim ON l.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY l.k""",
+    "a18_grouping_sets" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS INT)
+        |    AS gid,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (hour(ts)))""",
     "j7_full_outer" ->
       """WITH oa AS (SELECT o_custkey, count(*) AS n_big_orders
         |  FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1),

@@ -931,6 +931,54 @@ object Relational {
         some(col("l_discount") > 0.09).as("any_big_discount"),
         count_if(col("l_tax") > 0.05).as("n_high_tax"))
 
+  /** §2.10 array/map higher-order functions as a DEDICATED oracle row
+    * (previously only exercised inside composite queries): transform /
+    * filter / aggregate / distinct-sort-slice over the token array —
+    * the reference's llist walks (`psi.c` throughout) as declarative
+    * array lambdas, all inside one projection. */
+  def sc7HigherOrder(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        expr("transform(t, x -> length(x))").as("lens"),
+        expr("aggregate(transform(t, x -> length(x)), 0, (a, x) -> a + x)")
+          .cast("long").as("total_len"),
+        expr("size(filter(t, x -> length(x) >= 5))").as("n_long"),
+        expr("array_join(slice(sort_array(array_distinct(t)), 1, 3), ',')")
+          .as("first3"))
+
+  /** J-class: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) —
+    * null keys match null keys instead of vanishing, the semantics a
+    * nullable-dimension lookup needs (a plain equi-join silently drops
+    * every null-keyed row). Still a hash join: null-safe equality is a
+    * valid hash key. */
+  def j8NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val k = when(pmod(col("user_id"), lit(7L)) === 0L, lit(null))
+      .otherwise(pmod(col("user_id"), lit(7L)))
+    val left = events(s, d).select(col("event_id"), k.as("k"))
+    val dim = events(s, d).filter(col("event_type") === "signup")
+      .select(k.as("kd")).distinct()
+    left.join(dim, col("k") <=> col("kd"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+  }
+
+  /** A-class: explicit GROUPING SETS — arbitrary (non-hierarchical)
+    * grain list, the member of the grouping family cube/rollup can't
+    * express: exactly the two single-column grains, no grand total, no
+    * finest grain. One Expand pass like a10/a12. */
+  def a18GroupingSets(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("a18_events")
+    s.sql(
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |  CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INT)
+        |    AS gid,
+        |  count(*) AS n
+        |FROM a18_events
+        |GROUP BY GROUPING SETS ((event_type), (hour(ts)))""".stripMargin)
+  }
+
   /** §2.10 URL parsing — the reference's `uri_parser` surface (input/
     * output_url settings, `mpeg2_sp.c:722-736`; query-string values via
     * `uri_parser_query_str_get_value`): synthesize the reference's own
@@ -954,6 +1002,9 @@ object Relational {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc6_url_parse" -> sc6UrlParse _,
     "j7_full_outer" -> j7FullOuter _,
+    "j8_null_safe_join" -> j8NullSafeJoin _,
+    "sc7_higher_order" -> sc7HigherOrder _,
+    "a18_grouping_sets" -> a18GroupingSets _,
     "w11_first_nth" -> w11FirstNth _,
     "s7_pagination" -> s7Pagination _,
     "a17_bool_aggs" -> a17BoolAggs _,
