@@ -347,6 +347,19 @@ object SparkEntry {
         |SELECT l.k, count(*) AS n
         |FROM l JOIN dim ON l.k IS NOT DISTINCT FROM dim.k
         |GROUP BY l.k""",
+    "a19_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+        |    WHEN l_extendedprice >= 110000.0 THEN 11
+        |    ELSE floor((l_extendedprice - 0.0) / 11000.0) + 1 END
+        |    AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""",
+    "t24_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 10 AND b.doc_id < 10""",
     "a18_grouping_sets" ->
       """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
         |  CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS INT)

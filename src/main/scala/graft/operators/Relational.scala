@@ -979,6 +979,36 @@ object Relational {
         |GROUP BY GROUPING SETS ((event_type), (hour(ts)))""".stripMargin)
   }
 
+  /** A-class: HISTOGRAM binning — width_bucket over a fixed range (10
+    * price bins + underflow/overflow), counted per group: the
+    * distribution-sketch projection a stats page renders. One partial-
+    * aggregated pass; the bin math is floor of an IEEE division, so
+    * DuckDB re-derives identical bins from the spelled-out formula
+    * (it has no width_bucket). */
+  def a19Histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        width_bucket(col("l_extendedprice"),
+          lit(0.0), lit(110000.0), lit(10)).as("bucket"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  /** t24: pairwise EDIT DISTANCE over the eval set — the
+    * character-level near-dup verifier (levenshtein is the classic DP,
+    * integer-identical across engines). Deliberately bounded to the
+    * 10-doc eval set: all-pairs edit distance is quadratic in pairs AND
+    * O(n·m) per pair, so at scale it only ever runs as the VERIFY step
+    * behind a banded candidate generator (the same role the jaccard
+    * verify plays behind t7's LSH). */
+  def t24EditDistance(s: SparkSession, d: String): DataFrame = {
+    val ev = documents(s, d).filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    ev.as("a").join(ev.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"))
+  }
+
   /** §2.10 URL parsing — the reference's `uri_parser` surface (input/
     * output_url settings, `mpeg2_sp.c:722-736`; query-string values via
     * `uri_parser_query_str_get_value`): synthesize the reference's own
@@ -1005,6 +1035,8 @@ object Relational {
     "j8_null_safe_join" -> j8NullSafeJoin _,
     "sc7_higher_order" -> sc7HigherOrder _,
     "a18_grouping_sets" -> a18GroupingSets _,
+    "a19_histogram" -> a19Histogram _,
+    "t24_edit_distance" -> t24EditDistance _,
     "w11_first_nth" -> w11FirstNth _,
     "s7_pagination" -> s7Pagination _,
     "a17_bool_aggs" -> a17BoolAggs _,
