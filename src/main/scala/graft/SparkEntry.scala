@@ -347,6 +347,34 @@ object SparkEntry {
         |SELECT l.k, count(*) AS n
         |FROM l JOIN dim ON l.k IS NOT DISTINCT FROM dim.k
         |GROUP BY l.k""",
+    "a20_dispersion" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_extendedprice AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) AS sxx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    AS var_samp,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    AS stddev_samp
+        |FROM a""",
+    "a21_string_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))),
+        |    ',') AS statuses
+        |FROM orders GROUP BY o_orderpriority""",
     "a19_histogram" ->
       """SELECT l_returnflag,
         |  CAST(CASE WHEN l_extendedprice < 0.0 THEN 0

@@ -699,6 +699,40 @@ object Relational {
           .as("mode_status"),
         max(col("cnt")).as("mode_n"))
 
+  /** A-class: dispersion statistics (population/sample variance +
+    * stddev) assembled from the same EXACT DECIMAL raw moments as a14 —
+    * partitioning-independent where the built-in streaming-update
+    * stddev is merge-order-dependent; the closed forms are ·,−,÷,sqrt
+    * over decimal→double conversions, bit-identical cross-engine. */
+  def a20Dispersion(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_extendedprice").cast(dec)
+    val big = DecimalType(38, 4)
+    val agg = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast(big)).as("sxx"))
+    def dd(c: String) = col(c).cast("double")
+    val ssPop = (dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
+      (dd("n") * dd("n"))
+    val ssSamp = (dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
+      (dd("n") * (dd("n") - lit(1.0)))
+    agg.select(col("l_returnflag"), col("n"),
+      ssPop.as("var_pop"), sqrt(ssPop).as("stddev_pop"),
+      ssSamp.as("var_samp"), sqrt(ssSamp).as("stddev_samp"))
+  }
+
+  /** A-class: ordered string aggregation (LISTAGG semantics) — the
+    * grouped concatenation a report/log register renders. Composed as
+    * sort_array(collect_set) + array_join so the result is
+    * deterministic under ANY partitioning (raw listagg concatenates in
+    * arrival order — unusable under an exact oracle); per-group input
+    * is the bounded distinct-status set. */
+  def a21StringAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"))
+
   // ------------------------------------------- sketch family part 3 (a13)
   // (HLL distinct a7, quantiles a11, heavy hitters a13 — the bounded-
   // error aggregates a stats daemon keeps where exact state won't fit.)
@@ -1036,6 +1070,8 @@ object Relational {
     "sc7_higher_order" -> sc7HigherOrder _,
     "a18_grouping_sets" -> a18GroupingSets _,
     "a19_histogram" -> a19Histogram _,
+    "a20_dispersion" -> a20Dispersion _,
+    "a21_string_agg" -> a21StringAgg _,
     "t24_edit_distance" -> t24EditDistance _,
     "w11_first_nth" -> w11FirstNth _,
     "s7_pagination" -> s7Pagination _,
