@@ -328,7 +328,8 @@ object SparkEntry {
         |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
         |SELECT doc_id,
         |  CAST(len(t) AS INT) AS n_tokens,
-        |  list_transform(t, x -> CAST(length(x) AS INT)) AS lens,
+        |  array_to_string(list_transform(t, x -> CAST(length(x) AS INT)), ',')
+        |    AS lens_csv,
         |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
         |    AS total_len,
         |  CAST(len(list_filter(t, x -> length(x) >= 5)) AS INT)

@@ -969,14 +969,17 @@ object Relational {
     * (previously only exercised inside composite queries): transform /
     * filter / aggregate / distinct-sort-slice over the token array —
     * the reference's llist walks (`psi.c` throughout) as declarative
-    * array lambdas, all inside one projection. */
+    * array lambdas, all inside one projection. The transformed array is
+    * emitted as a CSV scalar (`lens_csv`) — the driver harness sorts
+    * result columns and cannot hash raw array cells, so every query
+    * surfaces scalars only; the lambda stays in the plan. */
   def sc7HigherOrder(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(
         col("doc_id"),
         size(col("t")).as("n_tokens"),
-        expr("transform(t, x -> length(x))").as("lens"),
+        expr("array_join(transform(t, x -> length(x)), ',')").as("lens_csv"),
         expr("aggregate(transform(t, x -> length(x)), 0, (a, x) -> a + x)")
           .cast("long").as("total_len"),
         expr("size(filter(t, x -> length(x) >= 5))").as("n_long"),

@@ -194,15 +194,43 @@ object Settings {
         element_at(m, "proc_name").as("proc_name"),
         element_at(m, "tag").as("tag"),
         element_at(m, "input_url").as("input_url"))
-      val wd = Window.orderBy("event_id")
+      // proc_id allocation is a running count of accepted requests in
+      // arrival order — a prefix sum. The request stream is
+      // user-dimension-scaled, so a bare `Window.orderBy` would funnel
+      // it through one task (Spark's "No Partition Defined" warning).
+      // Instead, the partitioned two-pass pattern proven in
+      // `Remux.cbrPlanStreams` (ts/Remux.scala): deterministic
+      // event_id-range slices make the window partition-local; each
+      // slice's starting offset comes from a broadcast slice-grid of
+      // per-slice accept counts (nSlices rows, never data-sized).
+      val nSlices =
+        math.max(1, s.sparkContext.defaultParallelism)
+      val mxRow =
+        parsed.agg(max(col("event_id")).cast(LongType)).head()
+      val step =
+        if (mxRow.isNullAt(0)) 1L
+        else math.max(1L, mxRow.getLong(0) / nSlices + 1)
+      val sliced = parsed
+        .withColumn("pnum", floor(col("event_id") / step))
+        .withColumn("ok",
+          when(col("proc_name").isNotNull, 1L).otherwise(0L))
+      val totals = sliced.groupBy("pnum").agg(sum(col("ok")).as("cnt"))
+      val offsets = totals.as("g")
+        .join(totals.as("a"), col("a.pnum") < col("g.pnum"), "left")
+        .groupBy(col("g.pnum"))
+        .agg(coalesce(sum(col("a.cnt")), lit(0L)).as("off"))
+        .toDF("pnum", "off")
+      val wLocal = Window.partitionBy("pnum").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parsed
+      sliced
+        .withColumn("run", sum(col("ok")).over(wLocal))
+        .join(broadcast(offsets), Seq("pnum"))
         .withColumn("proc_id",
           when(col("proc_name").isNotNull,
-            sum(when(col("proc_name").isNotNull, 1L).otherwise(0L))
-              .over(wd) - 1L))
+            col("off") + col("run") - 1L))
         .withColumn("http_code",
           when(col("proc_name").isNotNull, 201).otherwise(404))
+        .drop("pnum", "ok", "run", "off")
         .cache()
     }
 
