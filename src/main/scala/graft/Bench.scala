@@ -32,7 +32,12 @@ object Bench {
       graft.operators.Settings.warmRegistry(spark, sfDir)
       // index BUILD is a batch job; e10 measures index SERVE
       graft.operators.Similarity.ivfIndexPath(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // visible, not fatal: a failed warm-up means whatever it was
+      // meant to pre-build gets (re)built inside a timed query — the
+      // sweep still runs, but the skew must be attributable from logs
+      System.err.println(s"[bench] warm-up failed: $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -122,24 +122,19 @@ object Similarity {
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
 
-  /** IVF-style ANN: coarse quantization against K fixed centroids (the
-    * first K corpus vectors — a deterministic stand-in for trained
-    * k-means centroids), inverted lists = bucket column, queries probe
-    * their nprobe closest centroids and score exactly only within those
-    * lists. The corpus×corpus product never materializes; at 100 TB the
-    * inverted lists are the partitioning key. (Rows-only oracle:
-    * centroid assignment is engine-specific.) */
-  def e5IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val k = 16
-    val nprobe = 4
-    val emb = embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("cv"))
-    // assignment: nearest centroid per vector (broadcast K centroids)
-    val assigned = assignToCentroids(emb, centroids)
-    // queries probe their nprobe closest centroids
-    val probes = emb.filter(col("vec_id") < 10)
+  /** The first-k-corpus-vectors centroid table every fixed-centroid
+    * variant shares (a deterministic stand-in for a trained model). */
+  private[graft] def centroidsOf(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+
+  /** Query-side probe selection shared by e5/e6/e8/e10: each query
+    * vector ranks the (broadcast) centroid table and keeps its nprobe
+    * closest lists. The window partitions by query — parallel across
+    * the query set, K rows per partition. */
+  private def probesOf(emb: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    emb.filter(col("vec_id") < 10)
       .join(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("centroid_id"),
@@ -149,6 +144,22 @@ object Similarity {
           .orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q"), col("centroid_id"))
+
+  /** IVF-style ANN: coarse quantization against K fixed centroids,
+    * inverted lists = bucket column, queries probe their nprobe closest
+    * centroids and score exactly only within those lists. The
+    * corpus×corpus product never materializes; at 100 TB the inverted
+    * lists are the partitioning key. `k`/`nprobe` are the index's scale
+    * knobs (a 100 TB index wants k in the thousands); the defaults are
+    * the deterministic oracle configuration. With nprobe = k every list
+    * is probed and the result provably equals brute-force e1 — the
+    * recall dial's endpoint (asserted in IvfParamSpec). */
+  def ivfAnn(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = centroidsOf(emb, k)
+    val assigned = assignToCentroids(emb, centroids)
+    val probes = probesOf(emb, centroids, nprobe)
     // exact scoring only within probed inverted lists
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -160,6 +171,8 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select("query_id", "cand_id", "rnk")
   }
+
+  def e5IvfAnn(s: SparkSession, d: String): DataFrame = ivfAnn(s, d)
 
   /** e7 — int8 symmetric quantization of the embedding column (the
     * vector-compression step of a large-scale ANN index build): per
@@ -258,21 +271,12 @@ object Similarity {
     * the full coarse-quantization path. Oracle: the trained centroids are
     * dumped to parquet and the e5 pipeline SQL re-derives assignment /
     * probe / scoring from them. */
-  def e6IvfKmeans(s: SparkSession, d: String): DataFrame = {
-    val nprobe = 4
+  def e6IvfKmeans(s: SparkSession, d: String, nprobe: Int = 4)
+      : DataFrame = {
     val centroids = trainedCentroids(s, d)
     val emb = embeddings(s, d)
     val assigned = assignToCentroids(emb, centroids)
-    val probes = emb.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q"), col("centroid_id"))
+    val probes = probesOf(emb, centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     probes.join(assigned, Seq("centroid_id"))
@@ -311,10 +315,17 @@ object Similarity {
   def e8IvfPqAnn(s: SparkSession, d: String): DataFrame =
     ivfPqOf(embeddings(s, d))
 
-  private[graft] def ivfPqOf(emb: DataFrame): DataFrame = {
-    val k = 16; val nprobe = 4; val m = 8; val sub = 8; val ks = 16
-    val centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+  /** `k`/`nprobe`/`m`/`ks` are the standard IVF-PQ tuning axes (list
+    * count, probed lists, subspace count, codes per subspace); `dim` is
+    * the embedding width (m must divide it). Defaults are the
+    * deterministic oracle configuration; a 100 TB index raises k to the
+    * thousands and ks to 256 (8-bit codes). */
+  private[graft] def ivfPqOf(emb: DataFrame, k: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64)
+      : DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val centroids = centroidsOf(emb, k)
     val assigned = assignToCentroids(emb, centroids)
     def subspaces(vecCol: String): Column =
       slice(col(vecCol), col("j") * sub + 1, lit(sub))
@@ -340,16 +351,8 @@ object Similarity {
           lit(2.0) * vec_dot(col("xj"), col("cb"))).as("d2"))
       .groupBy("vec_id", "centroid_id", "j")
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("centroid_id"))
+    val probes = probesOf(emb, centroids, nprobe)
+      .select("query_id", "centroid_id")
     val dtab = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"), js)
       .select(col("query_id"), col("j"), subspaces("embedding").as("qj"))
@@ -404,9 +407,25 @@ object Similarity {
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)
-      val centroids = reps.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      semDedupOf(assignToCentroids(reps, centroids))
+      semDedupOf(assignToCentroids(reps, centroidsOf(reps, 16)))
+    }),
+    // SemDeDup cluster-count scaling: in-cluster candidate-pair count
+    // (Σ n·(n−1)/2 over clusters, computed from cluster sizes — no pair
+    // materialization) at k=16 vs k=64 on the 20× corpus. The k=64 count
+    // must track N²/k, i.e. land well under the k=16 count — the
+    // property that makes corpus-derived k (semDedupK) the scale path.
+    "z13_e9_k64" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until 20).map(i => embeddings(s, d)
+          .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      def pairSpace(k: Int): DataFrame =
+        assignToCentroids(reps, centroidsOf(reps, k))
+          .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - lit(1)) / lit(2))
+            .cast("long").as("pairs"))
+          .select(lit(k).as("k"), col("pairs"))
+      pairSpace(16).unionByName(pairSpace(64))
     }),
   )
 
@@ -420,21 +439,52 @@ object Similarity {
     * relationship as t6→t7. Assignment reuses the e5 coarse-quantize
     * path (broadcast centroids, max_by partial agg); the loser set is
     * corpus-scaled so the anti-join pins SHUFFLE_HASH like t11. */
-  private[graft] def e9Assigned(s: SparkSession, d: String): DataFrame = {
+  private[graft] def e9Assigned(s: SparkSession, d: String,
+      k: Int = 16): DataFrame = {
     val emb = embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    assignToCentroids(emb, centroids)
+    assignToCentroids(emb, centroidsOf(emb, k))
   }
 
-  def e9SemDedup(s: SparkSession, d: String): DataFrame =
-    semDedupOf(e9Assigned(s, d))
+  /** Cluster count for SemDeDup at a given corpus size: ~512 vectors
+    * per cluster (in-cluster pair work then grows linearly with the
+    * corpus, N·512/2, not quadratically), floored at the deterministic
+    * oracle default of 16 — which is what every test SF (500–2000
+    * vectors) resolves to, so the fixed-centroid oracle SQL stays
+    * valid while a 100 TB corpus gets k in the millions. */
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(16, (n / 512L).toInt)
 
-  private[graft] def semDedupOf(assigned: DataFrame): DataFrame = {
-    val losers = assigned.as("x")
-      .join(assigned.as("y"),
-        col("x.centroid_id") === col("y.centroid_id") &&
-          col("x.vec_id") < col("y.vec_id"))
+  def e9SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    semDedupOf(e9Assigned(s, d, semDedupK(emb.count())))
+  }
+
+  /** In-cluster near-dup removal behind the assignment. `fanout` > 1
+    * salts the self-join: the y side keys on (centroid, vec_id mod
+    * fanout) and the x side is replicated once per chunk, so ONE hot
+    * inverted list fans across `fanout` independent tasks instead of
+    * pinning a single reducer — the skew escape hatch when cluster
+    * sizes are unbalanced at scale. Every unordered pair still appears
+    * exactly once (x.vec_id < y.vec_id picks the chunk), so the result
+    * is fanout-invariant (asserted in IvfParamSpec). */
+  private[graft] def semDedupOf(assigned: DataFrame, fanout: Int = 1)
+      : DataFrame = {
+    val pairs =
+      if (fanout <= 1)
+        assigned.as("x").join(assigned.as("y"),
+          col("x.centroid_id") === col("y.centroid_id") &&
+            col("x.vec_id") < col("y.vec_id"))
+      else {
+        val y = assigned
+          .withColumn("chunk", pmod(col("vec_id"), lit(fanout.toLong)))
+        val x = assigned.withColumn("chunk",
+          explode(sequence(lit(0L), lit(fanout.toLong - 1L))))
+        x.as("x").join(y.as("y"),
+          col("x.centroid_id") === col("y.centroid_id") &&
+            col("x.chunk") === col("y.chunk") &&
+            col("x.vec_id") < col("y.vec_id"))
+      }
+    val losers = pairs
       .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.4)
       .select(col("y.vec_id").as("vec_id"))
       .distinct()
@@ -451,22 +501,13 @@ object Similarity {
     * a probe touches only its nprobe list directories, which is the
     * property that makes a 100 TB index answer queries without reading
     * the corpus. Results must equal e5 (same algorithm, same data). */
-  def e10IvfPersisted(s: SparkSession, d: String): DataFrame = {
+  def e10IvfPersisted(s: SparkSession, d: String, k: Int = 16,
+      nprobe: Int = 4): DataFrame = {
     val emb = embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") <= 4)
-      .select(col("query_id"), col("q"),
-        col("centroid_id").cast("int").as("centroid_id"))
-    val lists = s.read.parquet(ivfIndexPath(s, d))
+    val centroids = centroidsOf(emb, k)
+    val probes = probesOf(emb, centroids, nprobe)
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+    val lists = s.read.parquet(ivfIndexPath(s, d, k))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     broadcast(probes).join(lists, Seq("centroid_id"))
@@ -482,22 +523,31 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once inverted-list layout for [[e10IvfPersisted]]:
-    * hive-partitioned by centroid_id under target/. Building an index
-    * is a batch job; serving reads it pruned — the split the reference's
-    * continuously-maintained PSI state also follows (build ≠ serve). */
-  private[graft] def ivfIndexPath(s: SparkSession, d: String): String =
-    ivfIndexWritten.computeIfAbsent(d, { dir =>
-      val path = s"target/ivfindex/${math.abs(dir.hashCode)}"
-      e9Assigned(s, dir)
+    * hive-partitioned by centroid_id. Building an index is a batch job;
+    * serving reads it pruned — the split the reference's
+    * continuously-maintained PSI state also follows (build ≠ serve).
+    * Keyed by an MD5 of the full data-dir string plus the list count —
+    * distinct dirs (or k's) can never collide into one index the way a
+    * 32-bit hashCode could. Base dir overridable via GRAFT_INDEX_DIR. */
+  private[graft] def ivfIndexPath(s: SparkSession, d: String,
+      k: Int = 16): String =
+    ivfIndexWritten.computeIfAbsent(s"$d#k=$k", { _ =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val path = s"$base/$md5-k$k"
+      e9Assigned(s, d, k)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       path
     })
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_semdedup" -> e9SemDedup _,
-    "e10_ivf_persisted" -> e10IvfPersisted _,
+    "e10_ivf_persisted" ->
+      ((s: SparkSession, d: String) => e10IvfPersisted(s, d)),
     "e5_ivf_ann" -> e5IvfAnn _,
-    "e6_ivf_kmeans" -> e6IvfKmeans _,
+    "e6_ivf_kmeans" ->
+      ((s: SparkSession, d: String) => e6IvfKmeans(s, d)),
     "e1_cosine_topk" -> e1CosineTopK _,
     "e2_lsh_ann" -> e2LshAnn _,
     "e3_cosine_near_dup" -> e3CosineNearDup _,
