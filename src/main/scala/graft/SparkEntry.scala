@@ -1614,7 +1614,7 @@ object SparkEntry {
         |FROM documents""",
     "m1_media_meta" ->
       """SELECT doc_id, source AS format,
-        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents""",
     // m2: the hex string of the payload has 2 chars/byte; keeping the
@@ -1715,8 +1715,13 @@ object SparkEntry {
         |    WHEN bkt < 95 THEN 'val'
         |    ELSE 'test' END AS split
         |FROM b""",
+    // m3: the frame GRID is byte-derived on both engines; the frame
+    // content here is a char substring (DuckDB's md5/substring are
+    // VARCHAR-only) — identical to Spark's byte slice on this ASCII
+    // corpus, the one residual char/byte seam in the media family
     "m3_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
+      """WITH m AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
         |  md5(substring(text, CAST(t.i * 256 + 1 AS INTEGER), 64))
         |    AS frame_hash
@@ -1725,7 +1730,7 @@ object SparkEntry {
     // m4: the stride decimation re-derived over the same hex rendering
     "m5_segment_stats" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |    length(text) AS n_bytes FROM documents),
+        |    octet_length(encode(text)) AS n_bytes FROM documents),
         |s AS (SELECT doc_id, hx,
         |    unnest(range(0, (n_bytes - 1) // 256 + 1)) AS seg FROM m),
         |x AS (SELECT doc_id, seg,
@@ -1741,7 +1746,7 @@ object SparkEntry {
         |FROM x""",
     "m4_resize" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |    length(text) AS n FROM documents),
+        |    octet_length(encode(text)) AS n FROM documents),
         |d AS (SELECT doc_id, hx,
         |    CAST(n // 32 AS INTEGER) AS in_h FROM m),
         |e AS (SELECT doc_id, hx,

@@ -22,14 +22,18 @@ import graft.Tables._
   */
 object Multimodal {
 
-  /** The media table: (doc_id, media BINARY, format, n_bytes). */
+  /** The media table: (doc_id, media BINARY, format, n_bytes).
+    * n_bytes is OCTET length (length of the UTF-8 payload bytes, not
+    * the char count) — every segment/frame grid derives from it, and a
+    * char-count grid would under-cover multibyte payloads. The DuckDB
+    * oracles mirror it as octet_length(encode(text)). */
   def media(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("media"),
         col("source").as("format"),
-        length(col("text")).as("n_bytes"))
+        length(col("text").cast("binary")).as("n_bytes"))
 
   /** m1 — metadata projection + content fingerprint: reads ONLY the
     * cheap columns + one pass over the payload for the hash; at scale

@@ -631,8 +631,8 @@ object TextOps {
     componentsOf(documents(s, d).select(col("doc_id")),
       lshPairs(s, d).select(col("doc_a"), col("doc_b")))
 
-  private[graft] def componentsOf(docs: DataFrame, pairs: DataFrame)
-      : DataFrame = {
+  private[graft] def componentsOf(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
@@ -649,14 +649,19 @@ object TextOps {
     var iter = 0
     var done = false
     var prev = BigDecimal(-1)
-    while (!done && iter < 20) {
+    while (!done && iter < maxIters) {
       val viaNb = edges
         .join(labels.withColumnRenamed("doc_id", "nb"),
           col("doc_b") === col("nb"))
         .select(col("doc_a").as("doc_id"), col("comp"))
-      val next = labels.unionByName(viaNb)
+      val merged = labels.unionByName(viaNb)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .cache()
+      // every 5th round, cut the lineage: each round's plan nests the
+      // previous one, and on a deep graph the compounding analyzer /
+      // optimizer cost would dominate long before the data does
+      val next =
+        if ((iter + 1) % 5 == 0) merged.localCheckpoint(true)
+        else merged.cache()
       val chk = BigDecimal(next
         .agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0))
@@ -667,6 +672,14 @@ object TextOps {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // a silent cap would return a WRONG closure (under-merged labels
+    // that the oracle would flag but a production caller would trust) —
+    // fail loudly instead, naming the knob
+    if (!done)
+      throw new IllegalStateException(
+        s"t17 components: min-label propagation not at fixpoint after " +
+          s"$maxIters rounds — clone-graph diameter exceeds the cap; " +
+          "raise maxIters")
     docs.select(col("doc_id"))
       .join(labels.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .select(col("doc_id"),

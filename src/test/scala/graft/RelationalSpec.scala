@@ -146,8 +146,14 @@ class RelationalSpec extends SparkSuite {
   test("a13 count-min: one-sided error, exact on this corpus' vocab scale") {
     val df = Relational.a13HeavyHitters(spark, sf).cache()
     try {
-      // CM guarantee: never under-counts; bound holds for every token
-      assert(df.filter(!col("lower_ok") || !col("eps_ok")).count() == 0)
+      // CM guarantee: never under-counts — deterministic, so universal
+      assert(df.filter(!col("lower_ok")).count() == 0)
+      // the 3N/width over-count bound is only PROBABILISTIC (~(1/3)^4
+      // per term by Markov over the 4 depth rows) — assert a failure
+      // RATE, not universality, or a regenerated corpus flakes this
+      val epsBad = df.filter(!col("eps_ok")).count()
+      assert(epsBad <= math.max(1L, df.count() / 100),
+        s"$epsBad of ${df.count()} terms exceed the 3N/width bound")
       // sketch mass conservation: each depth row counts every instance
       val n = Tables.documents(spark, sf)
         .select(explode(split(trim(col("text")), "\\s+")).as("t")).count()

@@ -130,6 +130,25 @@ class TextOpsSpec extends SparkSuite {
     real.unpersist()
   }
 
+  test("t17 components: a chain deeper than the cap fails LOUDLY, and " +
+    "converges (through a lineage checkpoint) when the cap covers it") {
+    import spark.implicits._
+    // a 30-node path graph: diameter 29, one hop of label movement per
+    // round — maxIters=5 cannot reach the fixpoint
+    val n = 30
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      TextOps.componentsOf(docs, pairs, maxIters = 5).count()
+    }
+    assert(e.getMessage.contains("not at fixpoint"))
+    // with the cap above the diameter the whole chain collapses to 0
+    // (and the loop crosses the every-5-rounds localCheckpoint path)
+    val got = TextOps.componentsOf(docs, pairs, maxIters = 40)
+    assert(got.filter(col("comp") =!= 0L).count() == 0)
+  }
+
   test("t18 segment dedup: exact-duplicate docs have every segment " +
     "duplicated, unique-segment docs have none") {
     val df = TextOps.t18SegmentDedup(spark, sf).cache()
