@@ -172,6 +172,9 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    "ts19_reject_stats" ->
+      s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
+         |GROUP BY reason""",
     "e8_ivf_pq" -> ivfPqSql,
     // e5's whole pipeline is deterministic (centroids = first 16 corpus
     // vectors) — assignment, probes and in-list scoring re-derived in SQL

@@ -529,26 +529,59 @@ object Relational {
         cume_dist().over(w).as("cdist"))
   }
 
-  /** A-class: EXACT median/quartile boundaries via order statistics —
-    * the middle two positions per group picked by row_number, averaged
-    * through DECIMAL, so there is NO interpolation arithmetic to drift
-    * between engines (percentile_cont implementations differ in fp
-    * expression shape). Exact medians need the full per-group sort —
-    * this is the deliberate exact baseline; a11's quantile sketch is the
-    * designated scale path (same pairing as t6→t7, e3→e2). */
+  /** A-class: EXACT median via a TWO-PASS order-statistic probe — no
+    * full per-group sort anywhere (the naive `row_number() OVER
+    * (PARTITION BY flag ORDER BY price)` sorts a third of the fact
+    * table in one task per group at scale):
+    *
+    *  1. histogram pass: per (group, price-bucket) counts — a pure
+    *     partial-aggregated groupBy; the cumulative walk runs on the
+    *     bucket GRID (groups × ~10² rows, broadcastable), locating the
+    *     ≤2 buckets that contain the middle positions k1/k2 and how
+    *     many rows precede each;
+    *  2. probe pass: only candidate-bucket rows (≈1/buckets of the
+    *     data) rank locally per (group, bucket) and offset by the
+    *     broadcast below-count — buckets partition the price space, so
+    *     local-rank + below IS the exact global rank under the same
+    *     (price, orderkey, linenumber) tie order.
+    *
+    * The two middle values average through DECIMAL, so there is NO
+    * interpolation arithmetic to drift between engines. The oracle
+    * keeps the single-sort SQL formulation — same relation, different
+    * physical strategy; a11's sketch remains the rank-error-bounded
+    * alternative. */
   def a15ExactMedian(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice").cast(dec).as("p"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
-      .filter(col("rn") === floor((col("n") + 1) / 2) ||
-        col("rn") === floor(col("n") / 2) + 1)
+    val width = 1000
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val hist = li
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / width).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(totals), Seq("l_returnflag"))
+      .withColumn("k1", floor((col("n") + 1) / 2))
+      .withColumn("k2", floor(col("n") / 2) + 1)
+      .withColumn("lo", col("cum") - col("c") + 1)
+      .filter((col("k1") >= col("lo") && col("k1") <= col("cum")) ||
+        (col("k2") >= col("lo") && col("k2") <= col("cum")))
+      .select(col("l_returnflag"), col("bkt"),
+        (col("lo") - 1).as("below"), col("n"), col("k1"), col("k2"))
+    val wloc = Window.partitionBy(col("l_returnflag"), col("bkt"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    li.withColumn("bkt", floor(col("l_extendedprice") / width))
+      .join(broadcast(cand), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(wloc) + col("below"))
+      .filter(col("rn") === col("k1") || col("rn") === col("k2"))
       .groupBy("l_returnflag")
       .agg(max(col("n")).as("n"),
-        (sum(col("p")).cast("double") / count(lit(1)).cast("double"))
-          .as("median_price"))
+        (sum(col("l_extendedprice").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("median_price"))
   }
 
   /** W-class: RANGE frame — a value-based sliding window (sum/count of

@@ -422,7 +422,24 @@ object TsQueries {
         .select(col("seq"), col("pid"), col("af.pcr").as("pcr")),
       Seq("pid"), "seq", "pcr", "last_pcr")
 
+  /** ts19: F1's log-and-continue reject accounting
+    * (`mpeg2_sp.c:1369-1382` counts and logs bad frames instead of
+    * dying) — per-disposition record counts over a capture with PLANTED
+    * framing errors (sync loss + oversize AF length,
+    * `TsPipeline.ensureCorruptedCapture`). Oracle: the per-record
+    * disposition log is dumped (TsLake `reject_log`) and the
+    * aggregation re-derived in SQL; the planted error POSITIONS are
+    * pinned exactly by TsPipelineSpec. */
+  def ts19RejectStats(s: SparkSession, d: String): DataFrame = {
+    val (ok, rej) = graft.ts.TsPipeline.packetsWithRejects(
+      s, graft.ts.TsPipeline.ensureCorruptedCapture())
+    ok.toDF().select(lit("ok").as("reason"))
+      .unionByName(rej.toDF().select(col("reason")))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts19_reject_stats" -> ts19RejectStats _,
     "ts16_cbr_plan" -> ts16CbrPlan _,
     "ts18_fill_forward" -> ts18FillForward _,
     "ts17_pcr_restamp" -> ts17PcrRestamp _,

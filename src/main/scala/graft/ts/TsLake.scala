@@ -149,6 +149,15 @@ object TsLake {
         "service_provider", "running_status"),
       "sdt_rows")
 
+    // per-record disposition log over the planted-corruption capture
+    // (ok | bad_sync | bad_af_length) — the ts19 oracle re-aggregates
+    // it in SQL
+    val (okPk, rej) = TsPipeline.packetsWithRejects(
+      s, TsPipeline.ensureCorruptedCapture())
+    save(okPk.toDF().select(col("seq"), lit("ok").as("reason"))
+      .unionByName(rej.toDF().select(col("seq"), col("reason"))),
+      "reject_log")
+
     // parsed PES headers at PUSI packets
     save(pk.filter(p => p.pusi && p.hasPayload)
       .flatMap(p => PesCodec.parseHeader(p.payload).map(h =>

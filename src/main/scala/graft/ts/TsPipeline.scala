@@ -70,6 +70,45 @@ object TsPipeline {
       decoded.flatMap(_.left.toOption).toDS())
   }
 
+  /** Deterministically corrupted copy of the reference capture for the
+    * ts19 reject-stats oracle: in every run of 97 records, record 13
+    * loses its sync byte and record 50 gets an oversize AF length
+    * (200 > 183) — the two hard framing errors F1 logs-and-continues
+    * past (`mpeg2_sp.c:1369-1382`). Written once per JVM under
+    * target/fixtures via temp-file + atomic move, so a concurrent
+    * Verify/test JVM never reads a half-written capture. */
+  val CorruptedCapture = "target/fixtures/corrupted_capture.ts"
+
+  def ensureCorruptedCapture(): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(CorruptedCapture)
+    if (!Files.exists(p)) {
+      val bytes = Files.readAllBytes(Paths.get(DefaultCapture))
+      val n = bytes.length / TsCodec.PacketSize
+      var i = 0
+      while (i < n) {
+        val off = i * TsCodec.PacketSize
+        (i % 97) match {
+          case 13 => bytes(off) = 0x11 // bad_sync
+          case 50 => // AF present with afLen 200 > 183: bad_af_length
+            bytes(off + 3) = (bytes(off + 3) | 0x20).toByte
+            bytes(off + 4) = 0xC8.toByte
+          case _ => ()
+        }
+        i += 1
+      }
+      Files.createDirectories(p.getParent)
+      val tmp = Paths.get(CorruptedCapture + s".tmp${
+        java.lang.ProcessHandle.current().pid()}")
+      Files.write(tmp, bytes)
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+      }
+    }
+    CorruptedCapture
+  }
+
   /** R2 as a batch operator: shuffle by PID, sort (pid, seq) within
     * partitions, stream each pid-run through the assembler state machine.
     *

@@ -135,4 +135,26 @@ class CaptureE2ESpec extends SparkSuite {
       assert(rejects.forall(_.reason == "bad_sync"))
     } finally java.nio.file.Files.delete(tmp)
   }
+
+  test("ts19 fixture: planted corruption counts and positions are exact") {
+    val (good, bad) = TsPipeline.packetsWithRejects(
+      spark, TsPipeline.ensureCorruptedCapture())
+    val n = 15029L
+    // ceil-count of i < n with i % 97 == r, r in {13, 50}: both 155
+    val expectPer = (0L until n).count(i => i % 97 == 13).toLong
+    val rejects = bad.collect()
+    assert(good.count() + rejects.length == n)
+    val byReason = rejects.groupBy(_.reason).view.mapValues(_.length.toLong)
+    assert(byReason("bad_sync") == expectPer)
+    assert(byReason("bad_af_length") == expectPer)
+    assert(rejects.filter(_.reason == "bad_sync")
+      .forall(_.seq % 97 == 13))
+    assert(rejects.filter(_.reason == "bad_af_length")
+      .forall(_.seq % 97 == 50))
+    // and the driver-facing ts19 aggregation mirrors the same numbers
+    val agg = graft.operators.TsQueries.ts19RejectStats(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("ok" -> (n - 2 * expectPer),
+      "bad_sync" -> expectPer, "bad_af_length" -> expectPer))
+  }
 }
