@@ -43,5 +43,10 @@ object OpLake {
     save(operators.Relational.a11Estimates(s, d), "a11_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
     save(operators.TextOps.t21Model(s, d), "t21_model")
+    // the STREAMING near-dup pair set from a deterministic multi-batch
+    // replay — the t25 oracle reads this; the Spark side recomputes the
+    // batch candidate relation, so the hash gate IS the stream≡batch
+    // parity assertion
+    save(streaming.TwsOps.nearDupReplay(s, d), "stream_neardup_pairs")
   }
 }

@@ -172,6 +172,12 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    // t25: the ORACLE side is the pair set the STREAMING near-dup
+    // operator emitted during Verify's deterministic replay (dumped);
+    // the Spark side recomputes the batch banding — the hash match is
+    // the stream≡batch parity proof
+    "t25_stream_neardup" ->
+      s"SELECT doc_a, doc_b FROM ${oprel("stream_neardup_pairs")}",
     "ts19_reject_stats" ->
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",

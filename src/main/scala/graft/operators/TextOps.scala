@@ -256,7 +256,14 @@ object TextOps {
   def t7MinHashLsh(s: SparkSession, d: String): DataFrame =
     lshPairs(s, d)
 
-  private def minHashLshOf(sh: DataFrame): DataFrame = {
+  /** Same-band CANDIDATE pair set (pre-verification): 24 min-hash
+    * permutations via double hashing, 12 bands of 2, distinct same-band
+    * pairs. Factored out of [[minHashLshOf]] because this relation is
+    * ALSO the exact set the STREAMING near-dup operator
+    * (`streaming.TwsOps.nearDupDocsStream`) must have emitted after a
+    * full replay — the t25 oracle row pins that batch≡stream equality
+    * through the driver's hash gate. */
+  private[graft] def lshCandidatesOf(sh: DataFrame): DataFrame = {
     val numHashes = 24
     val bandSize = 2
     val numBands = numHashes / bandSize
@@ -280,13 +287,26 @@ object TextOps {
         .as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val cands = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** t25: the streaming↔batch near-dup parity row — the Spark side is
+    * the batch candidate relation; the ORACLE side is the pair set the
+    * streaming operator emitted during Verify's deterministic
+    * multi-batch replay (dumped by [[graft.OpLake]]). A hash match
+    * means the cross-batch bucket state reconstructs exactly the
+    * batch banding — the same closure ts16–ts18 gave the encoders. */
+  def t25StreamNearDup(s: SparkSession, d: String): DataFrame =
+    lshCandidatesOf(shRelation(s, d))
+
+  private def minHashLshOf(sh: DataFrame): DataFrame = {
+    val cands = lshCandidatesOf(sh)
     // exact-jaccard verification via per-doc shingle-SET arrays: one
     // bounded row per doc (≤ distinct shingles), candidates join the
     // sets once and intersect in-task. The alternative — joining pairs
@@ -843,6 +863,7 @@ object TextOps {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_stream_neardup" -> t25StreamNearDup _,
     "t17_dup_components" -> t17DupComponents _,
     "t18_segment_dedup" -> t18SegmentDedup _,
     "t19_tfidf" -> t19Tfidf _,

@@ -284,6 +284,54 @@ object TwsOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Deterministic multi-batch replay of a documents dir through
+    * [[nearDupDocsStream]], returning the emitted DISTINCT pair set —
+    * the Verify-time producer behind the t25 parity row (OpLake dumps
+    * it; the batch `lshCandidatesOf` relation must hash-match it).
+    * MemoryStream is driver-fed by design, so the corpus collect here
+    * is replay PLUMBING bounded to the Verify SF — the operator under
+    * test (bucket state inside transformWithState) stays distributed. */
+  def nearDupReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val name = s"neardup_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    // transformWithState requires the RocksDB provider; the conf is
+    // captured at query start, so scope it to this replay and restore
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = nearDupDocsStream(mem.toDS().toDF("doc_id", "text", "ts"))
+      .toDF("doc_a", "doc_b", "ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val pairs =
+      try {
+        val base = 1704067200000L
+        docs.grouped(math.max(1, docs.length / batches)).foreach { g =>
+          mem.addData(g.toSeq.map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(base + id)) }: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).select("doc_a", "doc_b").distinct()
+          .as[(Long, Long)].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    pairs.toDF("doc_a", "doc_b")
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._

@@ -37,4 +37,13 @@ class DocDedupStreamSpec extends SparkSuite {
       assert(out.find(_._2 == "alpha beta").get._1 == 1L)
     } finally q.stop()
   }
+
+  test("streaming near-dup replay emits exactly the batch candidate " +
+    "pair set (the t25 parity the driver gate hash-checks at sf0.01)") {
+    val streamed = TwsOps.nearDupReplay(spark, sf, batches = 3)
+    val batch = graft.operators.TextOps.t25StreamNearDup(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
 }
