@@ -382,7 +382,7 @@ object Similarity {
     // MUST surface (recall floor), while pair generation stays bounded
     // to same-bucket work
     "z7_e2_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => embeddings(s, d)
+      val reps = (0 until TextOps.stressReps).map(i => embeddings(s, d)
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)
@@ -392,7 +392,7 @@ object Similarity {
     // count (codes only — 8 ints/vector through the ADC join), never
     // the corpus×corpus product or the raw float payload
     "z9_e8_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => embeddings(s, d)
+      val reps = (0 until TextOps.stressReps).map(i => embeddings(s, d)
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)
@@ -403,7 +403,7 @@ object Similarity {
     // exactly the 1× kept set — and the pair space stays bounded per
     // inverted list while every list is 20× hotter
     "z12_e9_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => embeddings(s, d)
+      val reps = (0 until TextOps.stressReps).map(i => embeddings(s, d)
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)
@@ -415,7 +415,7 @@ object Similarity {
     // must track N²/k, i.e. land well under the k=16 count — the
     // property that makes corpus-derived k (semDedupK) the scale path.
     "z13_e9_k64" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => embeddings(s, d)
+      val reps = (0 until TextOps.stressReps).map(i => embeddings(s, d)
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_ unionByName _)

@@ -187,7 +187,7 @@ object TextOps {
     * the static planner mis-sizes (the pre-materialization cache
     * estimate) into a corpus-scaled broadcast. The only consumer of
     * counts is t6, which derives them itself behind a real Exchange. */
-  private def shRelationOf(docs: DataFrame): DataFrame =
+  private[operators] def shRelationOf(docs: DataFrame): DataFrame =
     shingleExplodedOf(docs).cache()
 
   private def shRelation(s: SparkSession, d: String): DataFrame =
@@ -305,7 +305,7 @@ object TextOps {
   def t25StreamNearDup(s: SparkSession, d: String): DataFrame =
     lshCandidatesOf(shRelation(s, d))
 
-  private def minHashLshOf(sh: DataFrame): DataFrame = {
+  private[operators] def minHashLshOf(sh: DataFrame): DataFrame = {
     val cands = lshCandidatesOf(sh)
     // exact-jaccard verification via per-doc shingle-SET arrays: one
     // bounded row per doc (≤ distinct shingles), candidates join the
@@ -452,6 +452,14 @@ object TextOps {
       .crossJoin(missing.agg(count(lit(1)).as("n_missing_from_lsh")))
   }
 
+  /** Stress-family corpus replication factor — the z-queries run the
+    * sf corpus at `reps`× with distinct doc/vec ids. Default 20 (the
+    * per-round envelope); raise via GRAFT_STRESS_REPS for
+    * overnight-class extrapolation runs (COVERAGE records a 100× one).
+    * Query names keep their historical `_20x` suffix — they are ids. */
+  private[graft] def stressReps: Int =
+    sys.env.getOrElse("GRAFT_STRESS_REPS", "20").toInt
+
   /** Sub-plan probes for hotspot profiling (wired into `graft.Profile`
     * only — not part of the driver-visible query surface). */
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -461,7 +469,7 @@ object TextOps {
     // every doc gains 19 perfect clones) through the full MinHash+LSH
     // path — the run that would be quadratic corpus² on the exact path
     "z6_t7_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => documents(s, d)
+      val reps = (0 until stressReps).map(i => documents(s, d)
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
@@ -472,7 +480,7 @@ object TextOps {
     // rounds while the label relation carries ~every doc — the loop's
     // state scales with the duplicate population, and this pins it
     "z10_t17_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => documents(s, d)
+      val reps = (0 until stressReps).map(i => documents(s, d)
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
@@ -484,13 +492,21 @@ object TextOps {
     // + LSH dup removal) on the corpus replicated 20× — the run the
     // round-1 t6-composed version could not survive
     "z8_t11_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => documents(s, d)
+      val reps = (0 until stressReps).map(i => documents(s, d)
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
+      // MATERIALIZE the pair set before composing (exactly what
+      // production t11 gets from the session-memoized lshPairs): with
+      // the raw plan inlined instead, the anti-join query re-references
+      // the 20-way-union subtree and AQE re-materializes the per-branch
+      // stages per consumer — measured 202 AQE jobs / 227 s / tens of
+      // GB of duplicated shuffle at 20×, vs 11 jobs for the pair set
+      // alone. localCheckpoint truncates the composed plan to a leaf.
       val losers = minHashLshOf(shRelationOf(reps))
         .select(col("doc_b").as("doc_id"))
         .distinct()
+        .localCheckpoint(true)
       qualityScoreOf(reps)
         .filter(
           col("stopword_ratio") <= 0.5 &&
@@ -503,7 +519,7 @@ object TextOps {
     // both shuffles stay hash-only and the count join survives a corpus
     // where the frequency side is as large as the segment side
     "z11_t18_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until 20).map(i => documents(s, d)
+      val reps = (0 until stressReps).map(i => documents(s, d)
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
             col("text")))
         .reduce(_ unionByName _)
