@@ -422,6 +422,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "w12_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view
+        |    FROM events WHERE event_type = 'view' GROUP BY 1),
+        |  c AS (SELECT e.user_id, min(e.ts) AS t_click,
+        |      min(v.t_view) AS t_view
+        |    FROM events e JOIN v ON e.user_id = v.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    GROUP BY 1),
+        |  p AS (SELECT e.user_id, min(e.ts) AS t_purchase,
+        |      min(c.t_click) AS t_click, min(c.t_view) AS t_view
+        |    FROM events e JOIN c ON e.user_id = c.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    GROUP BY 1)
+        |SELECT user_id, t_view, t_click, t_purchase FROM p""",
     "s7_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey

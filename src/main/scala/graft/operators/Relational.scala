@@ -976,6 +976,35 @@ object Relational {
         nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
   }
 
+  /** W-class: ordered-sequence (FUNNEL) matching — users whose event
+    * stream contains view < click < purchase in strict time order (the
+    * MATCH_RECOGNIZE / funnel-analysis staple). Stepwise-minimum
+    * formulation: each stage is a filtered map-side-combinable min
+    * aggregate joined to the previous stage's per-user anchor — three
+    * hash-shuffles on user_id, NO window and NO per-user event sort
+    * (the naive per-user ORDER BY sorts the whole fact table; this
+    * scans it three times cheaply instead, and each later stage's
+    * input is already cut to users that survived the previous one). */
+  def w12Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_click"), min(col("t_view")).as("t_view"))
+    ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t_purchase"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_view")).as("t_view"))
+      .select("user_id", "t_view", "t_click", "t_purchase")
+  }
+
   /** S-class: keyset-free PAGINATION — global ORDER BY + OFFSET + LIMIT
     * (page 3 of 50). A global sort is the honest cost of OFFSET
     * pagination at scale (every page pays the sort down to its offset);
@@ -1110,6 +1139,7 @@ object Relational {
     "a21_string_agg" -> a21StringAgg _,
     "t24_edit_distance" -> t24EditDistance _,
     "w11_first_nth" -> w11FirstNth _,
+    "w12_funnel" -> w12Funnel _,
     "s7_pagination" -> s7Pagination _,
     "a17_bool_aggs" -> a17BoolAggs _,
     "f1_range_filter" -> f1RangeFilter _,

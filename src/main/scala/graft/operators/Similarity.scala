@@ -466,7 +466,15 @@ object Similarity {
     * pinning a single reducer — the skew escape hatch when cluster
     * sizes are unbalanced at scale. Every unordered pair still appears
     * exactly once (x.vec_id < y.vec_id picks the chunk), so the result
-    * is fanout-invariant (asserted in IvfParamSpec). */
+    * is fanout-invariant (asserted in IvfParamSpec).
+    *
+    * `assigned` is referenced three times (both self-join sides + the
+    * keep side), so an UNMATERIALIZED input re-runs the assignment
+    * aggregate thrice. At corpus scale, materialize the assignment
+    * first — that is exactly [[ivfIndexPath]]'s persisted
+    * centroid-partitioned layout (the SemDeDup paper's own phase
+    * split: cluster once, dedup within lists); at the oracle SFs the
+    * triple agg over thousands of rows is cheaper than any write. */
   private[graft] def semDedupOf(assigned: DataFrame, fanout: Int = 1)
       : DataFrame = {
     val pairs =
