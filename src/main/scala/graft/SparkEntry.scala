@@ -440,6 +440,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50 OFFSET 100""",
+    "s8_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 150000.0
+        |   OR (o_totalprice = 150000.0 AND o_orderkey > 4000)
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""",
     "a17_bool_aggs" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 0) AS all_positive,
@@ -1726,6 +1732,59 @@ object SparkEntry {
         |FROM b
         |WHERE bkt < CASE WHEN lang = 'en' THEN 100
         |  WHEN lang = 'zh' THEN 300 ELSE 500 END""",
+    // t26: the oracle rebuilds the same shard-local prefix sum; // is
+    // DuckDB integer division = Spark floor(x / 2^11) (budget is a
+    // power of two, so the double division is exact in binary)
+    "t26_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        |  CAST(tok_offset // 2048 AS INTEGER) AS bin,
+        |  (tok_offset + n_tokens - 1) // 2048 > tok_offset // 2048
+        |    AS crosses_bin
+        |FROM o""",
+    // t27: digit-wise hex parse as in t12 (DuckDB has no conv())
+    "t27_shuffle_shard" ->
+      """WITH t AS (SELECT doc_id,
+        |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents),
+        |b AS (SELECT doc_id, shuffle_key,
+        |    CAST(CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(shuffle_key, CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 16 AS INTEGER) AS shard
+        |  FROM t)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos
+        |FROM b""",
+    // t28: the weighted lottery replayed list-wise; range(1, w+1) is
+    // DuckDB's [1, w] = Spark's sequence(1, w)
+    "t28_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(least(64,
+        |      (len(regexp_split_to_array(trim(text), '\s+')) + 31) // 32)
+        |      AS INTEGER) AS w_units
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, w_units,
+        |    list_min(list_transform(range(1, w_units + 1),
+        |      i -> md5('ws:' || CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(i AS VARCHAR)))) AS min_ticket
+        |  FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY min_ticket, doc_id) AS rn FROM k)
+        |SELECT doc_id, lang, w_units, min_ticket,
+        |  CAST(rn AS INTEGER) AS rnk
+        |FROM r WHERE rn <= 10""",
     "t12_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(list_sum(list_transform(range(1, 7),

@@ -1016,6 +1016,22 @@ object Relational {
       .offset(100)
       .limit(50)
 
+  /** S-class: KEYSET (seek-method) pagination — the scale-correct
+    * alternative to s7's OFFSET: the anchor row's (price, key) from the
+    * previous page becomes a predicate, so the engine does a filtered
+    * per-partition top-k (TakeOrderedAndProject: no global sort, no
+    * Exchange, work independent of page depth) instead of sorting down
+    * to OFFSET. The (o_totalprice, o_orderkey) pair is a total order,
+    * so pages are stable under concurrent appends — why every cursor
+    * API (and the reference's paged list endpoints) seeks, not skips. */
+  def s8KeysetPage(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_totalprice") < 150000.0 ||
+        (col("o_totalprice") === 150000.0 && col("o_orderkey") > 4000))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(50)
+
   /** A-class: boolean/conditional aggregates — every/any/count_if per
     * group (the reference's per-instance health flags: "all sections
     * CRC-ok", "any discontinuity seen", counts of flagged packets). */
@@ -1141,6 +1157,7 @@ object Relational {
     "w11_first_nth" -> w11FirstNth _,
     "w12_funnel" -> w12Funnel _,
     "s7_pagination" -> s7Pagination _,
+    "s8_keyset_page" -> s8KeysetPage _,
     "a17_bool_aggs" -> a17BoolAggs _,
     "f1_range_filter" -> f1RangeFilter _,
     "f2_in_filter" -> f2InFilter _,

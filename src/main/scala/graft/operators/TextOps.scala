@@ -878,8 +878,90 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** t26: sequence PACKING (concat-and-chunk) — the pretraining step
+    * that lays documents end-to-end and cuts fixed-size context
+    * windows. Each doc gets its shard, its token offset in the shard's
+    * concatenated stream, the context bin that offset falls in, and
+    * whether it straddles a bin boundary (the fraction a packer either
+    * splits or pads around). Shard-local prefix sum: one window per
+    * shard ordered by doc_id — shards are the scale-out axis (a 100 TB
+    * corpus packs thousands of shards in parallel; within a shard the
+    * prefix sum is one linear pass, the same shape as the k5 registry
+    * slices). `budget` defaults to a power of two so Spark's double
+    * division + floor is bit-equal to the oracle's integer division. */
+  def t26Pack(s: SparkSession, d: String, budget: Int = 2048,
+      nShards: Int = 8): DataFrame = {
+    val ntok = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") % nShards).cast("int").as("shard"),
+        ntok.as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tok_offset") / budget).cast("int"))
+      .withColumn("crosses_bin",
+        floor((col("tok_offset") + col("n_tokens") - 1) / budget)
+          .cast("int") > col("bin"))
+  }
+
+  /** t27: deterministic training SHUFFLE + sharding — a reproducible
+    * global permutation of the corpus (shard + position per doc) from a
+    * salted content-free hash, so any two runs (and any two engines)
+    * agree on example order without a seed exchange. The shard is the
+    * same 24-bit md5 bucket family as t12; position is a row_number
+    * per shard ordered by the full hash. Scale: the sort is per-shard
+    * (shard count rides corpus size), never global, and the shuffle
+    * carries only (doc_id, 32-byte key). */
+  def t27ShuffleShard(s: SparkSession, d: String, nShards: Int = 16)
+      : DataFrame = {
+    val shard = (conv(substring(col("shuffle_key"), 1, 6), 16, 10)
+      .cast("long") % nShards).cast("int")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** t28: WEIGHTED sampling without floats — per-language top-k by an
+    * integer hash lottery. A doc with weight w (here: token count in
+    * 32-token units, capped) draws w tickets `md5(doc:i)` and plays its
+    * minimum; ordering by that minimum is the discrete Efraimidis-
+    * Spiraki A-Res scheme (min of w uniforms ~ Beta(1,w)), so selection
+    * probability rises with w — but the comparison is pure string
+    * order, no ln()/pow() to drift across engines (the a7/t21 lesson).
+    * Scale: tickets are a bounded per-row array (≤ maxUnits), the only
+    * shuffle is the per-lang top-k window, and WindowGroupLimit
+    * push-down keeps each partition to its k best rows. */
+  def t28WeightedSample(s: SparkSession, d: String, topK: Int = 10,
+      maxUnits: Int = 64): DataFrame = {
+    val ntok = size(split(trim(col("text")), "\\s+"))
+    val units =
+      least(lit(maxUnits), floor((ntok + lit(31)) / 32)).cast("int")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("min_ticket"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), units.as("w_units"))
+      .withColumn("min_ticket",
+        array_min(transform(sequence(lit(1), col("w_units")),
+          i => md5(concat(lit("ws:"), col("doc_id").cast("string"),
+            lit(":"), i.cast("string"))))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_stream_neardup" -> t25StreamNearDup _,
+    "t26_pack" -> ((s: SparkSession, d: String) => t26Pack(s, d)),
+    "t27_shuffle_shard" ->
+      ((s: SparkSession, d: String) => t27ShuffleShard(s, d)),
+    "t28_weighted_sample" ->
+      ((s: SparkSession, d: String) => t28WeightedSample(s, d)),
     "t17_dup_components" -> t17DupComponents _,
     "t18_segment_dedup" -> t18SegmentDedup _,
     "t19_tfidf" -> t19Tfidf _,

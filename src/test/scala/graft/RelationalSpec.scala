@@ -285,4 +285,23 @@ class RelationalSpec extends SparkSuite {
       assert(merged.count() == 0)
     } finally df.unpersist()
   }
+
+  test("s8 keyset page: strictly after the anchor, correctly ordered, " +
+    "and plan has no global sort (TakeOrderedAndProject)") {
+    val df = Relational.s8KeysetPage(spark, sf)
+    // plan asserted before any caching (cache substitution would wrap
+    // the very same logical plan in an InMemoryTableScan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "keyset page must be a per-partition top-k, not a global sort")
+    assert(!plan.contains("Exchange"), "keyset page must not shuffle")
+    // every row is past the (150000.0, 4000) anchor in cursor order
+    assert(df.filter(!(col("o_totalprice") < 150000.0 ||
+      (col("o_totalprice") === 150000.0 && col("o_orderkey") > 4000)))
+      .count() == 0)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    val ord = rows.map(r => (-r.getDouble(2), r.getLong(0)))
+    assert(ord.sameElements(ord.sorted), "page must be cursor-ordered")
+  }
 }

@@ -323,4 +323,57 @@ class TextOpsSpec extends SparkSuite {
     val labels = Tables.embeddings(spark, sf).select("label").distinct()
     assert(df.count() == labels.count())
   }
+
+  test("t26 pack: offsets are exact shard prefix sums, bins monotone, " +
+    "crossing flag consistent with offset arithmetic") {
+    val df = TextOps.t26Pack(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    // offset = sum of preceding token counts, per shard in doc_id order
+    val win = org.apache.spark.sql.expressions.Window
+    val w = win.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(win.unboundedPreceding, -1)
+    val bad = df.withColumn("expect",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tok_offset") =!= col("expect"))
+    assert(bad.count() == 0)
+    // a doc crosses a bin boundary iff its span straddles a multiple of
+    // the budget — re-derive from modular arithmetic, not division
+    val badCross = df.filter(col("crosses_bin") =!=
+      (col("tok_offset") % 2048 + col("n_tokens") > 2048))
+    assert(badCross.count() == 0)
+    df.unpersist()
+  }
+
+  test("t27 shuffle shard: positions are a 1..n permutation per shard " +
+    "and the permutation is run-independent") {
+    val df = TextOps.t27ShuffleShard(spark, sf).cache()
+    val byShard = df.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("d"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("d"))
+    assert(byShard.count() == 0, "pos must be a dense 1..n per shard")
+    // determinism: a second evaluation (fresh plan) agrees row-for-row
+    val again = TextOps.t27ShuffleShard(spark, sf)
+    assert(df.exceptAll(again).count() == 0)
+    df.unpersist()
+  }
+
+  test("t28 weighted sample: k per lang, units capped, and the lottery " +
+    "favors heavier docs at the corpus level") {
+    val df = TextOps.t28WeightedSample(spark, sf).cache()
+    val perLang = df.groupBy("lang").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 10)
+    assert(perLang.count() == 0)
+    assert(df.filter(col("w_units") < 1 || col("w_units") > 64)
+      .count() == 0)
+    // min of w uniforms has mean 1/(w+1): sampled docs should skew
+    // heavier than the corpus average weight (statistical, but wide —
+    // top-10-of-hundreds by a weighted lottery clears it comfortably)
+    val sampledAvg = df.agg(avg(col("w_units"))).first().getDouble(0)
+    val corpusAvg = TextOps.t28WeightedSample(spark, sf,
+        topK = Int.MaxValue).agg(avg(col("w_units"))).first().getDouble(0)
+    assert(sampledAvg > corpusAvg,
+      s"weighted sample avg $sampledAvg !> corpus avg $corpusAvg")
+    df.unpersist()
+  }
 }
