@@ -48,5 +48,10 @@ object OpLake {
     // batch candidate relation, so the hash gate IS the stream≡batch
     // parity assertion
     save(streaming.TwsOps.nearDupReplay(s, d), "stream_neardup_pairs")
+    // the STREAMING packer's emitted rows (per-shard offset state
+    // carried across a deterministic 5-batch replay) — the t29 oracle
+    // reads this; the Spark side recomputes batch t26Pack, so the hash
+    // gate IS the stream≡batch packing parity
+    save(streaming.TwsOps.packReplay(s, d), "stream_pack")
   }
 }

@@ -178,6 +178,11 @@ object SparkEntry {
     // the stream≡batch parity proof
     "t25_stream_neardup" ->
       s"SELECT doc_a, doc_b FROM ${oprel("stream_neardup_pairs")}",
+    // t29: oracle = the streaming packer's replay emissions; Spark side
+    // recomputes batch t26Pack — hash match = stream≡batch parity
+    "t29_stream_pack" ->
+      s"""SELECT doc_id, shard, n_tokens, tok_offset, bin, crosses_bin
+         |FROM ${oprel("stream_pack")}""",
     "ts19_reject_stats" ->
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",
@@ -446,6 +451,13 @@ object SparkEntry {
         |   OR (o_totalprice = 150000.0 AND o_orderkey > 4000)
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50""",
+    // j9: salting is semantics-neutral — the oracle is the PLAIN join
+    "j9_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""",
     "a17_bool_aggs" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 0) AS all_positive,

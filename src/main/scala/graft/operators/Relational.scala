@@ -1016,6 +1016,28 @@ object Relational {
       .offset(100)
       .limit(50)
 
+  /** J-class: SALTED skew join, driver-checked — the escape hatch for a
+    * hot join key too big for one reducer when the dim side is too big
+    * to broadcast: the fact side gets a deterministic row-hash salt,
+    * the dim side replicates `salts` ways, and the join key becomes
+    * (key, salt) so each hot key spreads over `salts` partitions.
+    * Salting is semantics-neutral, so the oracle is the PLAIN join —
+    * this row proves the rewrite preserves results, the same contract
+    * SkewSpec pins on synthetic hot keys. At 100 TB you'd salt only
+    * the AQE-detected hot-key subset; replicating the whole dim is the
+    * oracle-sized form. */
+  def j9SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   /** S-class: KEYSET (seek-method) pagination — the scale-correct
     * alternative to s7's OFFSET: the anchor row's (price, key) from the
     * previous page becomes a predicate, so the engine does a filtered
@@ -1158,6 +1180,7 @@ object Relational {
     "w12_funnel" -> w12Funnel _,
     "s7_pagination" -> s7Pagination _,
     "s8_keyset_page" -> s8KeysetPage _,
+    "j9_salted_join" -> j9SaltedJoin _,
     "a17_bool_aggs" -> a17BoolAggs _,
     "f1_range_filter" -> f1RangeFilter _,
     "f2_in_filter" -> f2InFilter _,

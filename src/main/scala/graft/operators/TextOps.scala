@@ -958,6 +958,9 @@ object TextOps {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_stream_neardup" -> t25StreamNearDup _,
     "t26_pack" -> ((s: SparkSession, d: String) => t26Pack(s, d)),
+    // t29: the SPARK side is batch t26; the oracle side is the
+    // streaming packer's replay dump — hash match = stream≡batch parity
+    "t29_stream_pack" -> ((s: SparkSession, d: String) => t26Pack(s, d)),
     "t27_shuffle_shard" ->
       ((s: SparkSession, d: String) => t27ShuffleShard(s, d)),
     "t28_weighted_sample" ->

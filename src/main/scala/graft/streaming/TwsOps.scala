@@ -332,6 +332,95 @@ object TwsOps {
     pairs.toDF("doc_a", "doc_b")
   }
 
+  // ---- streaming sequence packing (t29 = streaming t26) -------------
+
+  case class PackIn(shard: Int, doc_id: Long, n_tokens: Int)
+  case class PackOut(doc_id: Long, shard: Int, n_tokens: Int,
+    tok_offset: Long, bin: Int, crosses_bin: Boolean)
+  case class PackState(off: Long)
+
+  /** t26's concat-and-chunk packing hosted on `transformWithState`: the
+    * per-shard state is ONE long (the running token offset), so a
+    * 100 TB packing run carries state proportional to shard count, not
+    * corpus. Docs are assigned offsets in doc_id order — batch order is
+    * the replay contract (AvailableNow over an ordered lake gives it;
+    * the in-batch sort handles intra-batch arrival shuffle). */
+  class PackProcessor(budget: Long)
+      extends StatefulProcessor[Int, PackIn, PackOut] {
+    @transient private var state: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PackState](
+        "off", Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[PackIn],
+        timerValues: TimerValues): Iterator[PackOut] = {
+      var off = Option(state.get()).map(_.off).getOrElse(0L)
+      val out = Vector.newBuilder[PackOut]
+      rows.toArray.sortBy(_.doc_id).foreach { r =>
+        val bin = off / budget
+        val lastBin = (off + r.n_tokens - 1) / budget
+        out += PackOut(r.doc_id, shard, r.n_tokens, off, bin.toInt,
+          lastBin > bin)
+        off += r.n_tokens
+      }
+      state.update(PackState(off))
+      out.result().iterator
+    }
+  }
+
+  def packStreamTws(docs: org.apache.spark.sql.DataFrame,
+      budget: Long = 2048L, nShards: Int = 8): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .selectExpr(s"cast(doc_id % $nShards as int) as shard", "doc_id",
+        "size(split(trim(text), '\\\\s+')) as n_tokens")
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .transformWithState(new PackProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic multi-batch replay of a documents dir through
+    * [[packStreamTws]] — the Verify-time producer behind the t29 parity
+    * row: OpLake dumps the emitted rows, and the batch `t26Pack` result
+    * must hash-match them (cross-batch offset state ≡ the batch prefix
+    * sum). Same plumbing bounds as [[nearDupReplay]]. */
+  def packReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val name = s"pack_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = packStreamTws(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val rows =
+      try {
+        docs.grouped(math.max(1, docs.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[PackOut].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    rows.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
