@@ -1744,6 +1744,19 @@ object SparkEntry {
         |FROM b
         |WHERE bkt < CASE WHEN lang = 'en' THEN 100
         |  WHEN lang = 'zh' THEN 300 ELSE 500 END""",
+    // t30: DuckDB rebuilds the shifted-zip bigrams list-wise; tk[i] is
+    // 1-based, range(1, len) = [1, len-1]
+    "t30_bigram_vocab" ->
+      """WITH t AS (SELECT
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |b AS (SELECT list_transform(range(1, len(tk)),
+        |    i -> tk[CAST(i AS INTEGER)] || ' '
+        |      || tk[CAST(i + 1 AS INTEGER)]) AS bs FROM t),
+        |e AS (SELECT unnest(bs) AS bigram FROM b)
+        |SELECT bigram, count(*) AS n FROM e GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 100""",
     // t26: the oracle rebuilds the same shard-local prefix sum; // is
     // DuckDB integer division = Spark floor(x / 2^11) (budget is a
     // power of two, so the double division is exact in binary)

@@ -955,7 +955,33 @@ object TextOps {
       .filter(col("rnk") <= topK)
   }
 
+  /** t30: global BIGRAM vocabulary — the corpus-wide adjacent-pair
+    * count that is the inner loop of BPE/WordPiece tokenizer training
+    * (t9 applies a merge table; this is the job that builds one).
+    * zip_with over two shifted slices forms the bigrams in one
+    * projection (no self-join), then a plain count: Spark's partial
+    * (map-side) aggregation makes this the classic scalable wordcount —
+    * the exchange carries one row per DISTINCT bigram per task, not per
+    * occurrence. Top-k by (count desc, bigram) is a total order, so
+    * the cut is deterministic; TakeOrderedAndProject keeps it
+    * per-partition + driver merge, no global sort. */
+  def t30BigramVocab(s: SparkSession, d: String, topK: Int = 100)
+      : DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    documents(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_bigram_vocab" ->
+      ((s: SparkSession, d: String) => t30BigramVocab(s, d)),
     "t25_stream_neardup" -> t25StreamNearDup _,
     "t26_pack" -> ((s: SparkSession, d: String) => t26Pack(s, d)),
     // t29: the SPARK side is batch t26; the oracle side is the

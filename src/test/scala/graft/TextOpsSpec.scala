@@ -324,6 +324,18 @@ class TextOpsSpec extends SparkSuite {
     assert(df.count() == labels.count())
   }
 
+  test("t30 bigram vocab: counts conserve adjacent-pair mass") {
+    // every doc with m tokens contributes exactly m-1 bigrams
+    val mass = TextOps.t30BigramVocab(spark, sf, topK = Int.MaxValue)
+      .agg(sum("n")).first().getLong(0)
+    val expect = Tables.documents(spark, sf)
+      .select((size(split(trim(lower(col("text"))), "\\s+")) - 1)
+        .as("m"))
+      .agg(sum(when(col("m") > 0, col("m")).otherwise(0L)))
+      .first().getLong(0)
+    assert(mass == expect, s"bigram mass $mass != $expect")
+  }
+
   test("t26 pack: offsets are exact shard prefix sums, bins monotone, " +
     "crossing flag consistent with offset arithmetic") {
     val df = TextOps.t26Pack(spark, sf).cache()
