@@ -53,5 +53,10 @@ object OpLake {
     // reads this; the Spark side recomputes batch t26Pack, so the hash
     // gate IS the stream≡batch packing parity
     save(streaming.TwsOps.packReplay(s, d), "stream_pack")
+    // the STREAMING funnel's completed rows (per-user stage state
+    // carried across a ts-ordered 5-batch replay) — the w13 oracle
+    // reads this; the Spark side recomputes batch w12Funnel, so the
+    // hash gate IS the stream≡batch funnel parity
+    save(streaming.TwsOps.funnelReplay(s, d), "stream_funnel")
   }
 }

@@ -183,6 +183,11 @@ object SparkEntry {
     "t29_stream_pack" ->
       s"""SELECT doc_id, shard, n_tokens, tok_offset, bin, crosses_bin
          |FROM ${oprel("stream_pack")}""",
+    // w13: oracle = the streaming funnel's replay emissions; Spark side
+    // recomputes batch w12Funnel — hash match = stream≡batch parity
+    "w13_stream_funnel" ->
+      s"""SELECT user_id, t_view, t_click, t_purchase
+         |FROM ${oprel("stream_funnel")}""",
     "ts19_reject_stats" ->
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",

@@ -1178,6 +1178,9 @@ object Relational {
     "t24_edit_distance" -> t24EditDistance _,
     "w11_first_nth" -> w11FirstNth _,
     "w12_funnel" -> w12Funnel _,
+    // w13: the SPARK side is batch w12; the oracle side is the
+    // streaming funnel's replay dump — hash match = stream≡batch parity
+    "w13_stream_funnel" -> w12Funnel _,
     "s7_pagination" -> s7Pagination _,
     "s8_keyset_page" -> s8KeysetPage _,
     "j9_salted_join" -> j9SaltedJoin _,

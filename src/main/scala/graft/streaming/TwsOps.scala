@@ -421,6 +421,108 @@ object TwsOps {
     rows.toDF()
   }
 
+  // ---- streaming funnel (w13 = streaming w12) -----------------------
+
+  case class FunnelIn(user_id: Long, event_type: String, tsus: Long)
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelHit(user_id: Long, view_us: Long, click_us: Long,
+    purchase_us: Long)
+
+  /** w12's view<click<purchase funnel as an online state machine: one
+    * 3-long state per user, advanced greedily in event-time order.
+    * Greedy ≡ batch stepwise-minima because events replay in ts order:
+    * the first view is min(view), the first click strictly after it is
+    * min(click > t_view), and so on. Emits exactly once, when the
+    * purchase stage completes. Strict `>` guards make equal-ts arrival
+    * order irrelevant. At scale the state is 24 bytes per LIVE user
+    * (completed users could drop their state via a TTL). */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelIn, FunnelHit] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelIn],
+        timerValues: TimerValues): Iterator[FunnelHit] = {
+      var st = Option(state.get()).getOrElse(FunnelState(-1L, -1L, -1L))
+      val out = Vector.newBuilder[FunnelHit]
+      rows.toArray.sortBy(r => (r.tsus, r.event_type)).foreach { r =>
+        r.event_type match {
+          case "view" if st.tView < 0 =>
+            st = st.copy(tView = r.tsus)
+          case "click" if st.tView >= 0 && st.tClick < 0 &&
+              r.tsus > st.tView =>
+            st = st.copy(tClick = r.tsus)
+          case "purchase" if st.tClick >= 0 && st.tPurchase < 0 &&
+              r.tsus > st.tClick =>
+            st = st.copy(tPurchase = r.tsus)
+            out += FunnelHit(user, st.tView, st.tClick, st.tPurchase)
+          case _ => // stage already filled, or out of order: no-op
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def funnelStreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "event_type", "tsus")
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay of the events dir
+    * through [[funnelStreamTws]] — the producer behind the w13 parity
+    * row: OpLake dumps the completed-funnel rows (micros re-widened to
+    * the same timestamps `Tables.events` serves), and batch
+    * `w12Funnel` must hash-match them. */
+  def funnelReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 as tsus")
+      .as[(Long, String, Long)]
+      .collect().sortBy(e => (e._3, e._1, e._2))
+    val mem = MemoryStream[(Long, String, Long)]
+    val name = s"funnel_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = funnelStreamTws(
+        mem.toDS().toDF("user_id", "event_type", "tsus"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val hits =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[FunnelHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    hits.toDF()
+      .selectExpr("user_id", "timestamp_micros(view_us) as t_view",
+        "timestamp_micros(click_us) as t_click",
+        "timestamp_micros(purchase_us) as t_purchase")
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
