@@ -525,6 +525,21 @@ object TextOps {
         .reduce(_ unionByName _)
       segmentDedupOf(reps)
     }),
+    // packing scale stress: 20× corpus over 64 shards — pins that the
+    // prefix-sum window stays shard-local (shards are the scale-out
+    // axis: per-shard chain length grows ~N/shards, not N) and that
+    // the summary never materializes per-doc rows to the driver
+    "z14_t26_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      packOf(reps, 2048, 64)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"),
+          max(col("tok_offset")).as("max_off"),
+          (max(col("bin")) + 1).as("bins"))
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))
@@ -890,11 +905,15 @@ object TextOps {
     * slices). `budget` defaults to a power of two so Spark's double
     * division + floor is bit-equal to the oracle's integer division. */
   def t26Pack(s: SparkSession, d: String, budget: Int = 2048,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8): DataFrame =
+    packOf(documents(s, d), budget, nShards)
+
+  private[graft] def packOf(docs: DataFrame, budget: Int,
+      nShards: Int): DataFrame = {
     val ntok = size(split(trim(col("text")), "\\s+"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    documents(s, d)
+    docs
       .select(col("doc_id"),
         (col("doc_id") % nShards).cast("int").as("shard"),
         ntok.as("n_tokens"))
