@@ -1378,6 +1378,29 @@ object SparkEntry {
         |SELECT count(*) AS n_exact_pairs,
         |  CAST(0 AS BIGINT) AS n_missing_from_lsh
         |FROM pairs""",
+    // e11: the SQ8 code build + integer dot replayed list-wise — the
+    // all-integer kernel makes qdot emittable (no float compare)
+    "e11_sq8_topk" ->
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, vd,
+        |    greatest(list_max(list_transform(vd, x -> abs(x))), 1e-30)
+        |      AS mx FROM base),
+        |coded AS (SELECT vec_id,
+        |    list_transform(vd, x ->
+        |      CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS code
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, code AS qc FROM coded
+        |  WHERE vec_id < 10),
+        |scored AS (SELECT query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qc) + 1),
+        |      i -> qc[i] * code[i])) AS BIGINT) AS qdot
+        |  FROM coded c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, cand_id, qdot, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, cand_id) AS rnk FROM scored)
+        |WHERE rnk <= 5""",
     "e1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |    FROM embeddings WHERE vec_id < 10),

@@ -193,6 +193,36 @@ object Similarity {
         size(filter(q, x => x === 0)).as("q_zeros"))
   }
 
+  /** e11 — SQ8-quantized top-k serving: brute-force ANN over the int8
+    * codes e7 builds (scale = 127/max|v| per vector, floor(x·s + 0.5)),
+    * ranked by the INTEGER code dot product. This is the memory-bound
+    * serving variant: the scoring join moves 8-bit codes (dim bytes per
+    * vector, 4× smaller than float32) and the kernel is integer
+    * multiply-add — the symmetric-distance (SDC) counterpart of e8's
+    * table-lookup ADC. All-integer scoring means the oracle replays it
+    * bit-exactly (·/÷/floor are IEEE-exact cross-engine; no sqrt, no
+    * cosine float compare). Only the query set broadcasts; the corpus
+    * side never self-joins. */
+  def e11Sq8TopK(s: SparkSession, d: String, topK: Int = 5)
+      : DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val mx = greatest(array_max(transform(vd, x => abs(x))), lit(1e-30))
+    val q = transform(vd,
+      x => floor(x * (lit(127.0) / mx) + lit(0.5)).cast("long"))
+    val coded = embeddings(s, d).select(col("vec_id"), q.as("code"))
+    val queries = coded
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("cand_id"))
+    coded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
   /** Deterministic Lloyd's k-means over the embedding corpus: init from
     * the first k vectors (by id), `iters` rounds of distributed assign +
     * per-dimension mean. The model (k×dim doubles) is the one legitimate
@@ -561,6 +591,8 @@ object Similarity {
     "e3_cosine_near_dup" -> e3CosineNearDup _,
     "e4_label_centroid" -> e4LabelCentroidDist _,
     "e7_quantize" -> e7Quantize _,
+    "e11_sq8_topk" ->
+      ((s: SparkSession, d: String) => e11Sq8TopK(s, d)),
     "e8_ivf_pq" -> e8IvfPqAnn _,
   )
 }

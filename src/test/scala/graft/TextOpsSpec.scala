@@ -318,6 +318,23 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("e11 sq8: 5 ranked neighbors per query, int8 quantization " +
+    "preserves most of the exact top-5") {
+    val df = Similarity.e11Sq8TopK(spark, sf).cache()
+    try {
+      val perQ = df.groupBy("query_id").count()
+        .filter(col("count") =!= 5)
+      assert(perQ.count() == 0)
+      // SQ8 is lossy but int8 on 32-dim vectors is near-faithful: the
+      // quantized top-5 should recover most of e1's exact float top-5
+      // (wide floor — this guards gross rank inversions, not noise)
+      val exact = Similarity.e1CosineTopK(spark, sf)
+        .select("query_id", "cand_id")
+      val hits = df.select("query_id", "cand_id").intersect(exact).count()
+      assert(hits >= 30, s"SQ8 recall vs exact top-5: $hits/50")
+    } finally df.unpersist()
+  }
+
   test("e4 label centroid covers every label") {
     val df = Similarity.e4LabelCentroidDist(spark, sf)
     val labels = Tables.embeddings(spark, sf).select("label").distinct()
