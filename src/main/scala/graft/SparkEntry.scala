@@ -1772,6 +1772,20 @@ object SparkEntry {
         |FROM b
         |WHERE bkt < CASE WHEN lang = 'en' THEN 100
         |  WHEN lang = 'zh' THEN 300 ELSE 500 END""",
+    // t31: same digit-wise hex parse as t12; the accept test is integer
+    // cross-multiplication, exact in both engines
+    "t31_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5('mix:' || text), CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 1000000 AS bucket
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM c)
+        |SELECT doc_id, d.source, CAST(bucket AS INTEGER) AS bucket,
+        |  bucket * n_src < 1000000 * n_min AS keep
+        |FROM d JOIN c ON d.source = c.source CROSS JOIN m""",
     // t30: DuckDB rebuilds the shifted-zip bigrams list-wise; tk[i] is
     // 1-based, range(1, len) = [1, len-1]
     "t30_bigram_vocab" ->

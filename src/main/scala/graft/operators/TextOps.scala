@@ -998,7 +998,33 @@ object TextOps {
       .limit(topK)
   }
 
+  /** t31: DOMAIN MIXING — rebalance the corpus to uniform source
+    * shares by hash-rate downsampling every source to the smallest
+    * one's size (keep-rate n_min/n_src). The accept test is pure
+    * integer cross-multiplication (`bucket·n_src < 1e6·n_min`) on a
+    * content-derived 1e6 bucket — no float rates to drift, and the
+    * sample is reproducible under any partitioning (t20's property,
+    * with DERIVED per-domain rates instead of fixed ones). Scale: two
+    * broadcast joins of a source-dimension table (≤ distinct sources)
+    * onto one pass over the corpus. */
+  def t31DomainMix(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("mix:"), col("text")).cast("binary"))
+    val bucket =
+      conv(substring(h, 1, 6), 16, 10).cast("long") % 1000000L
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val nmin = counts.agg(min(col("n_src")).as("n_min"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(nmin))
+      .select(col("doc_id"), col("source"),
+        col("bucket").cast("int").as("bucket"),
+        (col("bucket") * col("n_src") < lit(1000000L) * col("n_min"))
+          .as("keep"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_domain_mix" -> t31DomainMix _,
     "t30_bigram_vocab" ->
       ((s: SparkSession, d: String) => t30BigramVocab(s, d)),
     "t25_stream_neardup" -> t25StreamNearDup _,

@@ -341,6 +341,29 @@ class TextOpsSpec extends SparkSuite {
     assert(df.count() == labels.count())
   }
 
+  test("t31 domain mix: kept sizes rebalance toward the smallest " +
+    "source, keep flag matches the integer cross-multiplication") {
+    val df = TextOps.t31DomainMix(spark, sf).cache()
+    try {
+      val counts = df.groupBy("source").agg(
+        count(lit(1)).as("n_src"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      val nMin = counts.agg(min("n_src")).first().getLong(0)
+      // hash-rate sampling lands each source near n_min (deterministic
+      // for a fixed corpus; band covers regeneration at ~3 sigma)
+      val band = math.max(12L, nMin)
+      val off = counts.filter(
+        col("kept") > nMin + band || col("kept") < nMin - band)
+      assert(off.count() == 0,
+        s"sources outside n_min=$nMin ± $band: ${off.count()}")
+      // wiring: keep is exactly the integer predicate
+      val bad = df.join(counts.select("source", "n_src"), "source")
+        .filter(col("keep") =!=
+          (col("bucket").cast("long") * col("n_src") < nMin * 1000000L))
+      assert(bad.count() == 0)
+    } finally df.unpersist()
+  }
+
   test("t30 bigram vocab: counts conserve adjacent-pair mass") {
     // every doc with m tokens contributes exactly m-1 bigrams
     val mass = TextOps.t30BigramVocab(spark, sf, topK = Int.MaxValue)
