@@ -432,6 +432,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // w14: hold gaps are integer micros; the weighted mass is exact
+    // DECIMAL; ONE IEEE division at the end (cast both sums to double)
+    "w14_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsus,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT user_id, cents,
+        |    lead(tsus) OVER (PARTITION BY user_id
+        |      ORDER BY tsus, event_id) - tsus AS dt
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(dt) AS BIGINT) AS held_us,
+        |  CAST(SUM(cents * dt) AS DOUBLE)
+        |    / CAST(SUM(dt) * 100 AS DOUBLE) AS twa
+        |FROM g WHERE dt IS NOT NULL GROUP BY user_id""",
     "w12_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view
         |    FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -1016,6 +1016,40 @@ object Relational {
       .offset(100)
       .limit(50)
 
+  /** W-class: TIME-WEIGHTED average over irregular samples — each
+    * event's value is held until the next event, so the mean weights
+    * values by hold duration (the right average for sampled gauges:
+    * the reference's bitrate/CPU windows resample exactly because
+    * arithmetic means over-weight bursts — `stats.c`'s fixed-period
+    * accumulators). Hold gaps are integer micros; the weighted mass
+    * accumulates in DECIMAL (exact, partitioning-independent) with ONE
+    * IEEE division at the end — the a14/a20 exact-moment discipline.
+    * The lead() window partitions by user (bounded key), never global. */
+  def w14TimeWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsus"),
+        // exact integer CENTS: decimal quantization is integer-valued
+        // before the long cast, so truncate-vs-round cannot differ.
+        // Integer mass matters: a DECIMAL mass drifts cross-engine
+        // (DuckDB casts decimal→double as int128→double then /10^scale
+        // — two roundings vs Spark's one; measured last-ulp mismatches
+        // on 3/150 users), while integer→double rounds identically.
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .withColumn("dt", lead(col("tsus"), 1).over(w) - col("tsus"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(col("dt")).as("held_us"),
+        // per-row product ≤ 5.6e4 cents × 5e11 µs ≈ 2.8e16 (fits a
+        // long); per-user sums take decimal(38,0) overflow headroom
+        (sum((col("cents") * col("dt")).cast("decimal(38,0)"))
+          .cast("double") /
+          (sum(col("dt")) * 100).cast("double")).as("twa"))
+  }
+
   /** J-class: SALTED skew join, driver-checked — the escape hatch for a
     * hot join key too big for one reducer when the dim side is too big
     * to broadcast: the fact side gets a deterministic row-hash salt,
@@ -1181,6 +1215,7 @@ object Relational {
     // w13: the SPARK side is batch w12; the oracle side is the
     // streaming funnel's replay dump — hash match = stream≡batch parity
     "w13_stream_funnel" -> w12Funnel _,
+    "w14_time_weighted" -> w14TimeWeighted _,
     "s7_pagination" -> s7Pagination _,
     "s8_keyset_page" -> s8KeysetPage _,
     "j9_salted_join" -> j9SaltedJoin _,

@@ -286,6 +286,25 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("w14 time-weighted average: twa within the user's value range, " +
+    "hold time conserves the user's observed span") {
+    val df = Relational.w14TimeWeighted(spark, sf).cache()
+    try {
+      val ranges = Tables.events(spark, sf).groupBy("user_id")
+        .agg(min("value").as("lo"), max("value").as("hi"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us"))
+      val joined = df.join(ranges, "user_id")
+      // a convex (duration-weighted) mean cannot leave [min, max] —
+      // cents quantization can nudge it below lo by <0.005 at most
+      assert(joined.filter(col("twa") < col("lo") - 0.005 ||
+        col("twa") > col("hi") + 0.005).count() == 0)
+      // the held time is exactly first-to-last-event span per user
+      assert(joined.filter(col("held_us") =!= col("span_us"))
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
   test("s8 keyset page: strictly after the anchor, correctly ordered, " +
     "and plan has no global sort (TakeOrderedAndProject)") {
     val df = Relational.s8KeysetPage(spark, sf)
