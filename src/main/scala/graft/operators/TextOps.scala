@@ -974,6 +974,40 @@ object TextOps {
       .filter(col("rnk") <= topK)
   }
 
+  /** t32: CONTAINMENT near-dup — the asymmetric companion of t6's
+    * jaccard: containment = |A∩B| / min(|A|,|B|) catches a small doc
+    * embedded in a large one (quote farms, boilerplate wrappers,
+    * doc-in-doc scrapes) that jaccard misses because the union is
+    * dominated by the big doc. Same shared-shingle input cut as t6
+    * (singleton shingles cannot pair) but deliberately NO size-ratio
+    * prefilter — asymmetric sizes are the point. The 0.8 gate is
+    * integer cross-multiplication (`inter·10 ≥ n_small·8`); the
+    * reported ratio is one IEEE division of exact counts. Exact
+    * baseline like t6: at 100 TB the scale path is the banded LSH
+    * family (t7/t8) feeding the same verify. */
+  def t32Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val shHot = sh.join(hot, Seq("h"))
+    val inter = shHot.as("a")
+      .join(shHot.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 8)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        least(col("na"), col("nb")).as("n_small"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+  }
+
   /** t30: global BIGRAM vocabulary — the corpus-wide adjacent-pair
     * count that is the inner loop of BPE/WordPiece tokenizer training
     * (t9 applies a merge table; this is the job that builds one).
@@ -1025,6 +1059,7 @@ object TextOps {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_domain_mix" -> t31DomainMix _,
+    "t32_containment" -> t32Containment _,
     "t30_bigram_vocab" ->
       ((s: SparkSession, d: String) => t30BigramVocab(s, d)),
     "t25_stream_neardup" -> t25StreamNearDup _,

@@ -341,6 +341,27 @@ class TextOpsSpec extends SparkSuite {
     assert(df.count() == labels.count())
   }
 
+  test("t32 containment: dominates jaccard on shared pairs, gate " +
+    "honored, exact-dup pairs score 1.0") {
+    val df = TextOps.t32Containment(spark, sf).cache()
+    try {
+      assert(df.filter(col("containment") < 0.8 ||
+        col("containment") > 1.0).count() == 0)
+      // containment = inter/min >= inter/union = jaccard, so every t6
+      // pair at jaccard >= 0.8 must reappear here
+      val highJ = TextOps.t6NgramJaccard(spark, sf)
+        .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+      val missing = highJ.join(df.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      assert(missing.count() == 0)
+      // exact content duplicates contain each other completely
+      val dupPair = TextOps.t1ExactDedup(spark, sf)
+        .filter(col("copies") >= 2).limit(1)
+      if (dupPair.count() == 1)
+        assert(df.filter(col("containment") === 1.0).count() > 0)
+    } finally df.unpersist()
+  }
+
   test("t31 domain mix: kept sizes rebalance toward the smallest " +
     "source, keep flag matches the integer cross-multiplication") {
     val df = TextOps.t31DomainMix(spark, sf).cache()
