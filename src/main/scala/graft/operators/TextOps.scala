@@ -540,6 +540,20 @@ object TextOps {
           max(col("tok_offset")).as("max_off"),
           (max(col("bin")) + 1).as("bins"))
     }),
+    // containment scale stress: 20× corpus — every clone group is a
+    // complete containment clique (ratio-cut-free pair space), so this
+    // pins that pair generation stays bounded by shared-shingle
+    // buckets even without t6's size prefilter
+    "z15_t32_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      containmentOf(shRelationOf(reps))
+        .agg(count(lit(1)).as("pairs"),
+          sum(when(col("containment") === 1.0, 1L).otherwise(0L))
+            .as("full_containment"))
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))
@@ -985,8 +999,11 @@ object TextOps {
     * reported ratio is one IEEE division of exact counts. Exact
     * baseline like t6: at 100 TB the scale path is the banded LSH
     * family (t7/t8) feeding the same verify. */
-  def t32Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shRelation(s, d).select(col("doc_id"), col("h1").as("h"))
+  def t32Containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(shRelation(s, d))
+
+  private[graft] def containmentOf(shRel: DataFrame): DataFrame = {
+    val sh = shRel.select(col("doc_id"), col("h1").as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
