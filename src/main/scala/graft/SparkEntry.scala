@@ -1300,6 +1300,30 @@ object SparkEntry {
         |SELECT doc_id, list_min(list_transform(range(1, len(t) - 1),
         |  i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fingerprint
         |FROM tok""",
+    // t33: SAME oracle as t32 by design — the prefix-filtered
+    // candidate generation must reproduce the naive all-pairs
+    // definition exactly (completeness via the pigeonhole bound,
+    // precision via the exact set-intersection verify)
+    "t33_prefix_containment" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, least(sa.n, sb.n) AS n_small,
+        |  CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+        |    AS containment
+        |FROM ix
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE inter * 10 >= least(sa.n, sb.n) * 8""",
     // t32: t6's shingle machinery, asymmetric gate — containment vs
     // min-size; the 0.8 cut is integer cross-multiplication
     "t32_containment" ->

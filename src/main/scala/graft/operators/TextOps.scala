@@ -1025,6 +1025,54 @@ object TextOps {
           least(col("na"), col("nb")).cast("double")).as("containment"))
   }
 
+  /** t33: t32's containment via PREFIX FILTERING (the SSJoin/AllPairs
+    * candidate-pruning technique) — provably the SAME output, scale
+    * path instead of all-pairs. Pigeonhole: if containment ≥ 0.8 then
+    * the smaller doc misses at most 0.2·n of its shingles in the
+    * other, so probing its ⌊0.2·n⌋+1 globally-RAREST shingles must hit
+    * the partner at least once (rarest-first ordering makes the probe
+    * postings the shortest ones). Singleton shingles can't be shared,
+    * so they only strengthen the bound. Candidate pairs then verify
+    * exactly on per-doc shingle-set arrays (t7's verify shape). The
+    * oracle is IDENTICAL to t32's SQL — equality of an optimized
+    * algorithm against the naive definition, the cbrPlan/ForwardFill
+    * closure applied to similarity join. */
+  def t33PrefixContainment(s: SparkSession, d: String): DataFrame =
+    prefixContainmentOf(shRelation(s, d))
+
+  private[graft] def prefixContainmentOf(shRel: DataFrame): DataFrame = {
+    val sh = shRel.select(col("doc_id"), col("h1").as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("f"))
+    // f = 1 shingles cannot be shared — drop them from the probe pool
+    // (they count toward the miss budget, strengthening the pigeonhole)
+    val shF = sh.join(freq.filter(col("f") >= 2), Seq("h"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
+    val probes = shF
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= floor(col("n") / 5) + 1)
+      .select(col("doc_id"), col("h"))
+    val cands = probes.as("p")
+      .join(sh.as("c"), col("p.h") === col("c.h") &&
+        col("p.doc_id") =!= col("c.doc_id"))
+      .select(least(col("p.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("c.doc_id")).as("doc_b"))
+      .distinct()
+    val docSets = sh.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+    cands
+      .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long")
+          .as("inter"),
+        least(size(col("sa.hs")), size(col("sb.hs"))).cast("long")
+          .as("n_small"))
+      .filter(col("inter") * 10 >= col("n_small") * 8)
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_small").cast("double"))
+  }
+
   /** t30: global BIGRAM vocabulary — the corpus-wide adjacent-pair
     * count that is the inner loop of BPE/WordPiece tokenizer training
     * (t9 applies a merge table; this is the job that builds one).
@@ -1077,6 +1125,7 @@ object TextOps {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_domain_mix" -> t31DomainMix _,
     "t32_containment" -> t32Containment _,
+    "t33_prefix_containment" -> t33PrefixContainment _,
     "t30_bigram_vocab" ->
       ((s: SparkSession, d: String) => t30BigramVocab(s, d)),
     "t25_stream_neardup" -> t25StreamNearDup _,

@@ -362,6 +362,23 @@ class TextOpsSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("t33 prefix-filtered containment equals the naive t32 " +
+    "definition row-for-row") {
+    // the whole point of t33: an optimized candidate-pruned algorithm
+    // whose OUTPUT is provably identical to the all-pairs definition
+    val naive = TextOps.t32Containment(spark, sf)
+      .select("doc_a", "doc_b", "inter", "n_small").cache()
+    val pruned = TextOps.t33PrefixContainment(spark, sf)
+      .select("doc_a", "doc_b", "inter", "n_small").cache()
+    try {
+      assert(naive.count() > 0, "t32 emitted no pairs — corpus drift")
+      assert(naive.exceptAll(pruned).count() == 0,
+        "prefix filter DROPPED qualifying pairs (completeness broken)")
+      assert(pruned.exceptAll(naive).count() == 0,
+        "prefix filter ADDED pairs (verify gate broken)")
+    } finally { naive.unpersist(); pruned.unpersist() }
+  }
+
   test("t31 domain mix: kept sizes rebalance toward the smallest " +
     "source, keep flag matches the integer cross-multiplication") {
     val df = TextOps.t31DomainMix(spark, sf).cache()
