@@ -29,11 +29,17 @@ object Profile {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // SPARK_GRAFT_SHOW=1 prints the first rows instead of just the
+    // count — for diag probes whose payload IS a one-row aggregate
+    val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val rows =
-        try catalog(n)(spark, sfDir).count()
-        catch { case e: Throwable => println(s"$n FAILED: $e"); -1L }
+        try {
+          val df = catalog(n)(spark, sfDir)
+          if (show) { df.show(20, truncate = false); df.count() }
+          else df.count()
+        } catch { case e: Throwable => println(s"$n FAILED: $e"); -1L }
       println(f"PROFILE $n%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$rows")
     }
     spark.stop()

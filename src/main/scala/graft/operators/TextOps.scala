@@ -554,6 +554,37 @@ object TextOps {
           sum(when(col("containment") === 1.0, 1L).otherwise(0L))
             .as("full_containment"))
     }),
+    // prefix-filter scale stress: the SAME 20× corpus and the SAME
+    // output aggregate as z15, through t33's pruned candidate path —
+    // the z15-vs-z16 timing delta IS the measured value of prefix
+    // filtering on a clique-heavy (worst-case) pair space
+    "z16_t33_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      prefixContainmentOf(shRelationOf(reps))
+        .agg(count(lit(1)).as("pairs"),
+          sum(when(col("containment") === 1.0, 1L).otherwise(0L))
+            .as("full_containment"))
+    }),
+    // prune-ratio probe: t33's verified candidate count next to the
+    // naive shared-shingle pair space t32 aggregates over — the
+    // fraction of the comparison space prefix filtering removes
+    "z17_t33_prune" -> ((s: SparkSession, d: String) => {
+      val shRel = shRelation(s, d)
+      val sh = shRel.select(col("doc_id"), col("h1").as("h"))
+      val hot = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val shHot = sh.join(hot, Seq("h"))
+      val naive = shHot.as("a")
+        .join(shHot.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      prefixCandidatesOf(shRel).agg(count(lit(1)).as("cand_pairs"))
+        .crossJoin(naive.agg(count(lit(1)).as("naive_pairs")))
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))
@@ -1040,7 +1071,10 @@ object TextOps {
   def t33PrefixContainment(s: SparkSession, d: String): DataFrame =
     prefixContainmentOf(shRelation(s, d))
 
-  private[graft] def prefixContainmentOf(shRel: DataFrame): DataFrame = {
+  /** t33's candidate pairs alone — exposed so the diag family can
+    * measure the prune ratio (candidates vs the naive shared-shingle
+    * pair space) without re-deriving the probe logic. */
+  private[graft] def prefixCandidatesOf(shRel: DataFrame): DataFrame = {
     val sh = shRel.select(col("doc_id"), col("h1").as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("h").agg(count(lit(1)).as("f"))
@@ -1053,12 +1087,17 @@ object TextOps {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= floor(col("n") / 5) + 1)
       .select(col("doc_id"), col("h"))
-    val cands = probes.as("p")
+    probes.as("p")
       .join(sh.as("c"), col("p.h") === col("c.h") &&
         col("p.doc_id") =!= col("c.doc_id"))
       .select(least(col("p.doc_id"), col("c.doc_id")).as("doc_a"),
         greatest(col("p.doc_id"), col("c.doc_id")).as("doc_b"))
       .distinct()
+  }
+
+  private[graft] def prefixContainmentOf(shRel: DataFrame): DataFrame = {
+    val sh = shRel.select(col("doc_id"), col("h1").as("h"))
+    val cands = prefixCandidatesOf(shRel)
     val docSets = sh.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
     cands
       .join(docSets.as("sa"), col("doc_a") === col("sa.doc_id"))
