@@ -446,6 +446,14 @@ object SparkEntry {
         |  CAST(SUM(cents * dt) AS DOUBLE)
         |    / CAST(SUM(dt) * 100 AS DOUBLE) AS twa
         |FROM g WHERE dt IS NOT NULL GROUP BY user_id""",
+    "w15_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |  c AS (SELECT user_id, min(day) AS cohort_day
+        |    FROM ud GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id) GROUP BY 1, 2""",
     "w12_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view
         |    FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -1300,6 +1308,32 @@ object SparkEntry {
         |SELECT doc_id, list_min(list_transform(range(1, len(t) - 1),
         |  i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fingerprint
         |FROM tok""",
+    // t34: the winnowing pipeline replayed — positional 48-bit md5
+    // shingle hashes, w=4 window minima (short-doc global-min
+    // fallback), distinct values, shared-fingerprint pair counts
+    "t34_winnowing" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |hs AS (SELECT doc_id,
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> CAST(list_sum(list_transform(range(1, 13),
+        |        j -> (strpos('0123456789abcdef', substr(
+        |            md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |            CAST(j AS INTEGER), 1)) - 1)
+        |          * (16 ** (12 - j)))) AS BIGINT)) AS h
+        |  FROM tok),
+        |fp0 AS (SELECT doc_id, unnest(CASE
+        |    WHEN len(h) >= 4 THEN
+        |      [list_min(h[e - 2 : e + 1]) for e in range(3, len(h))]
+        |    ELSE [list_min(h)] END) AS h
+        |  FROM hs),
+        |fp AS (SELECT DISTINCT doc_id, h FROM fp0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""",
     // t33: SAME oracle as t32 by design — the prefix-filtered
     // candidate generation must reproduce the naive all-pairs
     // definition exactly (completeness via the pigeonhole bound,
@@ -1438,6 +1472,41 @@ object SparkEntry {
         |SELECT count(*) AS n_exact_pairs,
         |  CAST(0 AS BIGINT) AS n_missing_from_lsh
         |FROM pairs""",
+    // e12: the full binary-quantization pipeline replayed — sign-bit
+    // pack (two 32-bit halves), XOR+popcount Hamming shortlist, exact
+    // cosine rerank (same left-to-right list_sum kernel as e1)
+    "e12_sign_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[i] >= 0
+        |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END))
+        |      AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN embedding[i] >= 0
+        |        THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END))
+        |      AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    lo AS qlo, hi AS qhi FROM e WHERE vec_id < 10),
+        |h AS (SELECT query_id, e.vec_id AS cand_id, e.embedding AS cv,
+        |    qv, CAST(bit_count(xor(lo, qlo))
+        |      + bit_count(xor(hi, qhi)) AS INTEGER) AS hamming
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, cand_id) AS hrk FROM h),
+        |sc AS (SELECT query_id, cand_id, hamming,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM s WHERE hrk <= 50)
+        |SELECT query_id, cand_id, hamming, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT query_id, cand_id, hamming, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM sc) WHERE rnk <= 5""",
     // e11: the SQ8 code build + integer dot replayed list-wise — the
     // all-integer kernel makes qdot emittable (no float compare)
     "e11_sq8_topk" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
@@ -1200,6 +1200,90 @@ object Relational {
       regexp_extract(url, ":(\\d+)\\?", 1).cast("int").as("port"))
   }
 
+  /** W-class: COHORT RETENTION — the user-lifecycle companion of
+    * w12's funnel: users are grouped by first-active day (cohort) and
+    * counted by distinct activity on each later day offset — the
+    * retention-matrix every product-analytics engine ships. Shape is
+    * three map-side-combinable aggregations, no window: (user, day)
+    * dedup first (cuts the fact table to ≤ users×days before anything
+    * shuffles on user), min-day cohort, then one count per
+    * (cohort, offset) cell — a count DISTINCT users is free because
+    * (user, day) is already unique. Days are integer epoch-day indices
+    * (`unix_micros div 86400e6`): timezone-proof across engines, and
+    * the subtraction stays in Long arithmetic. */
+  def w15Retention(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** A-class: exact closed-form OLS TREND per group — the regression
+    * companion of a14's corr / a20's dispersion, from the same exact-
+    * moment discipline: integer hour offsets × integer cents, moment
+    * sums in DECIMAL(38,0) (partitioning-independent), slope/intercept
+    * assembled with the textbook closed form in double at the very
+    * end. Hour granularity keeps n·Σxy and n·Σx² under 2^53 at gate
+    * scale so the final int→double casts are exact in both engines;
+    * at sf ≫ 1 the t21 quantize-and-dump pattern is the fallback.
+    * The global min-hour anchor is a one-row broadcast, not a second
+    * pass over the data per row. */
+  def a22Ols(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("xh"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+        .as("cents"))
+    val base = ev
+      .crossJoin(broadcast(ev.agg(min(col("xh")).as("x0"))))
+      .select(col("event_type"), (col("xh") - col("x0")).as("x"),
+        col("cents").as("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"))
+    val num = dec(col("n")) * col("sxy") - col("sx") * col("sy")
+    val den = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+    m.select(col("event_type"), col("n"),
+        (num.cast("double") / den.cast("double")).as("slope"))
+      .join(m.select(col("event_type"), col("sx"), col("sy")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") *
+          col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"))
+  }
+
+  /** W-class: ROLLING 7-DAY DISTINCT ACTIVES (trailing-window DAU) —
+    * exact distinct-count over a sliding range, which no single
+    * window function expresses at scale without a per-day re-scan.
+    * The coverage-explode formulation: each distinct (user, day)
+    * contributes the 7 report days it covers, dedup (user, report
+    * day), count — three shuffles of user-day-sized relations, no
+    * global window, no 7× data re-read. Report days are clipped to
+    * days observed in the data (the trailing ghost days a pure
+    * explode would invent carry no meaning). */
+  def w17RollingDau(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cover = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("rday"))
+      .distinct()
+    val days = ud.select(col("day").as("rday")).distinct()
+    cover.join(broadcast(days), Seq("rday"))
+      .groupBy("rday").agg(count(lit(1)).as("dau7"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc6_url_parse" -> sc6UrlParse _,
     "j7_full_outer" -> j7FullOuter _,
@@ -1216,6 +1300,7 @@ object Relational {
     // streaming funnel's replay dump — hash match = stream≡batch parity
     "w13_stream_funnel" -> w12Funnel _,
     "w14_time_weighted" -> w14TimeWeighted _,
+    "w15_retention" -> w15Retention _,
     "s7_pagination" -> s7Pagination _,
     "s8_keyset_page" -> s8KeysetPage _,
     "j9_salted_join" -> j9SaltedJoin _,

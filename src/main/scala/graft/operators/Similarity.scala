@@ -223,6 +223,49 @@ object Similarity {
       .filter(col("rnk") <= topK)
   }
 
+  /** e12 — BINARY (sign-bit) quantization serving: 1 bit per dimension
+    * (64× smaller than float32), Hamming-distance shortlist, exact
+    * cosine rerank — the binary-embedding retrieval ladder's last rung
+    * after e7 int8 / e11 SQ8. The 64 sign bits pack into TWO 32-bit
+    * halves (a single 64-bit pack would put bit 63 in the sign
+    * position, where the oracle's power-of-two sum can't follow), so
+    * the shortlist kernel is two XOR+popcount ops per pair — the wire
+    * format a 100 TB serving tier keeps in RAM. The Hamming top-`c`
+    * per query is a rank-limit window (WindowGroupLimit pushes the
+    * per-partition cut below the shuffle, as in t28); only the ≤ c
+    * shortlisted rows ever touch float vectors for the exact rerank.
+    * Ties break by cand_id at both stages, so the result is
+    * deterministic and the oracle replays the whole pipeline. */
+  def e12SignTopK(s: SparkSession, d: String, shortlist: Int = 50,
+      topK: Int = 5): DataFrame = {
+    def packHalf(off: Int): Column = expr(
+      s"""aggregate(zip_with(slice(embedding, ${off + 1}, 32),
+         |    sequence(0, 31),
+         |    (x, i) -> IF(x >= 0, shiftleft(1L, i), 0L)),
+         |  0L, (a, b) -> a + b)""".stripMargin)
+    val packed = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      packHalf(0).as("lo"), packHalf(32).as("hi"))
+    val queries = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    packed.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("embedding"), col("qv"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("hamming"))
+      .withColumn("hrk", row_number().over(wHam))
+      .filter(col("hrk") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "cand_id", "hamming", "rnk")
+  }
+
   /** Deterministic Lloyd's k-means over the embedding corpus: init from
     * the first k vectors (by id), `iters` rounds of distributed assign +
     * per-dimension mean. The model (k×dim doubles) is the one legitimate
@@ -593,6 +636,8 @@ object Similarity {
     "e7_quantize" -> e7Quantize _,
     "e11_sq8_topk" ->
       ((s: SparkSession, d: String) => e11Sq8TopK(s, d)),
+    "e12_sign_topk" ->
+      ((s: SparkSession, d: String) => e12SignTopK(s, d)),
     "e8_ivf_pq" -> e8IvfPqAnn _,
   )
 }

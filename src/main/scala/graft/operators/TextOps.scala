@@ -119,7 +119,10 @@ object TextOps {
   /** Word-3-gram shingles per document (tokenized once, then windowed —
     * SQL `arr[i]` is 0-based). */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    shingledOf(documents(s, d))
+
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         split(trim(col("text")), "\\s+").as("toks"))
       .select(
@@ -173,6 +176,51 @@ object TextOps {
         col("doc_id"),
         array_min(transform(col("shingles"), sh => md5(sh.cast("binary"))))
           .as("fingerprint"))
+
+  /** t34 — WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * selection rule): hash the positional 3-gram shingles, slide a
+    * w=4 window over them, keep each window's minimum — a guaranteed
+    * fingerprint every w consecutive shingles at expected density
+    * 2/(w+1), vs t5's single global min (no local guarantee). Docs
+    * shorter than one window keep their global min, so every shingled
+    * doc fingerprints. The rightmost-tie POSITION rule only affects
+    * where a fingerprint anchors, not its value, so the value set is
+    * exactly the distinct window minima — which is all the pair join
+    * consumes, and all both engines need agree on. Selection is a
+    * per-doc array kernel (NO shuffle — the corpus-scan half is
+    * embarrassingly parallel); only the ≤ 2/(w+1)-density fingerprint
+    * relation shuffles, cut to globally-duplicated values first (t6's
+    * exactness-preserving input cut). Hashes are the first 48 bits of
+    * md5, so both engines derive identical values from the bytes. */
+  def t34Winnowing(s: SparkSession, d: String): DataFrame =
+    t34WinnowingOf(shingled(s, d))
+
+  private[graft] def t34WinnowingOf(shingledDocs: DataFrame): DataFrame = {
+    val fps = shingledDocs
+      .select(col("doc_id"), expr(
+        """transform(shingles,
+          |  sh -> CAST(conv(substring(md5(sh), 1, 12), 16, 10)
+          |    AS BIGINT))""".stripMargin).as("hs"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE
+          |  WHEN size(hs) >= 4 THEN transform(sequence(3, size(hs) - 1),
+          |    e -> least(hs[e - 3], hs[e - 2], hs[e - 1], hs[e]))
+          |  WHEN size(hs) >= 1 THEN array(array_min(hs))
+          |  ELSE array() END)""".stripMargin)).as("h"))
+    val hot = fps.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val fh = fps.join(hot, Seq("h"))
+    // corpus-scaled self-join: SHUFFLE_HASH pin (the t10/t11/t13 rule —
+    // the static planner would broadcast the unmaterialized side), and
+    // the identical a/b exchange subtrees collapse via ReuseExchange so
+    // the fingerprint pass runs twice (hot + one side), not three times
+    fh.as("a")
+      .join(fh.as("b").hint("SHUFFLE_HASH"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
 
   /** N-gram Jaccard near-duplicate pairs (exact): explode distinct
     * shingle hashes, self-join, jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5.
@@ -584,6 +632,19 @@ object TextOps {
         .distinct()
       prefixCandidatesOf(shRel).agg(count(lit(1)).as("cand_pairs"))
         .crossJoin(naive.agg(count(lit(1)).as("naive_pairs")))
+    }),
+    // winnowing scale stress: 20× corpus through t34 — the selection
+    // pass is per-doc (scales linearly with docs); only the
+    // fingerprint-pair join sees the clone cliques, and its input is
+    // the 2/(w+1)-density fingerprint relation, not the shingles
+    "z18_t34_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      t34WinnowingOf(shingledOf(reps))
+        .agg(count(lit(1)).as("pairs"),
+          sum(col("n_shared")).as("total_shared"))
     }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
@@ -1194,6 +1255,7 @@ object TextOps {
     "t3_quality_score" -> t3QualityScore _,
     "t4_lang_id" -> t4LangId _,
     "t5_fingerprint" -> t5Fingerprint _,
+    "t34_winnowing" -> t34Winnowing _,
     "t6_ngram_jaccard" -> t6NgramJaccard _,
     "t7_minhash_lsh" -> t7MinHashLsh _,
     "t8_simhash" -> t8SimHash _,

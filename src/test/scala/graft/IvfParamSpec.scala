@@ -54,6 +54,25 @@ class IvfParamSpec extends SparkSuite {
     assert(Similarity.semDedupK(1000000) == 1953)
   }
 
+  test("e12 with shortlist >= corpus equals brute-force e1 (the binary " +
+    "prefilter's recall endpoint); default shortlist keeps the shape") {
+    // same contract as nprobe = k above: when the Hamming shortlist
+    // admits every candidate, the exact rerank IS e1's scan — kernel,
+    // tie order and all
+    val open = Similarity.e12SignTopK(spark, sf, shortlist = 1000)
+      .select("query_id", "cand_id", "rnk")
+    val exact = Similarity.e1CosineTopK(spark, sf)
+    assert(open.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(open).count() == 0)
+    val df = Similarity.e12SignTopK(spark, sf).cache()
+    try {
+      val counts = df.groupBy("query_id").count().collect()
+      assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+      assert(df.filter(col("hamming") < 0 || col("hamming") > 64)
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
   test("z13: in-cluster pair space at k=64 tracks N^2/k, not N^2") {
     // the diag query the 20x stress runs; at test SF the property is
     // identical — quadrupling k must shrink the candidate-pair space

@@ -305,6 +305,30 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("w15 retention: offset-0 diagonal equals cohort size, offsets " +
+    "non-negative, cells conserve the user-day mass") {
+    val df = Relational.w15Retention(spark, sf).cache()
+    try {
+      assert(df.filter(col("day_offset") < 0).count() == 0)
+      // every user is by definition active on their cohort day, so the
+      // offset-0 cell must count the whole cohort
+      val ud = Tables.events(spark, sf)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val cohorts = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+        .groupBy("cohort_day").agg(count(lit(1)).as("expect"))
+      val zero = df.filter(col("day_offset") === 0)
+        .join(cohorts, Seq("cohort_day"), "full_outer")
+      assert(zero.filter(col("n_users").isNull ||
+        col("expect").isNull ||
+        col("n_users") =!= col("expect")).count() == 0)
+      // each (user, active-day) lands in exactly one cell
+      val mass = df.agg(sum("n_users")).collect()(0).getLong(0)
+      assert(mass == ud.count())
+    } finally df.unpersist()
+  }
+
   test("s8 keyset page: strictly after the anchor, correctly ordered, " +
     "and plan has no global sort (TakeOrderedAndProject)") {
     val df = Relational.s8KeysetPage(spark, sf)

@@ -379,6 +379,40 @@ class TextOpsSpec extends SparkSuite {
     } finally { naive.unpersist(); pruned.unpersist() }
   }
 
+  test("t34 winnowing: pairs share >= 2 fingerprints, and fingerprint " +
+    "overlap never exceeds true shingle overlap") {
+    val df = TextOps.t34Winnowing(spark, sf).cache()
+    try {
+      assert(df.count() > 0, "t34 emitted no pairs — corpus drift")
+      assert(df.filter(col("n_shared") < 2 ||
+        col("doc_a") >= col("doc_b")).count() == 0)
+      // winnowed fingerprints are a SUBSET of a doc's shingle hashes,
+      // so a pair can never share more fingerprints than it shares
+      // distinct shingles (same 48-bit-md5 hash, recomputed here)
+      val sh = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> CAST(conv(substring(md5(concat_ws(' ', toks[i],
+            |      toks[i + 1], toks[i + 2])), 1, 12), 16, 10)
+            |      AS BIGINT)))
+            |ELSE array() END""".stripMargin)).as("h"))
+      val shared = sh.as("a")
+        .join(sh.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val viol = df.join(shared, Seq("doc_a", "doc_b"), "left_outer")
+        .filter(col("n_shingles").isNull ||
+          col("n_shared") > col("n_shingles"))
+      assert(viol.count() == 0,
+        "a pair shares more fingerprints than shingles")
+    } finally df.unpersist()
+  }
+
   test("t31 domain mix: kept sizes rebalance toward the smallest " +
     "source, keep flag matches the integer cross-multiplication") {
     val df = TextOps.t31DomainMix(spark, sf).cache()
