@@ -58,5 +58,10 @@ object OpLake {
     // reads this; the Spark side recomputes batch w12Funnel, so the
     // hash gate IS the stream≡batch funnel parity
     save(streaming.TwsOps.funnelReplay(s, d), "stream_funnel")
+    // the STREAMING retention emissions (per-user cohort + seen-day
+    // state across a ts-ordered 5-batch replay) — the w16 oracle
+    // aggregates these; the Spark side recomputes batch w15Retention,
+    // so the hash gate IS the stream≡batch retention parity
+    save(streaming.TwsOps.retentionReplay(s, d), "stream_retention")
   }
 }

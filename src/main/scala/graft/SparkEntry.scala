@@ -188,6 +188,12 @@ object SparkEntry {
     "w13_stream_funnel" ->
       s"""SELECT user_id, t_view, t_click, t_purchase
          |FROM ${oprel("stream_funnel")}""",
+    // w16: oracle = the streaming retention emissions aggregated into
+    // the matrix; Spark side recomputes batch w15Retention — hash
+    // match = stream≡batch retention parity
+    "w16_stream_retention" ->
+      s"""SELECT cohort_day, day_offset, count(*) AS n_users
+         |FROM ${oprel("stream_retention")} GROUP BY 1, 2""",
     "ts19_reject_stats" ->
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",
@@ -446,6 +452,39 @@ object SparkEntry {
         |  CAST(SUM(cents * dt) AS DOUBLE)
         |    / CAST(SUM(dt) * 100 AS DOUBLE) AS twa
         |FROM g WHERE dt IS NOT NULL GROUP BY user_id""",
+    // a22: the closed-form OLS assembly replayed — integer hour/cents
+    // moments (DuckDB sums are HUGEINT-exact, Spark's DECIMAL(38,0)),
+    // one double division for slope, the same three IEEE ops for the
+    // intercept
+    "a22_ols" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS xh,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |x0 AS (SELECT min(xh) AS x0 FROM e),
+        |b AS (SELECT event_type, xh - x0 AS x, cents AS y
+        |  FROM e CROSS JOIN x0),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY 1),
+        |sl AS (SELECT event_type, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM sl""",
+    // w17: the coverage-explode rewrite re-derived — each (user, day)
+    // covers report days day..day+6, dedup, clip to observed days
+    "w17_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |cov AS (SELECT DISTINCT user_id, day + o AS rday
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+        |days AS (SELECT DISTINCT day AS rday FROM ud)
+        |SELECT rday, count(*) AS dau7
+        |FROM cov JOIN days USING (rday) GROUP BY 1""",
     "w15_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -1299,8 +1299,13 @@ object Relational {
     // w13: the SPARK side is batch w12; the oracle side is the
     // streaming funnel's replay dump — hash match = stream≡batch parity
     "w13_stream_funnel" -> w12Funnel _,
+    // w16: the SPARK side is batch w15; the oracle side is the
+    // streaming retention replay dump — hash match = parity
+    "w16_stream_retention" -> w15Retention _,
     "w14_time_weighted" -> w14TimeWeighted _,
     "w15_retention" -> w15Retention _,
+    "a22_ols" -> a22Ols _,
+    "w17_rolling_dau" -> w17RollingDau _,
     "s7_pagination" -> s7Pagination _,
     "s8_keyset_page" -> s8KeysetPage _,
     "j9_salted_join" -> j9SaltedJoin _,

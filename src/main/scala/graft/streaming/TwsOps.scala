@@ -523,6 +523,105 @@ object TwsOps {
         "timestamp_micros(purchase_us) as t_purchase")
   }
 
+  // ---- streaming retention (w16 = streaming w15) --------------------
+
+  case class RetIn(user_id: Long, tsus: Long)
+  case class RetCohort(cohortDay: Long)
+  case class RetHit(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** w15's retention matrix as an online per-user state machine: the
+    * first event of a ts-ordered replay fixes the user's cohort day
+    * (first ts = min ts = batch min-day cohort); each first-seen
+    * activity day emits exactly one (user, cohort, offset) row — the
+    * stream-side rows the batch (user, day) dedup produces. State per
+    * live user: one cohort long + the seen-day list, which grows with
+    * observed DAYS (bounded by the observation window), not events. */
+  class RetentionProcessor
+      extends StatefulProcessor[Long, RetIn, RetHit] {
+    @transient private var cohort: ValueState[RetCohort] = _
+    @transient private var seen: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cohort = getHandle.getValueState[RetCohort](
+        "cohort", Encoders.product[RetCohort], TTLConfig.NONE)
+      seen = getHandle.getListState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[RetIn],
+        timerValues: TimerValues): Iterator[RetHit] = {
+      val seenDays = scala.collection.mutable.Set[Long]()
+      seen.get().foreach(seenDays += _)
+      var c = Option(cohort.get())
+      val out = Vector.newBuilder[RetHit]
+      rows.toArray.sortBy(_.tsus).foreach { r =>
+        val day = Math.floorDiv(r.tsus, 86400000000L)
+        if (c.isEmpty) {
+          c = Some(RetCohort(day))
+          cohort.update(RetCohort(day))
+        }
+        if (!seenDays.contains(day)) {
+          seenDays += day
+          seen.appendValue(day)
+          out += RetHit(user, c.get.cohortDay, day - c.get.cohortDay)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def retentionStreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[RetHit] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "tsus")
+      .as[RetIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay of the events dir
+    * through [[retentionStreamTws]] — the producer behind the w16
+    * parity row: OpLake dumps the per-(user, day) emissions, and the
+    * oracle aggregates them into the retention matrix that batch
+    * `w15Retention` must hash-match. */
+  def retentionReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "ts div 1000 as tsus")
+      .as[(Long, Long)]
+      .collect().sortBy(e => (e._2, e._1))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"retention_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = retentionStreamTws(mem.toDS().toDF("user_id", "tsus"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val hits =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[RetHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    hits.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._

@@ -329,6 +329,53 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("a22 OLS: the fitted line passes through the group centroid, " +
+    "group sizes conserve the event count") {
+    val df = Relational.a22Ols(spark, sf).cache()
+    try {
+      val ev = Tables.events(spark, sf)
+      assert(df.agg(sum("n")).collect()(0).getLong(0) == ev.count())
+      // OLS identity: y-bar = intercept + slope * x-bar per group
+      val cent = ev.select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("xh"),
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+            .as("cents"))
+        .crossJoin(broadcast(ev.select(
+          expr("min(unix_micros(ts) div 3600000000)").as("x0"))))
+        .groupBy("event_type")
+        .agg(avg(col("xh") - col("x0")).as("xbar"),
+          avg(col("cents")).as("ybar"))
+      val viol = df.join(cent, Seq("event_type"))
+        .filter(abs(col("ybar") -
+          (col("intercept") + col("slope") * col("xbar"))) >
+          abs(col("ybar")) * 1e-9 + 1e-6)
+      assert(viol.count() == 0, "regression line misses the centroid")
+    } finally df.unpersist()
+  }
+
+  test("w17 rolling DAU: bounded below by the daily actives and above " +
+    "by the user universe, one row per observed day") {
+    val df = Relational.w17RollingDau(spark, sf).cache()
+    try {
+      val ud = Tables.events(spark, sf)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val daily = ud.groupBy(col("day").as("rday"))
+        .agg(count(lit(1)).as("dau1"))
+      assert(df.count() == daily.count())
+      val users = Tables.events(spark, sf).select("user_id")
+        .distinct().count()
+      val joined = df.join(daily, Seq("rday"))
+      assert(joined.filter(col("dau7") < col("dau1") ||
+        col("dau7") > users).count() == 0)
+      // the first observed day has no trailing history: dau7 == dau1
+      val first = joined.orderBy("rday").limit(1)
+        .filter(col("dau7") =!= col("dau1"))
+      assert(first.count() == 0)
+    } finally df.unpersist()
+  }
+
   test("s8 keyset page: strictly after the anchor, correctly ordered, " +
     "and plan has no global sort (TakeOrderedAndProject)") {
     val df = Relational.s8KeysetPage(spark, sf)
