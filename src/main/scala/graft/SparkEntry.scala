@@ -302,6 +302,28 @@ object SparkEntry {
          |    AS mean_logp
          |FROM terms JOIN m USING (term)
          |GROUP BY doc_id""",
+    // t35: the score is t21's bit-identical double, so exact tercile
+    // membership re-derives with a plain rank; Spark's histogram
+    // two-pass cut and this global sort agree because (score desc,
+    // doc_id) is a total order
+    "t35_perplexity_tiers" ->
+      s"""WITH terms AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |m AS (SELECT * FROM ${oprel("t21_model")}),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(logp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS mean_logp
+         |  FROM terms JOIN m USING (term) GROUP BY doc_id),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY mean_logp DESC, doc_id) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN rk <= n // 3 THEN 'head'
+         |    WHEN rk <= 2 * n // 3 THEN 'middle'
+         |    ELSE 'tail' END AS tier
+         |FROM r""",
     "w10_range_frame" ->
       """SELECT user_id, event_id, ts,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

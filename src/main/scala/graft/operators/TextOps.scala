@@ -935,6 +935,56 @@ object TextOps {
           .as("mean_logp"))
   }
 
+  /** t35 — CCNet-style PERPLEXITY TIERING (Wenzek et al. 2019 split
+    * the corpus into head/middle/tail thirds by LM perplexity; t21's
+    * unigram mean-logprob is the deterministic stand-in): every doc
+    * gets its exact global tercile WITHOUT a global sort. The a15
+    * two-pass order-statistic probe, globalized: (1) score-bucket
+    * histogram (partial-aggregated groupBy), cumulative walk as a
+    * grid self-join (the grid is ~10² buckets — NO single-partition
+    * window anywhere); (2) only candidate-bucket rows rank locally,
+    * producing the exact (score, doc_id) threshold TUPLES at ranks
+    * ⌊n/3⌋ and ⌊2n/3⌋, broadcast as one row; (3) one scan assigns
+    * tiers by lexicographic comparison — rank-cut ≡ tuple-cut because
+    * (score desc, doc_id) is a total order. */
+  def t35PerplexityTiers(s: SparkSession, d: String): DataFrame = {
+    val sc = t21UnigramLogprob(s, d).select(col("doc_id"), col("mean_logp"))
+    val withB = sc.withColumn("bkt", floor(col("mean_logp") * 100))
+    val hist = withB.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val cum = hist.as("a")
+      .join(hist.as("b"), col("b.bkt") >= col("a.bkt"))
+      .groupBy(col("a.bkt").as("bkt"), col("a.c").as("c"))
+      .agg(sum(col("b.c")).as("cum"))
+    val tot = sc.agg(count(lit(1)).as("n"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .withColumn("k33", floor(col("n") / 3))
+      .withColumn("k66", floor(col("n") * 2 / 3))
+      .withColumn("lo", col("cum") - col("c") + 1)
+      .filter((col("k33") >= col("lo") && col("k33") <= col("cum")) ||
+        (col("k66") >= col("lo") && col("k66") <= col("cum")))
+      .select(col("bkt"), (col("lo") - 1).as("below"),
+        col("k33"), col("k66"))
+    val wloc = Window.partitionBy(col("bkt"))
+      .orderBy(col("mean_logp").desc, col("doc_id"))
+    val thr = withB.join(broadcast(cand), Seq("bkt"))
+      .withColumn("r", row_number().over(wloc) + col("below"))
+      .filter(col("r") === col("k33") || col("r") === col("k66"))
+      .agg(
+        max(when(col("r") === col("k33"), col("mean_logp"))).as("v33"),
+        max(when(col("r") === col("k33"), col("doc_id"))).as("id33"),
+        max(when(col("r") === col("k66"), col("mean_logp"))).as("v66"),
+        max(when(col("r") === col("k66"), col("doc_id"))).as("id66"))
+    withB.crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        when(col("mean_logp") > col("v33") ||
+          (col("mean_logp") === col("v33") &&
+            col("doc_id") <= col("id33")), "head")
+          .when(col("mean_logp") > col("v66") ||
+            (col("mean_logp") === col("v66") &&
+              col("doc_id") <= col("id66")), "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** t22: the composed Gopher-rules document gate (Rae et al. 2021,
     * "Scaling Language Models" §A1.1 — the published pre-training filter
     * set): word-count bounds, mean-word-length bounds, symbol-to-word
@@ -1242,6 +1292,7 @@ object TextOps {
     "t19_tfidf" -> t19Tfidf _,
     "t20_stratified_sample" -> t20StratifiedSample _,
     "t21_unigram_logprob" -> t21UnigramLogprob _,
+    "t35_perplexity_tiers" -> t35PerplexityTiers _,
     "t22_gopher_filter" -> t22GopherFilter _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t23_fuzzy_decontaminate" -> t23FuzzyDecontaminate _,

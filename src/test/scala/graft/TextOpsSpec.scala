@@ -214,6 +214,31 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t35 perplexity tiers: exact terciles, matches a global sort") {
+    val df = TextOps.t35PerplexityTiers(spark, sf).cache()
+    val n = df.count()
+    assert(n == Tables.documents(spark, sf).count())
+    val byTier = df.groupBy("tier").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTier("head") == n / 3, s"head=${byTier("head")} n=$n")
+    assert(byTier("middle") == 2 * n / 3 - n / 3)
+    assert(byTier("tail") == n - 2 * n / 3)
+    // the histogram two-pass cut must agree with a brute-force global
+    // rank on every row, not just on the counts
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_logp").desc, col("doc_id"))
+    val brute = TextOps.t21UnigramLogprob(spark, sf)
+      .select(col("doc_id"), col("mean_logp"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("expected",
+        when(col("rk") <= lit(n / 3), "head")
+          .when(col("rk") <= lit(2 * n / 3), "middle")
+          .otherwise("tail"))
+    assert(df.join(brute, Seq("doc_id"))
+      .filter(col("tier") =!= col("expected")).count() == 0)
+    df.unpersist()
+  }
+
   test("t22 gopher gate: discriminates, booleans consistent, shuffle-free") {
     val df = TextOps.t22GopherFilter(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
