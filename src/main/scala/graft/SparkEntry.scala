@@ -302,6 +302,88 @@ object SparkEntry {
          |    AS mean_logp
          |FROM terms JOIN m USING (term)
          |GROUP BY doc_id""",
+    // t36/t37: like t18, Spark shuffles xxhash64 of the window/segment
+    // while the oracle groups by the text itself — the counts agree
+    // because the corpus is fixed and 64-bit collisions are absent on
+    // it (and would be deterministic if present); interval-union and
+    // reconstruction are pure integer/string logic on both engines
+    "t36_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      p -> {'p': p,
+        |            'w': array_to_string(list_slice(t, p, p + 7), ' ')}))
+        |      AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |wp AS (SELECT doc_id, CAST(g.p AS INTEGER) AS p, g.w AS w
+        |  FROM wins),
+        |dup AS (SELECT doc_id, p FROM wp WHERE w IN (
+        |    SELECT w FROM wp GROUP BY w
+        |    HAVING count(DISTINCT doc_id) >= 2)),
+        |cov AS (SELECT doc_id, greatest(0, p + 7 - greatest(
+        |      coalesce(max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+        |      p - 1)) AS contrib
+        |  FROM dup),
+        |cv AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS cov
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+        |  coalesce(c.cov, 0) AS covered_tokens
+        |FROM toks t LEFT JOIN cv c USING (doc_id)""",
+    "t37_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sg AS (SELECT doc_id, CAST(g.i AS INTEGER) AS i, g.w AS w
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+        |        i -> {'i': i, 'w': array_to_string(
+        |          list_slice(t, i * 10 + 1, i * 10 + 10), ' ')})) AS g
+        |    FROM toks)),
+        |hot AS (SELECT w FROM sg GROUP BY w
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i)
+        |    AS clean_text
+        |  FROM sg WHERE w NOT IN (SELECT w FROM hot) GROUP BY doc_id),
+        |rem AS (SELECT doc_id, CAST(count(*) AS INTEGER)
+        |    AS n_removed_segs
+        |  FROM sg WHERE w IN (SELECT w FROM hot) GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(r.n_removed_segs, 0) AS n_removed_segs
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |  LEFT JOIN rem r USING (doc_id)""",
+    "t38_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT max(n_lang) AS n_max FROM c),
+        |r AS (SELECT lang,
+        |    least(4, (n_max + n_lang - 1) // n_lang) AS epochs
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang,
+        |  unnest(list_transform(range(0, r.epochs),
+        |    x -> CAST(x AS INTEGER))) AS epoch
+        |FROM documents d JOIN r USING (lang)""",
+    // e13: bucket assignment dumped (e2's relation), neighbors + exact
+    // cosine + rank re-derived fully in SQL — cosine doubles are
+    // bit-identical cross-engine (left-to-right double summation on
+    // both sides, the e1 discipline)
+    "e13_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, bucket FROM ${oprel("lsh_buckets")}),
+         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+         |  FROM b x JOIN b y
+         |  ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |s AS (SELECT p.vec_id, p.neighbor_id,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM p JOIN embeddings ea ON p.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON p.neighbor_id = eb.vec_id)
+         |SELECT vec_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT vec_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
+         |    AS rnk FROM s)
+         |WHERE rnk <= 3""",
     // t35: the score is t21's bit-identical double, so exact tercile
     // membership re-derives with a plain rank; Spark's histogram
     // two-pass cut and this global sort agree because (score desc,

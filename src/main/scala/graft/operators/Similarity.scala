@@ -622,6 +622,33 @@ object Similarity {
       path
     })
 
+  /** e13 — k-NN GRAPH construction, LSH-bucket-bounded: every vector's
+    * top-3 same-bucket neighbors by exact cosine (ties → lower
+    * neighbor id). The k-NN graph is the substrate of graph-based
+    * curation passes (SemDeDup's cluster graph, kNN-classifier
+    * labeling, diversity sampling); building it all-pairs is O(N²), so
+    * pair generation is bounded to shared hyperplane buckets exactly
+    * like e2, and the per-vector top-k prunes to k rows per partition
+    * BEFORE the final exchange (Spark's WindowGroupLimit rewrite of a
+    * rank-filter — no global sort anywhere). Oracle: bucket dump +
+    * full SQL re-derivation, the e2 pattern. */
+  def e13KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val b = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      hyperplane_sig(col("embedding"), 12).as("bucket"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("neighbor_id"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("vec_id", "neighbor_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_semdedup" -> e9SemDedup _,
     "e10_ivf_persisted" ->
@@ -639,5 +666,6 @@ object Similarity {
     "e12_sign_topk" ->
       ((s: SparkSession, d: String) => e12SignTopK(s, d)),
     "e8_ivf_pq" -> e8IvfPqAnn _,
+    "e13_knn_graph" -> e13KnnGraph _,
   )
 }

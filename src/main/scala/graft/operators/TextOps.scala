@@ -985,6 +985,105 @@ object TextOps {
           .otherwise("tail").as("tier"))
   }
 
+  /** t36 — EXACT-SUBSTRING duplicated-span coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1
+    * — their ExactSubstr removes 50-token spans shared verbatim across
+    * documents; the 8-token windows here are the same semantics at this
+    * corpus's doc length). Every overlapping window is hashed; a hash
+    * seen in ≥2 DISTINCT docs marks its [p, p+7] token interval, and
+    * each doc reports the exact size of the UNION of its marked
+    * intervals via a running-max sweep INSIDE the per-doc window
+    * partition (no global sort, no interval materialization). The
+    * frequency shuffle carries 8-byte hashes, never window text —
+    * t18's rule, applied to overlapping spans instead of disjoint
+    * segments. */
+  def t36DupSpans(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val wins = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(1, size(toks) - 7),
+          |    p -> named_struct('p', p,
+          |      'h', xxhash64(concat_ws(' ', slice(toks, p, 8)))))
+          |ELSE CAST(array() AS ARRAY<STRUCT<p: INT, h: BIGINT>>)
+          |END""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val prev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = wins.join(dupHashes, Seq("h"))
+      .withColumn("pm", coalesce(max(col("p") + lit(7)).over(prev), lit(0)))
+      .select(col("doc_id"),
+        greatest(lit(0),
+          col("p") + lit(7) - greatest(col("pm"), col("p") - 1))
+          .as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("cov"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cov"), lit(0L)).as("covered_tokens"))
+  }
+
+  /** t37 — C4-style BOILERPLATE STRIP with text reconstruction
+    * (Raffel et al. 2020 §2.2 drop lines that repeat verbatim across
+    * the corpus — menus, cookie banners; t18's 10-token segments are
+    * this corpus's "lines"). Segments occurring in ≥3 distinct docs
+    * are dropped and the doc is REWRITTEN from its surviving tokens —
+    * corpus rewriting, not per-doc stats. Scale shape: the frequency
+    * join returns only (doc_id, removed-segment-index array) — ints,
+    * never text — and the clean text reassembles from the ORIGINAL
+    * token arrays in a final shuffle-free projection, so document
+    * bodies cross the wire zero times. */
+  def t37BoilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val segs = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1),
+          |  i -> named_struct('i', i,
+          |    'h', xxhash64(array_join(slice(toks, i*10+1, 10), ' '))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val hot = segs.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3).select("h")
+    val removed = segs.join(hot, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("rm"))
+    toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        expr("""array_join(filter(toks,
+          |  (tk, ix) -> NOT array_contains(rm, cast(ix div 10 as int))),
+          |  ' ')""".stripMargin).as("clean_text"),
+        size(col("rm")).as("n_removed_segs"))
+  }
+
+  /** t38 — repeat-factor UPSAMPLING (data epochs per domain):
+    * Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    * Models") show up to ~4 epochs of repeated data is nearly as good
+    * as fresh — under-represented sources replay extra epochs to
+    * balance the mix. epochs(src) = min(4, ⌈n_max / n_src⌉), all
+    * integer (`div` ceil by (a+b-1) div b — no float rates, the t31
+    * discipline), derived per-LANG (the skewed axis of this corpus —
+    * low-resource languages replay, the multilingual-balancing use) and
+    * BROADCAST; the corpus pass is one joined projection whose
+    * generator fans each doc to its epoch count. Output one row per
+    * (doc, epoch) — the materialized sampling plan a trainer consumes. */
+  def t38Upsample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nmax = counts.agg(max(col("n_lang")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col("lang"),
+        least(lit(4L), expr("(n_max + n_lang - 1) div n_lang"))
+          .as("epochs"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(0, cast(epochs as int) - 1)")).as("epoch"))
+  }
+
   /** t22: the composed Gopher-rules document gate (Rae et al. 2021,
     * "Scaling Language Models" §A1.1 — the published pre-training filter
     * set): word-count bounds, mean-word-length bounds, symbol-to-word
@@ -1293,6 +1392,9 @@ object TextOps {
     "t20_stratified_sample" -> t20StratifiedSample _,
     "t21_unigram_logprob" -> t21UnigramLogprob _,
     "t35_perplexity_tiers" -> t35PerplexityTiers _,
+    "t36_dup_spans" -> t36DupSpans _,
+    "t37_boilerplate_strip" -> t37BoilerplateStrip _,
+    "t38_upsample" -> t38Upsample _,
     "t22_gopher_filter" -> t22GopherFilter _,
     "t14_decontaminate" -> t14Decontaminate _,
     "t23_fuzzy_decontaminate" -> t23FuzzyDecontaminate _,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 import graft.Tables.embeddings
+import graft.functions.VectorExprs.{vec_dot, vec_norm}
 
 /** The IVF/PQ/SemDeDup scale knobs at NON-default settings — the oracle
   * rows pin the default configuration; these pin that the parameters
@@ -83,5 +84,35 @@ class IvfParamSpec extends SparkSuite {
     assert(rows(16) > 0 && rows(64) > 0)
     assert(rows(64) * 2 < rows(16),
       s"k=64 pair space ${rows(64)} not well under k=16 ${rows(16)}")
+  }
+
+  test("e13 knn graph: gapless rank contract, top-1 matches brute force") {
+    val g = Similarity.e13KnnGraph(spark, sf).cache()
+    try {
+      val per = g.groupBy("vec_id").agg(count(lit(1)).as("n"),
+        min("rnk").as("mn"), max("rnk").as("mx"))
+      assert(per.filter(col("mn") =!= 1 || col("mx") =!= col("n") ||
+        col("n") > 3).count() == 0)
+      // brute force inside the same buckets: best cosine (ties → lower
+      // neighbor id) must be exactly e13's rnk=1 row, for EVERY vector
+      val bv = Similarity.e2Buckets(spark, sf)
+        .join(embeddings(spark, sf), Seq("vec_id"))
+      val pairs = bv.as("x").join(bv.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand"),
+          (vec_dot(col("x.embedding"), col("y.embedding")) /
+            (vec_norm(col("x.embedding")) * vec_norm(col("y.embedding"))))
+            .as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("c").desc, col("cand"))
+      val top1 = pairs.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1).select(col("vec_id"), col("cand"))
+      val e13top1 = g.filter(col("rnk") === 1)
+        .select(col("vec_id"), col("neighbor_id"))
+      assert(e13top1.count() == top1.count())
+      assert(e13top1.join(top1, Seq("vec_id"))
+        .filter(col("neighbor_id") =!= col("cand")).count() == 0)
+    } finally g.unpersist()
   }
 }

@@ -239,6 +239,86 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t36 dup spans: interval union equals brute-force distinct positions") {
+    val df = TextOps.t36DupSpans(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("covered_tokens") > col("n_tokens")).count() == 0)
+    assert(df.filter(col("covered_tokens") > 0).count() > 0,
+      "corpus must contain cross-doc duplicated spans")
+    // independent algorithm: explode every dup window to its 8 token
+    // positions, count distinct positions per doc — must equal the
+    // running-max interval-union mass exactly
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    val wins = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(1, size(toks) - 7),
+          |    p -> named_struct('p', p,
+          |      'h', xxhash64(concat_ws(' ', slice(toks, p, 8)))))
+          |ELSE CAST(array() AS ARRAY<STRUCT<p: INT, h: BIGINT>>)
+          |END""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
+    val dup = wins.join(
+      wins.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h"), Seq("h"))
+    val brute = dup
+      .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("pos"))
+      .groupBy("doc_id").agg(count_distinct(col("pos")).as("expected"))
+    assert(df.join(brute, Seq("doc_id"))
+      .filter(col("covered_tokens") =!= col("expected")).count() == 0)
+    df.unpersist()
+  }
+
+  test("t37 boilerplate strip: token mass conserved, clean docs untouched") {
+    val df = TextOps.t37BoilerplateStrip(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    assert(df.count() == docs.count())
+    assert(df.filter(col("n_removed_segs") > 0).count() > 0,
+      "corpus must contain >=3-doc boilerplate segments")
+    // kept tokens + removed-segment tokens == original tokens: every
+    // removed segment has 10 tokens except a possibly-short final one,
+    // so bound from both sides instead of recomputing segment lengths
+    val j = df.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_removed_segs"), col("clean_text"),
+        size(split(col("clean_text"), "\\s+")).as("n_clean"),
+        size(col("toks")).as("n_orig"))
+      .withColumn("removed", col("n_orig") -
+        when(col("clean_text") === "", 0).otherwise(col("n_clean")))
+    assert(j.filter(col("n_removed_segs") === 0 &&
+      col("removed") =!= 0).count() == 0)
+    assert(j.filter(col("n_removed_segs") > 0 &&
+      (col("removed") > col("n_removed_segs") * 10 ||
+        col("removed") < (col("n_removed_segs") - 1) * 10 + 1))
+      .count() == 0)
+    // untouched docs reconstruct verbatim (modulo whitespace collapse)
+    val clean0 = df.filter(col("n_removed_segs") === 0)
+      .join(docs, Seq("doc_id"))
+      .filter(split(col("clean_text"), "\\s+") =!= col("toks"))
+    assert(clean0.count() == 0)
+    df.unpersist()
+  }
+
+  test("t38 upsample: epochs in [1,4], head lang stays at 1 epoch") {
+    val df = TextOps.t38Upsample(spark, sf).cache()
+    val perLang = df.groupBy("lang")
+      .agg(count_distinct(col("epoch")).as("epochs"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("rows"))
+    assert(perLang.filter(col("epochs") < 1 || col("epochs") > 4)
+      .count() == 0)
+    // every (doc, epoch) emitted exactly once, rows = docs x epochs
+    assert(df.count() == df.select("doc_id", "epoch").distinct().count())
+    assert(perLang.filter(col("rows") =!= col("n_docs") * col("epochs"))
+      .count() == 0)
+    // the largest language needs no upsampling; low-resource langs do
+    val byN = perLang.orderBy(col("n_docs").desc).collect()
+    assert(byN.head.getAs[Long]("epochs") == 1L)
+    assert(byN.exists(_.getAs[Long]("epochs") > 1L),
+      "mix must actually upsample at least one language")
+    df.unpersist()
+  }
+
   test("t22 gopher gate: discriminates, booleans consistent, shuffle-free") {
     val df = TextOps.t22GopherFilter(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
