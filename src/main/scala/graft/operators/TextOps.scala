@@ -1013,7 +1013,9 @@ object TextOps {
       .filter(col("nd") >= 2).select("h")
     val prev = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = wins.join(dupHashes, Seq("h"))
+    // the dup-hash set is corpus-scaled — SHUFFLE_HASH pin, never
+    // broadcast (the t10/t11/t13 rule from the round-2 20x OOM)
+    val covered = wins.join(dupHashes.hint("SHUFFLE_HASH"), Seq("h"))
       .withColumn("pm", coalesce(max(col("p") + lit(7)).over(prev), lit(0)))
       .select(col("doc_id"),
         greatest(lit(0),
@@ -1048,7 +1050,8 @@ object TextOps {
     val hot = segs.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 3).select("h")
-    val removed = segs.join(hot, Seq("h"))
+    // hot-segment set is corpus-scaled — same SHUFFLE_HASH pin as t36
+    val removed = segs.join(hot.hint("SHUFFLE_HASH"), Seq("h"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("rm"))
     toks.join(removed, Seq("doc_id"), "left")
