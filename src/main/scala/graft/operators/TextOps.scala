@@ -646,6 +646,23 @@ object TextOps {
         .agg(count(lit(1)).as("pairs"),
           sum(col("n_shared")).as("total_shared"))
     }),
+    // dup-span scale stress: 20× corpus — every 8-token window gains
+    // 19 cross-doc twins, so EVERY window is duplicated and the
+    // interval-union sweep runs at its worst case (covered ≡ n_tokens
+    // on every ≥8-token doc); also pins the SHUFFLE_HASH freq join
+    // when the dup-hash side is as large as the window side
+    "z19_t36_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      dupSpansOf(reps)
+        .agg(count(lit(1)).as("docs"),
+          sum(col("covered_tokens")).as("covered"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(when(col("covered_tokens") === col("n_tokens"), 1L)
+            .otherwise(0L)).as("fully_covered"))
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))
@@ -997,8 +1014,11 @@ object TextOps {
     * frequency shuffle carries 8-byte hashes, never window text —
     * t18's rule, applied to overlapping spans instead of disjoint
     * segments. */
-  def t36DupSpans(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+  def t36DupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOf(documents(s, d))
+
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
     val wins = toks.select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 8 THEN

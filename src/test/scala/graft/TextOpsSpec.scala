@@ -269,6 +269,25 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("z19 dup-span stress: clone corpus is fully covered (closed form)") {
+    // 20 replicas make every window cross-doc duplicated, so the
+    // interval union must equal n_tokens on every >=8-token doc —
+    // the stress aggregate has a closed form computable from the base
+    val base = Tables.documents(spark, sf)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .select(size(col("t")).as("n"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n") >= 8, col("n")).otherwise(0L)).as("cov"),
+        sum(col("n")).as("tok"),
+        sum(when(col("n") >= 8, 1L).otherwise(0L)).as("full"))
+      .first()
+    val z = TextOps.diag("z19_t36_20x")(spark, sf).first()
+    assert(z.getAs[Long]("docs") == 20L * base.getAs[Long]("docs"))
+    assert(z.getAs[Long]("covered") == 20L * base.getAs[Long]("cov"))
+    assert(z.getAs[Long]("tokens") == 20L * base.getAs[Long]("tok"))
+    assert(z.getAs[Long]("fully_covered") == 20L * base.getAs[Long]("full"))
+  }
+
   test("t37 boilerplate strip: token mass conserved, clean docs untouched") {
     val df = TextOps.t37BoilerplateStrip(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
