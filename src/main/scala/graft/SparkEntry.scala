@@ -2058,6 +2058,84 @@ object SparkEntry {
         |SELECT doc_id, d.source, CAST(bucket AS INTEGER) AS bucket,
         |  bucket * n_src < 1000000 * n_min AS keep
         |FROM d JOIN c ON d.source = c.source CROSS JOIN m""",
+    // t39: the oracle replays the same merge step — top-1 pair by
+    // (count desc, pair), greedy left-to-right literal replace on the
+    // boundary-encoded string (non-overlapping in both engines), then
+    // the post-merge recount; '|' and '_' sentinels are engine-neutral
+    "t39_bpe_merge" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[CAST(i AS INTEGER)] || ' '
+        |      || tk[CAST(i + 1 AS INTEGER)])) AS bigram FROM t),
+        |c AS (SELECT bigram, count(*) AS n FROM p GROUP BY bigram),
+        |top AS (SELECT bigram AS mp FROM c
+        |  ORDER BY n DESC, bigram LIMIT 1),
+        |m AS (SELECT doc_id,
+        |    replace('|' || array_to_string(tk, '||') || '|',
+        |      '|' || split_part(mp, ' ', 1) || '||'
+        |        || split_part(mp, ' ', 2) || '|',
+        |      '|' || split_part(mp, ' ', 1) || '_'
+        |        || split_part(mp, ' ', 2) || '|') AS s1, mp
+        |  FROM t CROSS JOIN top),
+        |t2 AS (SELECT mp, regexp_split_to_array(
+        |    substr(s1, 2, length(s1) - 2), '\|\|') AS tk2 FROM m),
+        |p2 AS (SELECT mp, unnest(list_transform(range(1, len(tk2)),
+        |    i -> tk2[CAST(i AS INTEGER)] || ' '
+        |      || tk2[CAST(i + 1 AS INTEGER)])) AS bigram FROM t2)
+        |SELECT mp AS last_merge, bigram, count(*) AS n FROM p2
+        |GROUP BY 1, 2 ORDER BY n DESC, bigram LIMIT 50""",
+    // t40: same digit-wise hex parse as t12; the weight sum is exact
+    // integer math list-wise (list_sum of BIGINTs)
+    "t40_fasttext_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(list_transform(tk, t ->
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5('ft:' || t), CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 2001 - 1000))
+        |    AS BIGINT) AS score_sum,
+        |  CAST(list_sum(list_transform(tk, t ->
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5('ft:' || t), CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 2001 - 1000))
+        |    AS BIGINT) > 0 AS keep
+        |FROM t""",
+    // t41: hashed-bigram counts re-derived relationally; the keep test
+    // is the same integer cross-multiplication as t31
+    "t41_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, source,
+        |    CAST(CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5('dsir:' || bg), CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 10000 AS BIGINT) AS f
+        |  FROM (SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(tk)),
+        |        i -> tk[CAST(i AS INTEGER)] || ' '
+        |          || tk[CAST(i + 1 AS INTEGER)])) AS bg FROM t)),
+        |raw AS (SELECT f, count(*) AS cnt_r FROM f GROUP BY f),
+        |tgt AS (SELECT f, count(*) AS cnt_t FROM f
+        |  WHERE source = 'src1' GROUP BY f),
+        |dim AS (SELECT raw.f, cnt_r,
+        |    COALESCE(cnt_t, 0) AS cnt_t
+        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+        |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r,
+        |    CAST(sum(cnt_t) AS BIGINT) AS n_t FROM dim)
+        |SELECT doc_id,
+        |  CAST(sum(cnt_t) AS BIGINT) AS score_num,
+        |  CAST(sum(cnt_r) AS BIGINT) AS score_den,
+        |  CAST(sum(cnt_t) AS BIGINT) * n_r
+        |    > CAST(sum(cnt_r) AS BIGINT) * n_t AS keep
+        |FROM f JOIN dim ON f.f = dim.f CROSS JOIN tot
+        |GROUP BY doc_id, n_r, n_t""",
     // t30: DuckDB rebuilds the shifted-zip bigrams list-wise; tk[i] is
     // 1-based, range(1, len) = [1, len-1]
     "t30_bigram_vocab" ->

@@ -1394,7 +1394,131 @@ object TextOps {
           .as("keep"))
   }
 
+  /** t39: one BPE TRAINING MERGE iteration (Sennrich et al. 2016) —
+    * t30 counts the pairs, this op CLOSES the trainer's inner loop:
+    * pick the most frequent adjacent pair, apply the merge corpus-wide,
+    * and recount. The merge application is the classic greedy
+    * left-to-right scan, expressed as one literal `replace` over a
+    * boundary-encoded token string (`|a||b|` → `|a_b|`): string replace
+    * is non-overlapping left-to-right in every engine, which is exactly
+    * BPE's application order, and the sentinel `|` boundaries stop
+    * partial-token matches. Scale shape: pair selection is a map-side-
+    * combined wordcount + a 1-row driver collect (the learned merge IS
+    * the model, same bound as the k-means centroid collect); merge
+    * application is a shuffle-free projection; the recount shuffles one
+    * row per distinct pair per task. `merges` parameterizes the
+    * iteration count (oracle default 1); each step's state stays a
+    * DataFrame column, so K merges are K passes, never a driver loop
+    * over rows. */
+  def t39BpeMerge(s: SparkSession, d: String): DataFrame =
+    bpeMergeOf(documents(s, d), merges = 1)
+
+  private[graft] def bpeMergeOf(docs: DataFrame, merges: Int,
+      topK: Int = 50): DataFrame = {
+    // boundary-encode once: |tok1||tok2||...||tokN|
+    var enc = docs.select(col("doc_id"),
+      concat(lit("|"),
+        array_join(split(trim(lower(col("text"))), "\\s+"), "||"),
+        lit("|")).as("s"))
+    def toksOf = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+    def pairCounts(e: DataFrame): DataFrame = {
+      val tk = toksOf
+      e.select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+    }
+    var lastMerge = ""
+    for (_ <- 0 until merges) {
+      // 1-row collect: the learned merge is the model artifact
+      val top = pairCounts(enc)
+        .orderBy(col("n").desc, col("bigram")).limit(1).head()
+      lastMerge = top.getString(0)
+      val Array(a, b) = lastMerge.split(" ", 2)
+      enc = enc.withColumn("s",
+        regexp_replace(col("s"),
+          lit(java.util.regex.Pattern.quote(s"|$a||$b|")),
+          lit(java.util.regex.Matcher.quoteReplacement(s"|${a}_$b|"))))
+    }
+    pairCounts(enc)
+      .orderBy(col("n").desc, col("bigram")).limit(topK)
+      .select(lit(lastMerge).as("last_merge"), col("bigram"), col("n"))
+  }
+
+  /** t40: fastText-STYLE linear quality classifier (Joulin et al.
+    * 2017; the CCNet/LLaMA wiki-vs-crawl data filter): a document's
+    * score is the sum of hashed bag-of-words feature weights, keep if
+    * positive. Weights here are content-derived integers
+    * (md5("ft:"+tok) mod 2001 − 1000 ∈ [−1000,1000]) standing in for a
+    * trained weight vector — the SHAPE is the real one: embedding
+    * lookup by feature hash + linear score + threshold. The whole gate
+    * is one shuffle-free codegen projection (aggregate over the token
+    * array — no explode, no join), which is what lets a learned filter
+    * run as a first pass over 100 TB; a trained model would swap the
+    * hash for a broadcast weight-table join, still one pass. */
+  def t40FasttextScore(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    val weight: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => conv(substring(
+          md5(concat(lit("ft:"), t).cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 2001L - 1000L
+    documents(s, d).select(
+      col("doc_id"),
+      size(tk).as("n_tokens"),
+      aggregate(transform(tk, weight), lit(0L),
+        (acc, x) => acc + x).as("score_sum"))
+      .withColumn("keep", col("score_sum") > 0L)
+  }
+
+  /** t41: DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): rank raw documents by how target-domain-like their hashed
+    * n-gram features are. Features are md5-hashed bigrams folded into a
+    * FIXED 10 000-bucket space — the design point that makes DSIR scale:
+    * the "model" (per-bucket target and raw counts) is O(buckets), not
+    * O(corpus), so it BROADCASTS no matter how big the corpus is. The
+    * published method scores log p_tgt/p_raw; this keeps the ratio in
+    * exact integers — score_num = Σ cnt_tgt(f), score_den = Σ
+    * cnt_raw(f) over the doc's features, keep iff the doc's ratio beats
+    * the corpus-average ratio by cross-multiplication (no float drift,
+    * t31 discipline). Two passes: one wordcount into the 10k-bucket dim
+    * (map-side combined), one broadcast-join projection + per-doc sum.
+    * Target domain = source 'src1' (the curated-slice stand-in). */
+  def t41Dsir(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    val feats = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("dsir:"), col("bg"))
+          .cast("binary")), 1, 6), 16, 10).cast("long") % 10000L)
+          .as("f"))
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("cnt_r"))
+    val tgt = feats.filter(col("source") === "src1")
+      .groupBy("f").agg(count(lit(1)).as("cnt_t"))
+    val dim = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("cnt_r"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    val tot = dim.agg(sum(col("cnt_r")).as("n_r"),
+      sum(col("cnt_t")).as("n_t"))
+    feats.join(broadcast(dim), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt_t")).as("score_num"),
+        sum(col("cnt_r")).as("score_den"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("score_num"), col("score_den"),
+        (col("score_num") * col("n_r") > col("score_den") * col("n_t"))
+          .as("keep"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_bpe_merge" ->
+      ((s: SparkSession, d: String) => t39BpeMerge(s, d)),
+    "t40_fasttext_score" -> t40FasttextScore _,
+    "t41_dsir" -> t41Dsir _,
     "t31_domain_mix" -> t31DomainMix _,
     "t32_containment" -> t32Containment _,
     "t33_prefix_containment" -> t33PrefixContainment _,

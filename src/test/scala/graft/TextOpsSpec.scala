@@ -560,6 +560,58 @@ class TextOpsSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("t39 bpe merge: learns the t30 argmax, fully consumes the pair, " +
+    "and a second iteration learns a different pair") {
+    val docs = Tables.documents(spark, sf)
+    val one = TextOps.bpeMergeOf(docs, merges = 1,
+      topK = Int.MaxValue).cache()
+    try {
+      val learned = one.select("last_merge").first().getString(0)
+      val top = TextOps.t30BigramVocab(spark, sf, topK = 1)
+        .first().getString(0)
+      assert(learned == top, s"merge $learned != t30 argmax $top")
+      // greedy replace consumes every (a,b) adjacency — the learned
+      // pair must not survive in the post-merge counts
+      assert(one.filter(col("bigram") === learned).count() == 0)
+      // the merged supertoken appears in post-merge bigrams
+      val merged = learned.replace(' ', '_')
+      assert(one.filter(col("bigram").contains(merged)).count() > 0)
+      val two = TextOps.bpeMergeOf(docs, merges = 2)
+        .select("last_merge").first().getString(0)
+      assert(two != learned, "second merge must learn a new pair")
+    } finally one.unpersist()
+  }
+
+  test("t40 fasttext score: bounded by ±1000/token, keep wired to sign") {
+    val df = TextOps.t40FasttextScore(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.filter(abs(col("score_sum")) >
+        col("n_tokens").cast("long") * 1000L).count() == 0)
+      assert(df.filter(col("keep") =!= (col("score_sum") > 0L))
+        .count() == 0)
+      // both classes occur (hash weights are ~uniform in [-1000,1000])
+      assert(df.filter(col("keep")).count() > 0)
+      assert(df.filter(!col("keep")).count() > 0)
+    } finally df.unpersist()
+  }
+
+  test("t41 dsir: target counts bounded by raw, both classes occur, " +
+    "covers exactly the multi-token docs") {
+    val df = TextOps.t41Dsir(spark, sf).cache()
+    try {
+      // per-feature cnt_t <= cnt_r summed over a doc preserves order
+      assert(df.filter(col("score_num") > col("score_den")).count() == 0)
+      assert(df.filter(col("score_den") <= 0).count() == 0)
+      val multi = Tables.documents(spark, sf)
+        .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 2)
+        .count()
+      assert(df.count() == multi)
+      assert(df.filter(col("keep")).count() > 0)
+      assert(df.filter(!col("keep")).count() > 0)
+    } finally df.unpersist()
+  }
+
   test("t30 bigram vocab: counts conserve adjacent-pair mass") {
     // every doc with m tokens contributes exactly m-1 bigrams
     val mass = TextOps.t30BigramVocab(spark, sf, topK = Int.MaxValue)
