@@ -37,6 +37,8 @@ object OpLake {
 
   private def writeDumps(s: SparkSession, d: String): Unit = {
     save(operators.TextOps.simhashSigs(s, d), "simhash_sigs")
+    save(operators.Multimodal.m6Sigs(s, d), "m6_sigs")
+    save(operators.Similarity.e14Candidates(s, d), "e14_cands")
     save(operators.Similarity.e2Buckets(s, d), "lsh_buckets")
     save(operators.Similarity.trainedCentroids(s, d), "kmeans_centroids")
     save(operators.Relational.a7Estimates(s, d), "a7_est")

@@ -224,6 +224,33 @@ object SparkEntry {
          |    FROM ch x JOIN ch y
          |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12""",
+    // m6: same banding/hamming re-derivation as t8, from the media
+    // byte-simhash dump
+    "m6_media_neardup" ->
+      s"""WITH s AS (SELECT doc_id, sh FROM ${oprel("m6_sigs")}),
+         |  ch AS (SELECT doc_id, sh, c, (sh >> (c * 12)) & 4095 AS ckey
+         |    FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+         |  p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |      bit_count(xor(x.sh, y.sh)) AS hamming
+         |    FROM ch x JOIN ch y
+         |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12""",
+    // e14: the PQ candidate set is dumped; the oracle independently
+    // reranks the SAME candidates with exact cosine (the e1-proven
+    // kernel SQL) — hash match proves the refine stage's exact order
+    "e14_rerank" ->
+      s"""WITH cand AS (SELECT query_id, cand_id
+         |    FROM ${oprel("e14_cands")}),
+         |  q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 10),
+         |  sims AS (SELECT c.query_id, c.cand_id,
+         |      ${cosSql("q.qv", "e.embedding")} AS cosine
+         |    FROM cand c JOIN q ON c.query_id = q.query_id
+         |    JOIN embeddings e ON c.cand_id = e.vec_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""",
     // e2: bucket assignment dumped; same-bucket pair generation + exact
     // cosine scoring (the e1-proven kernel SQL) re-derived in SQL
     "e2_lsh_ann" ->

@@ -173,7 +173,40 @@ object Multimodal {
           .as("nibble_sum"))
   }
 
+  /** The per-asset 48-bit byte-level simhash — m6's engine-specific
+    * layer, dumped by [[graft.OpLake]] so the oracle re-derives only the
+    * relational banding + hamming remainder (the t8 pattern). Shingles
+    * are overlapping 4-byte windows of the payload (rendered via hex —
+    * 8 hex chars per window), each xxhash64'd into the codegen'd simhash
+    * kernel: one projection, no explode, no shuffle for the signature. */
+  private[graft] def m6Sigs(s: SparkSession, d: String): DataFrame =
+    m6SigsOf(media(s, d))
+
+  private[graft] def m6SigsOf(mediaDf: DataFrame): DataFrame =
+    mediaDf
+      .select(col("doc_id"), hex(col("media")).as("hx"), col("n_bytes"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhash(expr(
+          """transform(sequence(1, cast(greatest(1, n_bytes - 3) as int)),
+            |  p -> xxhash64(substring(hx, p * 2 - 1, 8)))"""
+            .stripMargin), 48).as("sh"))
+
+  /** m6 — MEDIA near-duplicate detection: perceptual-hash-shaped dedup
+    * over the opaque binary payload (re-encoded or lightly-edited asset
+    * copies). A real pipeline would decode and pHash the pixels — the
+    * codec-free stand-in simhashes overlapping 4-byte windows, which
+    * has the property that matters for the plumbing: similar byte
+    * streams → small hamming distance. Pair generation is the same
+    * banded-hamming pigeonhole as t8 (pairs ≤ 12/48 bits must share a
+    * 12-bit chunk), so the self-join is bucket-bounded, and the payload
+    * itself never crosses the wire — only 48-bit signatures do. The
+    * dedup member of the m-family: m1 catches exact copies by content
+    * hash; m6 catches the near-copies m1 misses. */
+  def m6MediaNearDup(s: SparkSession, d: String): DataFrame =
+    TextOps.bandedHammingPairs(m6Sigs(s, d))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_media_neardup" -> m6MediaNearDup _,
     "m5_segment_stats" -> m5SegmentStats _,
     "m1_media_meta" -> m1MediaMeta _,
     "m2_feature_extract" -> m2FeatureExtract _,

@@ -394,8 +394,8 @@ object Similarity {
     * deterministic oracle configuration; a 100 TB index raises k to the
     * thousands and ks to 256 (8-bit codes). */
   private[graft] def ivfPqOf(emb: DataFrame, k: Int = 16,
-      nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64)
-      : DataFrame = {
+      nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64,
+      topK: Int = 5): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val centroids = centroidsOf(emb, k)
@@ -441,6 +441,50 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum(col("dt")).as("adist"))
       .withColumnRenamed("vec_id", "cand_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "cand_id", "rnk")
+  }
+
+  /** The PQ-approximate top-20 candidate list per query — e14's first
+    * stage, dumped by [[graft.OpLake]] so the oracle reranks the SAME
+    * candidate set. */
+  private[graft] def e14Candidates(s: SparkSession, d: String)
+      : DataFrame =
+    ivfPqOf(embeddings(s, d), topK = 20).select("query_id", "cand_id")
+
+  /** e14 — two-stage RETRIEVE-then-RERANK (the FAISS
+    * IndexIVFPQ + IndexRefineFlat serving shape, and the standard
+    * production retrieval stack): stage 1 scores with 8-int PQ codes
+    * only (ivfPqOf, top-20 approximate candidates); stage 2 joins JUST
+    * those candidates back to their raw float vectors for an exact
+    * cosine rerank to the final top-5. 100 TB shape: the expensive
+    * float reads touch queries × 20 rows, never the corpus — the
+    * candidate list is broadcast into the embedding scan, so the rerank
+    * is one broadcast-semi-join + a queries-partitioned window; the
+    * raw-vector payload crosses the wire only for candidates. Refines
+    * e8's PQ-approximate ordering with exact distances (PQ error ⇒
+    * orders can differ; the rerank restores the exact order within the
+    * retrieved set). */
+  def e14Rerank(s: SparkSession, d: String): DataFrame =
+    rerankOf(embeddings(s, d), e14Candidates(s, d))
+
+  /** Exact-cosine rerank of an arbitrary (query_id, cand_id) candidate
+    * relation — stage 2 alone, so the spec can drive it with a
+    * wide-open candidate set (every non-self vector) and assert the
+    * refine equals brute-force e1 exactly: the recall endpoint of the
+    * retrieve-then-rerank dial. */
+  private[graft] def rerankOf(emb: DataFrame, cands: DataFrame)
+      : DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    emb.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
+      .join(broadcast(cands), Seq("cand_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q"), col("c")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("query_id", "cand_id", "rnk")
@@ -667,5 +711,6 @@ object Similarity {
       ((s: SparkSession, d: String) => e12SignTopK(s, d)),
     "e8_ivf_pq" -> e8IvfPqAnn _,
     "e13_knn_graph" -> e13KnnGraph _,
+    "e14_rerank" -> e14Rerank _,
   )
 }

@@ -393,11 +393,12 @@ object TextOps {
       .agg(collect_list(col("h1")).as("hs"))
       .select(col("doc_id"), simhash(col("hs"), 48).as("sh"))
 
-  /** SimHash near-dup: 48-bit simhash over shingle hashes (codegen'd
-    * `simhash` kernel, no explode/shuffle for the signature), pairs
-    * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
-  def t8SimHash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d)
+  /** Banded-hamming pair generation over a (doc_id, sh) 48-bit
+    * signature relation — pigeonhole: any pair within hamming ≤ 12 of
+    * 48 bits agrees exactly on at least one of the 4 12-bit chunks, so
+    * the self-join is bounded to same-chunk buckets (never all-pairs).
+    * Shared by t8 (text shingle simhash) and m6 (media byte simhash). */
+  private[graft] def bandedHammingPairs(sigs: DataFrame): DataFrame = {
     val chunks = sigs.select(
       col("doc_id"), col("sh"),
       explode(expr(
@@ -419,6 +420,12 @@ object TextOps {
       .filter(col("hamming") <= 12)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** SimHash near-dup: 48-bit simhash over shingle hashes (codegen'd
+    * `simhash` kernel, no explode/shuffle for the signature), pairs
+    * within hamming ≤ 12 via banded join on 4×12-bit chunks. */
+  def t8SimHash(s: SparkSession, d: String): DataFrame =
+    bandedHammingPairs(simhashSigs(s, d))
 
   /** BPE-ish tokenization: GPT-2-style pretokenizer classes (leading-
     * space word / number / punctuation runs) without lookahead so the
@@ -1486,7 +1493,10 @@ object TextOps {
     * Target domain = source 'src1' (the curated-slice stand-in). */
   def t41Dsir(s: SparkSession, d: String): DataFrame = {
     val tk = split(trim(lower(col("text"))), "\\s+")
-    val feats = documents(s, d)
+    // the hashed-feature relation feeds three consumers (raw counts,
+    // target counts, the per-doc scoring join) — cache it once per
+    // session instead of re-tokenizing the corpus three times
+    val feats = lshMemo(s, d + "#dsir")(documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(zip_with(
           slice(tk, lit(1), size(tk) - 1),
@@ -1496,6 +1506,7 @@ object TextOps {
         (conv(substring(md5(concat(lit("dsir:"), col("bg"))
           .cast("binary")), 1, 6), 16, 10).cast("long") % 10000L)
           .as("f"))
+      .cache())
     val raw = feats.groupBy("f").agg(count(lit(1)).as("cnt_r"))
     val tgt = feats.filter(col("source") === "src1")
       .groupBy("f").agg(count(lit(1)).as("cnt_t"))

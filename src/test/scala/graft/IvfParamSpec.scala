@@ -115,4 +115,51 @@ class IvfParamSpec extends SparkSuite {
         .filter(col("neighbor_id") =!= col("cand")).count() == 0)
     } finally g.unpersist()
   }
+
+  test("e14 rerank with a wide-open candidate set equals brute-force " +
+    "e1; default candidates give 5 exact-ordered rows per query") {
+    // the retrieve-then-rerank recall endpoint: when stage 1 admits
+    // every non-self vector, stage 2's exact rerank IS e1's scan
+    val emb = embeddings(spark, sf)
+    val allCands = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("cand_id")))
+      .filter(col("query_id") =!= col("cand_id"))
+    val open = Similarity.rerankOf(emb, allCands)
+    val exact = Similarity.e1CosineTopK(spark, sf)
+    assert(open.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(open).count() == 0)
+    // default path: 5 rows per query, all drawn from the PQ candidates
+    val df = Similarity.e14Rerank(spark, sf).cache()
+    try {
+      val counts = df.groupBy("query_id").count().collect()
+      assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+      val cands = Similarity.e14Candidates(spark, sf)
+      assert(df.join(cands, Seq("query_id", "cand_id"), "left_anti")
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("m6 media near-dup: exact payload copies pair at hamming 0, " +
+    "all pairs ordered and within the 12-bit radius") {
+    val df = graft.operators.Multimodal.m6MediaNearDup(spark, sf).cache()
+    try {
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+      assert(df.filter(col("hamming") < 0 || col("hamming") > 12)
+        .count() == 0)
+      // identical payloads → identical simhash → the pair MUST surface
+      // with hamming 0 (banding can't miss an exact signature match):
+      // plant clones (doc_id + 1e9) and require every clone pair
+      val m = graft.operators.Multimodal.media(spark, sf)
+      val planted = m.unionByName(
+        m.withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      val pairs = graft.operators.TextOps.bandedHammingPairs(
+        graft.operators.Multimodal.m6SigsOf(planted))
+      val nDocs = m.count()
+      val clonePairs = pairs.filter(col("hamming") === 0 &&
+        col("doc_b") === col("doc_a") + 1000000000L)
+      assert(clonePairs.count() == nDocs,
+        s"every planted clone must pair at hamming 0 ($nDocs docs)")
+    } finally df.unpersist()
+  }
 }
