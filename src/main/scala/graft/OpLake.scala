@@ -50,6 +50,10 @@ object OpLake {
     // batch candidate relation, so the hash gate IS the stream≡batch
     // parity assertion
     save(streaming.TwsOps.nearDupReplay(s, d), "stream_neardup_pairs")
+    // the built-in streaming exact dedup's emitted winners — the t42
+    // oracle reads this; the Spark side recomputes the batch distinct
+    // content set, so the hash gate asserts one-emission-per-content
+    save(streaming.TwsOps.dedupReplay(s, d), "stream_dedup")
     // the STREAMING packer's emitted rows (per-shard offset state
     // carried across a deterministic 5-batch replay) — the t29 oracle
     // reads this; the Spark side recomputes batch t26Pack, so the hash

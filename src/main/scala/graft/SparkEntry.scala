@@ -224,6 +224,11 @@ object SparkEntry {
          |    FROM ch x JOIN ch y
          |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12""",
+    // t42: the streaming dedup's emitted winners, NOT deduped oracle-
+    // side — a double emission or a lost content would break the hash
+    // match against the batch distinct set
+    "t42_stream_dedup" ->
+      s"""SELECT text_hash FROM ${oprel("stream_dedup")}""",
     // m6: same banding/hamming re-derivation as t8, from the media
     // byte-simhash dump
     "m6_media_neardup" ->

@@ -1525,7 +1525,20 @@ object TextOps {
           .as("keep"))
   }
 
+  /** t42 — the BATCH side of the streaming-exact-dedup parity gate:
+    * the distinct content-hash set of the corpus. The oracle side reads
+    * the [[graft.streaming.TwsOps.dedupReplay]] dump (the emitted rows
+    * of the built-in `dropDuplicatesWithinWatermark` stream over the
+    * same corpus), so the driver's hash compare asserts the stream
+    * emitted EXACTLY one winner per distinct content — the stream≡batch
+    * parity pattern of t25/t29/w13/w16. */
+  def t42StreamDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(md5(col("text").cast("binary")).as("text_hash"))
+      .distinct()
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t42_stream_dedup" -> t42StreamDedup _,
     "t39_bpe_merge" ->
       ((s: SparkSession, d: String) => t39BpeMerge(s, d)),
     "t40_fasttext_score" -> t40FasttextScore _,

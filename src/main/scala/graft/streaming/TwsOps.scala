@@ -332,6 +332,46 @@ object TwsOps {
     pairs.toDF("doc_a", "doc_b")
   }
 
+  /** Deterministic multi-batch replay of a documents dir through
+    * [[graft.streaming.StreamingOps.dedupDocsStream]] (the BUILT-IN
+    * `dropDuplicatesWithinWatermark` exact dedup), returning the
+    * emitted (text_hash, doc_id) winners — the Verify-time producer
+    * behind the t42 parity row. Which COPY wins inside a micro-batch is
+    * partition-order-dependent (the built-in keeps the first row
+    * encountered), so the parity contract is the deterministic part of
+    * the semantics: the emitted text_hash multiset must equal the batch
+    * corpus's distinct content set — exactly one emission per content,
+    * none lost, none duplicated across batches. Same plumbing bounds as
+    * [[nearDupReplay]]. */
+  def dedupReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val name = s"dedup_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val q = graft.streaming.StreamingOps
+      .dedupDocsStream(mem.toDS().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val winners =
+      try {
+        val base = 1704067200000L
+        docs.grouped(math.max(1, docs.length / batches)).foreach { g =>
+          mem.addData(g.toSeq.map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(base + id)) }: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).select("text_hash", "doc_id")
+          .as[(String, Long)].collect().toSeq
+      } finally q.stop()
+    winners.toDF("text_hash", "doc_id")
+  }
+
   // ---- streaming sequence packing (t29 = streaming t26) -------------
 
   case class PackIn(shard: Int, doc_id: Long, n_tokens: Int)

@@ -38,6 +38,28 @@ class DocDedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("exact-dedup replay emits one winner per distinct content and " +
+    "every winner is a real member of its copy group (t42 parity)") {
+    import org.apache.spark.sql.functions._
+    val streamed = TwsOps.dedupReplay(spark, sf, batches = 3).cache()
+    try {
+      val batchHashes = graft.operators.TextOps
+        .t42StreamDedup(spark, sf)
+      // multiset equality on the hash column = one emission per content
+      assert(streamed.select("text_hash").exceptAll(batchHashes)
+        .count() == 0)
+      assert(batchHashes.exceptAll(streamed.select("text_hash"))
+        .count() == 0)
+      // the winner doc really carries the content it won for
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("real_hash"))
+      val bad = streamed.join(docs, Seq("doc_id"))
+        .filter(col("text_hash") =!= col("real_hash"))
+      assert(bad.count() == 0)
+    } finally streamed.unpersist()
+  }
+
   test("streaming near-dup replay emits exactly the batch candidate " +
     "pair set (the t25 parity the driver gate hash-checks at sf0.01)") {
     val streamed = TwsOps.nearDupReplay(spark, sf, batches = 3)
