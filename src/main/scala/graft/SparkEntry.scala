@@ -224,6 +224,28 @@ object SparkEntry {
          |    FROM ch x JOIN ch y
          |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12""",
+    // t43: first-occurrence is list_position = own index on the segment
+    // STRINGS in both engines (no hashes, no collision reconciliation);
+    // DuckDB list slices are 1-based inclusive = Spark slice(pos, len)
+    "t43_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(
+        |    range(0, CAST(ceil(len(tk)/10.0) AS INTEGER)),
+        |    i -> array_to_string(
+        |      tk[(CAST(i AS INTEGER)*10+1):(CAST(i AS INTEGER)*10+10)],
+        |      ' ')) AS segs FROM t),
+        |k AS (SELECT doc_id, segs,
+        |    list_filter(list_transform(range(1, len(segs) + 1),
+        |      i -> CASE WHEN list_position(segs,
+        |          segs[CAST(i AS INTEGER)]) = i
+        |        THEN segs[CAST(i AS INTEGER)] END),
+        |      x -> x IS NOT NULL) AS kept FROM g)
+        |SELECT doc_id, CAST(len(segs) AS INTEGER) AS n_segs,
+        |  CAST(len(segs) - len(kept) AS INTEGER) AS n_dup_segs,
+        |  array_to_string(kept, ' ') AS clean_text
+        |FROM k""",
     // t42: the streaming dedup's emitted winners, NOT deduped oracle-
     // side — a double emission or a lost content would break the hash
     // match against the batch distinct set

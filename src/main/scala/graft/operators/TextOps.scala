@@ -1525,6 +1525,39 @@ object TextOps {
           .as("keep"))
   }
 
+  /** t43 — INTRA-document segment dedup (the CCNet preprocessing pass
+    * that drops repeated lines WITHIN a page — nav menus, repeated
+    * headers — before any corpus-level pass; t37 is the cross-corpus
+    * counterpart). A segment (10-token unit, the t18/t37 "line")
+    * survives iff it is the FIRST occurrence of its content inside its
+    * own document; the doc is rewritten from survivors. Entirely
+    * per-doc array kernels — one shuffle-free codegen projection over
+    * the corpus, the same cheapest-first class as t22/t40: at 100 TB
+    * this runs in the scan, no shuffle, no state. First-occurrence is
+    * `array_position(segs, segs[i]) = i` (1-based first index), which
+    * both engines evaluate identically on the segment STRINGS — no
+    * hash collisions to reconcile. */
+  def t43LineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupOf(documents(s, d))
+
+  private[graft] def lineDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("""transform(
+          |  sequence(0, cast(ceil(size(split(trim(text), '\\s+'))/10.0)
+          |    as int) - 1),
+          |  i -> array_join(slice(split(trim(text), '\\s+'),
+          |    i*10+1, 10), ' '))""".stripMargin).as("segs"))
+      .select(col("doc_id"), col("segs"),
+        expr("""filter(transform(sequence(1, size(segs)),
+          |  i -> CASE WHEN array_position(segs, element_at(segs, i)) = i
+          |    THEN element_at(segs, i) END),
+          |  x -> x IS NOT NULL)""".stripMargin).as("kept"))
+      .select(col("doc_id"),
+        size(col("segs")).as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).as("n_dup_segs"),
+        array_join(col("kept"), " ").as("clean_text"))
+
   /** t42 — the BATCH side of the streaming-exact-dedup parity gate:
     * the distinct content-hash set of the corpus. The oracle side reads
     * the [[graft.streaming.TwsOps.dedupReplay]] dump (the emitted rows
@@ -1538,6 +1571,7 @@ object TextOps {
       .distinct()
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t43_line_dedup" -> t43LineDedup _,
     "t42_stream_dedup" -> t42StreamDedup _,
     "t39_bpe_merge" ->
       ((s: SparkSession, d: String) => t39BpeMerge(s, d)),

@@ -612,6 +612,40 @@ class TextOpsSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("t43 line dedup: planted repeats removed, first occurrence kept, " +
+    "clean corpus untouched") {
+    import spark.implicits._
+    // 10-token segments A B A C: the second A must drop
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$segA $segB $segA $segC"),   // dup at segment 3
+      (2L, s"$segB $segC"),               // no dups
+      (3L, s"$segA $segA $segA")          // two dups of A
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.lineDedupOf(planted)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_segs") == 4)
+    assert(out(1L).getAs[Int]("n_dup_segs") == 1)
+    assert(out(1L).getAs[String]("clean_text") == s"$segA $segB $segC")
+    assert(out(2L).getAs[Int]("n_dup_segs") == 0)
+    assert(out(2L).getAs[String]("clean_text") == s"$segB $segC")
+    assert(out(3L).getAs[Int]("n_dup_segs") == 2)
+    assert(out(3L).getAs[String]("clean_text") == segA)
+    // the real corpus has no intra-doc repeats (checked): the pass must
+    // be a verbatim no-op on every doc — the do-no-harm contract
+    val df = graft.operators.TextOps.t43LineDedup(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.filter(col("n_dup_segs") =!= 0).count() == 0)
+      val mismatch = df.join(Tables.documents(spark, sf), Seq("doc_id"))
+        .filter(split(col("clean_text"), "\\s+") =!=
+          split(trim(col("text")), "\\s+"))
+      assert(mismatch.count() == 0)
+    } finally df.unpersist()
+  }
+
   test("t30 bigram vocab: counts conserve adjacent-pair mass") {
     // every doc with m tokens contributes exactly m-1 bigrams
     val mass = TextOps.t30BigramVocab(spark, sf, topK = Int.MaxValue)
