@@ -112,6 +112,42 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
        |  FROM scored) WHERE rnk <= 5"""
 
+  /** Exact brute-force top-5 (the e1 oracle), reused verbatim as the
+    * ground-truth CTE of the e15 recall evaluation. */
+  private def e1Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |    FROM embeddings WHERE vec_id < 10),
+      |  c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+      |  sims AS (SELECT query_id, cand_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+      |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+      |      AS cosine
+      |    FROM q CROSS JOIN c WHERE query_id <> cand_id)
+      |SELECT query_id, cand_id, rnk FROM (
+      |  SELECT query_id, cand_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+      |  FROM sims) WHERE rnk <= 5""".stripMargin
+
+  /** The e14 rerank oracle (exact rerank of the dumped candidate set),
+    * reused as a method CTE of the e15 recall evaluation. */
+  private def e14Sql: String =
+    s"""WITH cand AS (SELECT query_id, cand_id
+       |    FROM ${oprel("e14_cands")}),
+       |  q AS (SELECT vec_id AS query_id, embedding AS qv
+       |    FROM embeddings WHERE vec_id < 10),
+       |  sims AS (SELECT c.query_id, c.cand_id,
+       |      ${cosSql("q.qv", "e.embedding")} AS cosine
+       |    FROM cand c JOIN q ON c.query_id = q.query_id
+       |    JOIN embeddings e ON c.cand_id = e.vec_id)
+       |SELECT query_id, cand_id, rnk FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM sims) WHERE rnk <= 5""".stripMargin
+
   /** dot(a,b) in double — the SQL twin of the codegen'd vec_dot. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
@@ -265,19 +301,29 @@ object SparkEntry {
     // e14: the PQ candidate set is dumped; the oracle independently
     // reranks the SAME candidates with exact cosine (the e1-proven
     // kernel SQL) — hash match proves the refine stage's exact order
-    "e14_rerank" ->
-      s"""WITH cand AS (SELECT query_id, cand_id
-         |    FROM ${oprel("e14_cands")}),
-         |  q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id < 10),
-         |  sims AS (SELECT c.query_id, c.cand_id,
-         |      ${cosSql("q.qv", "e.embedding")} AS cosine
-         |    FROM cand c JOIN q ON c.query_id = q.query_id
-         |    JOIN embeddings e ON c.cand_id = e.vec_id)
-         |SELECT query_id, cand_id, rnk FROM (
-         |  SELECT query_id, cand_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
-         |  FROM sims) WHERE rnk <= 5""",
+    "e14_rerank" -> e14Sql,
+    // e15: ground truth AND all three methods re-derived independently
+    // (the proven e1/e5/e8/e14 SELECTs nested as derived tables), then
+    // per-(method, query) hit counting — the oracle cross-checks the
+    // whole recall measurement, not just one side of it
+    "e15_recall_eval" ->
+      s"""WITH exact AS (SELECT query_id, cand_id FROM ($e1Sql) x),
+         |  u AS (
+         |    SELECT 'e5_ivf' AS method, query_id, cand_id
+         |    FROM (${ivfSql(
+               "SELECT vec_id AS centroid_id, embedding AS cv " +
+                 "FROM embeddings WHERE vec_id < 16")}) m5
+         |    UNION ALL
+         |    SELECT 'e8_pq' AS method, query_id, cand_id
+         |    FROM ($ivfPqSql) m8
+         |    UNION ALL
+         |    SELECT 'e14_rerank' AS method, query_id, cand_id
+         |    FROM ($e14Sql) m14)
+         |SELECT u.method, u.query_id,
+         |  count(exact.cand_id) AS hits, count(*) AS n
+         |FROM u LEFT JOIN exact
+         |  ON u.query_id = exact.query_id AND u.cand_id = exact.cand_id
+         |GROUP BY 1, 2""",
     // e2: bucket assignment dumped; same-bucket pair generation + exact
     // cosine scoring (the e1-proven kernel SQL) re-derived in SQL
     "e2_lsh_ann" ->
@@ -1727,23 +1773,7 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY qdot DESC, cand_id) AS rnk FROM scored)
         |WHERE rnk <= 5""",
-    "e1_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |    FROM embeddings WHERE vec_id < 10),
-        |  c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
-        |  sims AS (SELECT query_id, cand_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
-        |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
-        |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
-        |      AS cosine
-        |    FROM q CROSS JOIN c WHERE query_id <> cand_id)
-        |SELECT query_id, cand_id, rnk FROM (
-        |  SELECT query_id, cand_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
-        |  FROM sims) WHERE rnk <= 5""",
+    "e1_cosine_topk" -> e1Sql,
     "e3_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),

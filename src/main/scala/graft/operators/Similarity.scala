@@ -693,7 +693,32 @@ object Similarity {
       .select("vec_id", "neighbor_id", "rnk")
   }
 
+  /** e15 — ANN RECALL EVALUATION as a first-class query: per-query
+    * recall@5 of the three serving paths (e5 IVF, e8 IVF-PQ, e14
+    * retrieve-then-rerank) against the exact e1 ground truth. The eval
+    * harness every index deployment runs before flipping traffic —
+    * here it's just another DataFrame, and the oracle re-derives every
+    * method AND the ground truth independently, so the driver gate
+    * cross-checks the whole measurement. All-integer output (hits of
+    * n); the joins touch queries×5 rows per method — eval cost is
+    * O(queries), independent of corpus size. */
+  def e15RecallEval(s: SparkSession, d: String): DataFrame = {
+    val exact = e1CosineTopK(s, d).select("query_id", "cand_id")
+      .withColumn("hit", lit(1))
+    def scored(name: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("cand_id"))
+        .join(exact, Seq("query_id", "cand_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("n"))
+        .select(lit(name).as("method"), col("query_id"),
+          col("hits"), col("n"))
+    scored("e5_ivf", e5IvfAnn(s, d))
+      .unionByName(scored("e8_pq", e8IvfPqAnn(s, d)))
+      .unionByName(scored("e14_rerank", e14Rerank(s, d)))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_recall_eval" -> e15RecallEval _,
     "e9_semdedup" -> e9SemDedup _,
     "e10_ivf_persisted" ->
       ((s: SparkSession, d: String) => e10IvfPersisted(s, d)),

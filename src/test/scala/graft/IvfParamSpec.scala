@@ -140,6 +140,28 @@ class IvfParamSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("e15 recall eval: 10 rows per method, hits bounded by n, and " +
+    "exact rerank dominates PQ-order recall per query") {
+    val df = Similarity.e15RecallEval(spark, sf).cache()
+    try {
+      val perMethod = df.groupBy("method").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perMethod == Map("e5_ivf" -> 10L, "e8_pq" -> 10L,
+        "e14_rerank" -> 10L))
+      assert(df.filter(col("hits") < 0 || col("hits") > col("n") ||
+        col("n") =!= 5).count() == 0)
+      // any ground-truth member inside the candidate set must surface
+      // in the exact-order top-5 (≤4 others can beat it globally), so
+      // rerank recall ≥ PQ recall, query by query
+      val pq = df.filter(col("method") === "e8_pq")
+        .select(col("query_id"), col("hits").as("pq_hits"))
+      val rr = df.filter(col("method") === "e14_rerank")
+        .select(col("query_id"), col("hits").as("rr_hits"))
+      assert(pq.join(rr, Seq("query_id"))
+        .filter(col("rr_hits") < col("pq_hits")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("m6 media near-dup: exact payload copies pair at hamming 0, " +
     "all pairs ordered and within the 12-bit radius") {
     val df = graft.operators.Multimodal.m6MediaNearDup(spark, sf).cache()
