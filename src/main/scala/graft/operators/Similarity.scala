@@ -531,6 +531,25 @@ object Similarity {
     // materialization) at k=16 vs k=64 on the 20× corpus. The k=64 count
     // must track N²/k, i.e. land well under the k=16 count — the
     // property that makes corpus-derived k (semDedupK) the scale path.
+    // m6 banded-hamming pair space under 20× cloning — the blow-up
+    // mode of media near-dup: every asset gains 19 byte-identical
+    // clones that share ALL four chunks. The pair count must follow
+    // the exact closed form (base_pairs·20² + docs·C(20,2)) — growth
+    // is clone-clique-bounded, never bucket-quadratic (asserted in
+    // IvfParamSpec at test SF).
+    "z20_m6_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until TextOps.stressReps).map(i =>
+        graft.Tables.documents(s, d).select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val mediaReps = reps.select(col("doc_id"),
+        col("text").cast("binary").as("media"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      TextOps.bandedHammingPairs(Multimodal.m6SigsOf(mediaReps))
+        .agg(count(lit(1)).as("pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L))
+            .as("exact_pairs"))
+    }),
     "z13_e9_k64" -> ((s: SparkSession, d: String) => {
       val reps = (0 until TextOps.stressReps).map(i => embeddings(s, d)
           .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),

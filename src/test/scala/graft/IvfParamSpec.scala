@@ -162,6 +162,21 @@ class IvfParamSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("z20: m6 pair space under 20x cloning follows the exact " +
+    "closed form (clone cliques + squared base pairs, nothing else)") {
+    val base = graft.operators.Multimodal.m6MediaNearDup(spark, sf)
+      .cache()
+    try {
+      val basePairs = base.count()
+      val baseH0 = base.filter(col("hamming") === 0).count()
+      val docs = graft.Tables.documents(spark, sf).count()
+      val z = Similarity.diag("z20_m6_20x")(spark, sf).first()
+      assert(z.getAs[Long]("pairs") == basePairs * 400 + docs * 190,
+        s"pairs ${z.getAs[Long]("pairs")} != ${basePairs * 400 + docs * 190}")
+      assert(z.getAs[Long]("exact_pairs") == baseH0 * 400 + docs * 190)
+    } finally base.unpersist()
+  }
+
   test("m6 media near-dup: exact payload copies pair at hamming 0, " +
     "all pairs ordered and within the 12-bit radius") {
     val df = graft.operators.Multimodal.m6MediaNearDup(spark, sf).cache()
