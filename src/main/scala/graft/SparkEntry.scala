@@ -282,6 +282,43 @@ object SparkEntry {
         |  CAST(len(segs) - len(kept) AS INTEGER) AS n_dup_segs,
         |  array_to_string(kept, ' ') AS clean_text
         |FROM k""",
+    // t44: the vocab cut is (count desc, token) LIMIT 1000 — a total
+    // order, so both engines cut identically; OOV = unmatched LEFT-join
+    // rows counted per doc
+    "t44_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, count(*) AS n FROM t GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 1000)),
+        |j AS (SELECT t.doc_id, v.in_vocab FROM t LEFT JOIN v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) - count(in_vocab) AS BIGINT) AS n_oov
+        |FROM j GROUP BY doc_id""",
+    // t45: batch ids from per-shard row_number; // 16 is integer
+    // division = Spark's truncated double division (power-of-two
+    // divisor, exact in binary)
+    "t45_batch_padding" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT 'arrival' AS strategy, shard,
+        |    CAST((row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+        |      - 1) // 16 AS INTEGER) AS batch_id, n_tokens FROM b),
+        |s AS (SELECT 'sorted' AS strategy, shard,
+        |    CAST((row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens, doc_id)
+        |      - 1) // 16 AS INTEGER) AS batch_id, n_tokens FROM b),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM s)
+        |SELECT strategy, shard, batch_id, count(*) AS n_docs,
+        |  max(n_tokens) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+        |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+        |    AS waste
+        |FROM u GROUP BY 1, 2, 3""",
     // t42: the streaming dedup's emitted winners, NOT deduped oracle-
     // side — a double emission or a lost content would break the hash
     // match against the batch distinct set

@@ -1558,6 +1558,55 @@ object TextOps {
         (size(col("segs")) - size(col("kept"))).as("n_dup_segs"),
         array_join(col("kept"), " ").as("clean_text"))
 
+  /** t44 — tokenizer VOCAB COVERAGE: build the top-1000 token
+    * vocabulary (count desc, token asc — a total order, deterministic
+    * cut) and measure each document's out-of-vocabulary token count,
+    * the coverage eval run before freezing a tokenizer. Scale shape:
+    * the vocab is a bounded dimension (1000 rows) → BROADCAST anti
+    * semantics via a left join; the corpus pass is one explode +
+    * map-side-combined per-doc count. All integers. */
+  def t44VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tk).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+  }
+
+  /** t45 — LENGTH-SORTED BATCH COMPOSITION and its padding waste: fixed
+    * batches of 16 pad every member to the batch max, so batching
+    * docs sorted by length (within a shard — per-worker sorted
+    * batching, the standard trainer/inference trick) collapses the
+    * waste vs arrival order. Emits per-batch accounting for BOTH
+    * strategies (the measured A/B a pipeline owner reads before
+    * enabling it); companion of t26, which removes padding entirely by
+    * packing. Windows partition by the 8-way shard — never global —
+    * and every quantity is an integer. */
+  def t45BatchPadding(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"),
+      (col("doc_id") % 8).cast("int").as("shard"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    def batched(strategy: String, w: org.apache.spark.sql.expressions
+        .WindowSpec): DataFrame =
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", ((col("rn") - 1) / 16).cast("int"))
+        .groupBy(col("shard"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("sum_len"))
+        .select(lit(strategy).as("strategy"), col("shard"),
+          col("batch_id"), col("n_docs"), col("max_len"), col("sum_len"),
+          (col("max_len") * col("n_docs") - col("sum_len")).as("waste"))
+    batched("arrival", Window.partitionBy("shard").orderBy("doc_id"))
+      .unionByName(batched("sorted", Window.partitionBy("shard")
+        .orderBy(col("n_tokens"), col("doc_id"))))
+  }
+
   /** t42 — the BATCH side of the streaming-exact-dedup parity gate:
     * the distinct content-hash set of the corpus. The oracle side reads
     * the [[graft.streaming.TwsOps.dedupReplay]] dump (the emitted rows
@@ -1572,6 +1621,8 @@ object TextOps {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t43_line_dedup" -> t43LineDedup _,
+    "t44_vocab_coverage" -> t44VocabCoverage _,
+    "t45_batch_padding" -> t45BatchPadding _,
     "t42_stream_dedup" -> t42StreamDedup _,
     "t39_bpe_merge" ->
       ((s: SparkSession, d: String) => t39BpeMerge(s, d)),

@@ -646,6 +646,47 @@ class TextOpsSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("t44 vocab coverage: token mass conserved, oov bounded, vocab " +
+    "members are never oov") {
+    val df = TextOps.t44VocabCoverage(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.filter(col("n_oov") < 0 ||
+        col("n_oov") > col("n_tokens")).count() == 0)
+      val mass = df.agg(sum("n_tokens")).first().getLong(0)
+      val expect = Tables.documents(spark, sf)
+        .agg(sum(size(split(trim(lower(col("text"))), "\\s+"))))
+        .first().getLong(0)
+      assert(mass == expect)
+      // corpus has more distinct tokens than the vocab cut → some doc
+      // must carry OOV tokens (guards the join wiring end-to-end)
+      val distinctToks = Tables.documents(spark, sf)
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("tok")).distinct().count()
+      if (distinctToks > 1000)
+        assert(df.agg(sum("n_oov")).first().getLong(0) > 0)
+    } finally df.unpersist()
+  }
+
+  test("t45 batch padding: per-shard doc mass conserved, batches " +
+    "bounded at 16, sorted strategy never wastes more in total") {
+    val df = TextOps.t45BatchPadding(spark, sf).cache()
+    try {
+      assert(df.filter(col("n_docs") < 1 || col("n_docs") > 16)
+        .count() == 0)
+      assert(df.filter(col("waste") < 0).count() == 0)
+      // each strategy partitions every shard's docs exactly once
+      val perStrat = df.groupBy("strategy").agg(sum("n_docs").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docs = Tables.documents(spark, sf).count()
+      assert(perStrat == Map("arrival" -> docs, "sorted" -> docs))
+      val waste = df.groupBy("strategy").agg(sum("waste").as("w"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(waste("sorted") <= waste("arrival"),
+        s"sorted ${waste("sorted")} > arrival ${waste("arrival")}")
+    } finally df.unpersist()
+  }
+
   test("t30 bigram vocab: counts conserve adjacent-pair mass") {
     // every doc with m tokens contributes exactly m-1 bigrams
     val mass = TextOps.t30BigramVocab(spark, sf, topK = Int.MaxValue)
