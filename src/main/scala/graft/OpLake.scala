@@ -42,6 +42,8 @@ object OpLake {
     save(operators.Similarity.e2Buckets(s, d), "lsh_buckets")
     save(operators.Similarity.trainedCentroids(s, d), "kmeans_centroids")
     save(operators.Relational.a7Estimates(s, d), "a7_est")
+    save(operators.Relational.a23Estimates(s, d)
+      .select("week", "est_users"), "a23_est")
     save(operators.Relational.a11Estimates(s, d), "a11_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
     save(operators.TextOps.t21Model(s, d), "t21_model")

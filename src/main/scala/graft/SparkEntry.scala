@@ -823,6 +823,17 @@ object SparkEntry {
         |FROM a""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
+    // a23: the merged weekly estimates come from the Verify dump; the
+    // exact side and the 10% accuracy contract are the oracle's own
+    "a23_hll_merge" ->
+      s"""WITH est AS (SELECT week, est_users FROM ${oprel("a23_est")}),
+         |  ex AS (SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+         |      count(DISTINCT user_id) AS exact_users
+         |    FROM events GROUP BY 1)
+         |SELECT ex.week, exact_users,
+         |  abs(CAST(est_users AS DOUBLE) - CAST(exact_users AS DOUBLE))
+         |    <= 0.1 * CAST(exact_users AS DOUBLE) AS est_within_bound
+         |FROM ex JOIN est USING (week)""",
     "a7_approx_distinct" ->
       s"""WITH est AS (SELECT * FROM ${oprel("a7_est")}),
          |  ex AS (SELECT l_returnflag,

@@ -1284,7 +1284,44 @@ object Relational {
       .groupBy("rday").agg(count(lit(1)).as("dau7"))
   }
 
+  /** a23 — MERGEABLE HLL sketches (Apache DataSketches, Spark-native
+    * `hll_sketch_agg`/`hll_union_agg`): per-DAY user sketches are
+    * built once, then weekly cardinality comes from UNIONING the day
+    * sketches — no second pass over events. This is the sketch family's
+    * distributed design point (a7 only estimated in one shot): at
+    * 100 TB the day sketches are tiny persisted artifacts (≤ 2^12
+    * buckets each) and any rollup window (week, month, trailing 28d)
+    * is a re-union of them, cost O(days), not O(events). Gate form:
+    * the dumped estimates must sit within 10% of the exact weekly
+    * distinct — the merge accuracy CONTRACT is what's hash-matched,
+    * not the sketch bits (the a7/a11/a13 pattern). */
+  private[graft] def a23Estimates(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy((col("day") / 7).cast("long").as("week"))
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+        .as("est_users"))
+
+  def a23HllMerge(s: SparkSession, d: String): DataFrame = {
+    val exact = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .select(col("user_id"), (col("day") / 7).cast("long").as("week"))
+      .groupBy("week")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    a23Estimates(s, d).join(exact, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("est_users").cast("double") -
+          col("exact_users").cast("double")) <=
+          lit(0.1) * col("exact_users").cast("double"))
+          .as("est_within_bound"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_hll_merge" -> a23HllMerge _,
     "sc6_url_parse" -> sc6UrlParse _,
     "j7_full_outer" -> j7FullOuter _,
     "j8_null_safe_join" -> j8NullSafeJoin _,

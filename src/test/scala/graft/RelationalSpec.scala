@@ -394,4 +394,28 @@ class RelationalSpec extends SparkSuite {
     val ord = rows.map(r => (-r.getDouble(2), r.getLong(0)))
     assert(ord.sameElements(ord.sorted), "page must be cursor-ordered")
   }
+
+  test("a23 hll merge: union of day sketches equals the single-shot " +
+    "weekly sketch, and every estimate sits within the bound") {
+    val df = Relational.a23HllMerge(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(!col("est_within_bound")).count() == 0)
+      // mergeability, the design point: register-wise max over day
+      // sketches IS the weekly stream's sketch — estimates must agree
+      // exactly at the same lgConfigK
+      val merged = Relational.a23Estimates(spark, sf)
+      val oneShot = Tables.events(spark, sf)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy((col("day") / 7).cast("long").as("week"))
+        .agg(expr(
+          "cast(hll_sketch_estimate(hll_sketch_agg(user_id)) as bigint)")
+          .as("direct_users"))
+      val diff = merged.join(oneShot, Seq("week"))
+        .filter(col("est_users") =!= col("direct_users"))
+      assert(diff.count() == 0,
+        "merged day sketches must estimate identically to one-shot")
+    } finally df.unpersist()
+  }
 }
