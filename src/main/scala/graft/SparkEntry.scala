@@ -361,6 +361,29 @@ object SparkEntry {
          |FROM u LEFT JOIN exact
          |  ON u.query_id = exact.query_id AND u.cand_id = exact.cand_id
          |GROUP BY 1, 2""",
+    // e16: BOTH stages re-derived relationally — truncated-prefix
+    // cosine top-20, then the e1-proven exact rerank on full dims
+    "e16_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 10),
+         |  c AS (SELECT vec_id AS cand_id, embedding AS cv
+         |    FROM embeddings),
+         |  s1 AS (SELECT query_id, cand_id,
+         |      ${cosSql("list_slice(qv, 1, 16)", "list_slice(cv, 1, 16)")}
+         |      AS tcos
+         |    FROM q CROSS JOIN c WHERE query_id <> cand_id),
+         |  cand AS (SELECT query_id, cand_id FROM (
+         |      SELECT query_id, cand_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY tcos DESC, cand_id)
+         |        AS rn FROM s1) WHERE rn <= 20),
+         |  sims AS (SELECT cand.query_id, cand.cand_id,
+         |      ${cosSql("q.qv", "c.cv")} AS cosine
+         |    FROM cand JOIN q ON cand.query_id = q.query_id
+         |    JOIN c ON cand.cand_id = c.cand_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""",
     // e2: bucket assignment dumped; same-bucket pair generation + exact
     // cosine scoring (the e1-proven kernel SQL) re-derived in SQL
     "e2_lsh_ann" ->

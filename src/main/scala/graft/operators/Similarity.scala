@@ -736,7 +736,40 @@ object Similarity {
       .unionByName(scored("e14_rerank", e14Rerank(s, d)))
   }
 
+  /** e16 — MATRYOSHKA (truncated-dimension) two-stage retrieval
+    * (Kusupati et al. 2022: MRL embeddings nest, so the FIRST d' dims
+    * are themselves a valid embedding): stage 1 scores the whole corpus
+    * on only the first 16 of 64 dims — 4× less compute and, at scale,
+    * 4× less payload read, since a 100 TB store keeps the prefix as its
+    * own column — then stage 2 reranks the top-20 on full dims via
+    * [[rerankOf]]. The candidate set is exact-relational (no PQ codes,
+    * no dump), so the oracle re-derives BOTH stages independently.
+    * `dims` is the truncation knob; at dims = full width stage 1 is
+    * e1's scan and the result provably equals e1 (pinned in spec). */
+  def e16Matryoshka(s: SparkSession, d: String): DataFrame =
+    matryoshkaOf(embeddings(s, d), dims = 16, cand = 20)
+
+  private[graft] def matryoshkaOf(emb: DataFrame, dims: Int, cand: Int)
+      : DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, dims).as("tq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("cand_id"))
+    val cands = emb
+      .select(col("vec_id").as("cand_id"),
+        slice(col("embedding"), 1, dims).as("tc"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("tq"), col("tc")).as("tcos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cand)
+      .select("query_id", "cand_id")
+    rerankOf(emb, cands)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_matryoshka" -> e16Matryoshka _,
     "e15_recall_eval" -> e15RecallEval _,
     "e9_semdedup" -> e9SemDedup _,
     "e10_ivf_persisted" ->

@@ -162,6 +162,20 @@ class IvfParamSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("e16 matryoshka at full width equals brute-force e1; truncated " +
+    "stage keeps the 5-rows-per-query contract") {
+    val emb = embeddings(spark, sf)
+    // dims = full width ⇒ stage 1 IS e1's scan; top-20 ⊇ top-5 and the
+    // full-dim rerank restores exactly e1's order
+    val full = Similarity.matryoshkaOf(emb, dims = 64, cand = 20)
+    val exact = Similarity.e1CosineTopK(spark, sf)
+    assert(full.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(full).count() == 0)
+    val df = Similarity.e16Matryoshka(spark, sf)
+    val counts = df.groupBy("query_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+  }
+
   test("z20: m6 pair space under 20x cloning follows the exact " +
     "closed form (clone cliques + squared base pairs, nothing else)") {
     val base = graft.operators.Multimodal.m6MediaNearDup(spark, sf)
