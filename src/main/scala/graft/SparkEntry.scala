@@ -2382,6 +2382,25 @@ object SparkEntry {
         |FROM m, LATERAL unnest(range(0,
         |  greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i)""",
     // m4: the stride decimation re-derived over the same hex rendering
+    // m7: segment relation re-derived as in m5, distinct (doc, hash),
+    // ≥2-doc support cut, pair count with the same ≥2 threshold
+    "m7_segment_neardup" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |    unnest(range(0, (n_bytes - 1) // 256 + 1)) AS seg FROM m),
+        |x AS (SELECT DISTINCT doc_id,
+        |    md5(substring(hx, CAST(seg * 512 + 1 AS INTEGER), 512))
+        |      AS seg_hash FROM s),
+        |sh AS (SELECT seg_hash FROM (
+        |    SELECT seg_hash, count(*) AS nd FROM x GROUP BY 1)
+        |  WHERE nd >= 2),
+        |c AS (SELECT x.* FROM x JOIN sh USING (seg_hash))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared_segs
+        |FROM c a JOIN c b
+        |  ON a.seg_hash = b.seg_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""",
     "m5_segment_stats" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n_bytes FROM documents),

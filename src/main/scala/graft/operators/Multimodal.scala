@@ -154,9 +154,12 @@ object Multimodal {
     * video pipeline. Generator + per-row column math: a 2-hour asset
     * fans out across tasks BY SEGMENT instead of pinning one task, and
     * each segment's bytes are read exactly once. */
-  def m5SegmentStats(s: SparkSession, d: String): DataFrame = {
+  def m5SegmentStats(s: SparkSession, d: String): DataFrame =
+    m5SegmentStatsOf(media(s, d))
+
+  private[graft] def m5SegmentStatsOf(mediaDf: DataFrame): DataFrame = {
     val segLen = 256
-    media(s, d)
+    mediaDf
       .select(col("doc_id"), hex(col("media")).as("hx"), col("n_bytes"))
       .withColumn("seg", explode(expr(
         s"sequence(0, cast((n_bytes - 1) div $segLen as int))")))
@@ -205,7 +208,38 @@ object Multimodal {
   def m6MediaNearDup(s: SparkSession, d: String): DataFrame =
     TextOps.bandedHammingPairs(m6Sigs(s, d))
 
+  /** m7 — SHARED-SEGMENT media near-dup (scene-level): two assets are
+    * related if they share ≥2 identical 1-s segments (m5's 256-B grid)
+    * — the shape of copied-footage/compilation detection, where m6's
+    * whole-asset signature washes out a clip embedded in a longer
+    * video. Scale shape: segment hashes group corpus-wide, the ≥2-doc
+    * support cut (the t36/t37 rule) shrinks the join input to only
+    * segments that CAN pair, the pair join is SHUFFLE_HASH-pinned
+    * (both sides corpus-scaled — never broadcast), and only 16-byte
+    * hashes + ids shuffle, never payload. */
+  def m7SegmentNearDup(s: SparkSession, d: String): DataFrame =
+    m7Of(media(s, d))
+
+  private[graft] def m7Of(mediaDf: DataFrame): DataFrame = {
+    val segs = m5SegmentStatsOf(mediaDf)
+      .select(col("doc_id"), col("seg_hash"))
+      .dropDuplicates("doc_id", "seg_hash")
+    val shared = segs.groupBy("seg_hash")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("seg_hash")
+    val cut = segs.join(shared.hint("SHUFFLE_HASH"), Seq("seg_hash"))
+    cut.as("x")
+      .join(cut.as("y"),
+        col("x.seg_hash") === col("y.seg_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_segs"))
+      .filter(col("n_shared_segs") >= 2)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_segment_neardup" -> m7SegmentNearDup _,
     "m6_media_neardup" -> m6MediaNearDup _,
     "m5_segment_stats" -> m5SegmentStats _,
     "m1_media_meta" -> m1MediaMeta _,

@@ -60,4 +60,27 @@ class MultimodalSpec extends SparkSuite {
       col("nibble_sum") > col("seg_bytes") * 30).count() == 0)
     df.unpersist()
   }
+
+  test("m7 segment near-dup: aligned copied footage pairs at the " +
+    "shared-segment count, sub-threshold overlap filtered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def chunk(c: Char) = c.toString * 256
+    val planted = Seq(
+      (1L, chunk('a') + chunk('b') + chunk('c')),
+      (2L, chunk('a') + chunk('b') + chunk('d')),  // shares a, b with 1
+      (3L, chunk('c'))                             // shares only c with 1
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        length(col("text").cast("binary")).as("n_bytes"))
+    val pairs = graft.operators.Multimodal.m7Of(planted).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L &&
+      pairs.head.getAs[Long]("doc_b") == 2L &&
+      pairs.head.getAs[Long]("n_shared_segs") == 2L)
+    // corpus run: ordered pairs, threshold respected
+    val df = graft.operators.Multimodal.m7SegmentNearDup(spark, sf)
+    assert(df.filter(col("doc_a") >= col("doc_b") ||
+      col("n_shared_segs") < 2).count() == 0)
+  }
 }
