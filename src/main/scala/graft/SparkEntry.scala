@@ -467,6 +467,42 @@ object SparkEntry {
     // because the corpus is fixed and 64-bit collisions are absent on
     // it (and would be deterministic if present); interval-union and
     // reconstruction are pure integer/string logic on both engines
+    // t46: the rewrite re-derived window-string-wise (the t36
+    // convention — Spark shuffles 8-byte hashes, the oracle compares
+    // the strings themselves); first occurrence = row_number 1 over
+    // (doc_id, p); reconstruction = ORDER BY pos inside list()
+    "t46_exactsubstr_rewrite" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |wp AS (SELECT doc_id, CAST(g.p AS INTEGER) AS p, g.w AS w
+        |  FROM (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk) - 6),
+        |        p -> {'p': p,
+        |              'w': array_to_string(list_slice(tk, p, p + 7),
+        |                ' ')})) AS g
+        |    FROM t WHERE len(tk) >= 8)),
+        |r AS (SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY w) AS cnt FROM wp),
+        |rem AS (SELECT doc_id, p FROM r WHERE cnt >= 2 AND rn > 1),
+        |p2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |    tk[CAST(pos AS INTEGER)] AS tok
+        |  FROM (SELECT doc_id, tk,
+        |      unnest(range(1, len(tk) + 1)) AS pos FROM t)),
+        |cov AS (SELECT DISTINCT p2.doc_id, p2.pos FROM p2
+        |  JOIN rem ON p2.doc_id = rem.doc_id
+        |    AND p2.pos BETWEEN rem.p AND rem.p + 7),
+        |kept AS (SELECT p2.* FROM p2
+        |  LEFT JOIN cov ON p2.doc_id = cov.doc_id AND p2.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(tk) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id)""",
     "t36_dup_spans" ->
       """WITH toks AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS t

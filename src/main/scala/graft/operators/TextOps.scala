@@ -1607,6 +1607,60 @@ object TextOps {
         .orderBy(col("n_tokens"), col("doc_id"))))
   }
 
+  /** t46 — ExactSubstr REWRITE (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): t36 MEASURES
+    * duplicated-span mass; this op performs the published
+    * deduplication — every occurrence of a duplicated 8-token window
+    * except the GLOBAL FIRST (min (doc_id, position), intra-doc
+    * repeats included, as in the paper's concatenated-corpus view) is
+    * removed and each document is REWRITTEN from its surviving
+    * tokens. Scale shape: window frequency + first-occurrence reduce
+    * on 8-byte hashes (SHUFFLE_HASH-pinned join back, the t36 rule);
+    * coverage is resolved by a WITHIN-DOC position⋈removal range join
+    * (per-doc bounded product, linear in corpus); reconstruction is
+    * sort_array over (pos, token) structs inside the doc group —
+    * deterministic under any partitioning. */
+  def t46ExactsubstrRewrite(s: SparkSession, d: String): DataFrame =
+    exactsubstrRewriteOf(documents(s, d))
+
+  private[graft] def exactsubstrRewriteOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    val wins = toks.filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 7),
+          |  p -> named_struct('p', p,
+          |    'h', xxhash64(concat_ws(' ', slice(tk, p, 8)))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+    val firsts = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val removals = wins.join(firsts.hint("SHUFFLE_HASH"), Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p") === col("first.p")))
+      .select(col("doc_id"), col("p"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val covered = pos.join(removals,
+        pos("doc_id") === removals("doc_id") &&
+          col("pos") >= col("p") && col("pos") <= col("p") + 7)
+      .select(pos("doc_id"), col("pos")).distinct()
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("clean_text"))
+    toks.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        (size(col("tk")) - coalesce(col("n_kept"), lit(0L)).cast("int"))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** t42 — the BATCH side of the streaming-exact-dedup parity gate:
     * the distinct content-hash set of the corpus. The oracle side reads
     * the [[graft.streaming.TwsOps.dedupReplay]] dump (the emitted rows
@@ -1621,6 +1675,7 @@ object TextOps {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t43_line_dedup" -> t43LineDedup _,
+    "t46_exactsubstr_rewrite" -> t46ExactsubstrRewrite _,
     "t44_vocab_coverage" -> t44VocabCoverage _,
     "t45_batch_padding" -> t45BatchPadding _,
     "t42_stream_dedup" -> t42StreamDedup _,

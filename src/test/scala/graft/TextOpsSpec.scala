@@ -646,6 +646,49 @@ class TextOpsSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
+  test("t46 exactsubstr rewrite: duplicated spans removed everywhere " +
+    "but their global first occurrence, mass reconciles with t36") {
+    val df = TextOps.t46ExactsubstrRewrite(spark, sf).cache()
+    val t36 = TextOps.t36DupSpans(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.documents(spark, sf).count())
+      assert(df.filter(col("n_removed") < 0 ||
+        col("n_removed") > col("n_tokens")).count() == 0)
+      // kept + removed == original, and the rewritten text really has
+      // n_tokens - n_removed tokens
+      val bad = df.filter(col("n_removed") < col("n_tokens") &&
+        size(split(col("clean_text"), "\\s+")) =!=
+          col("n_tokens") - col("n_removed"))
+      assert(bad.count() == 0)
+      // planted corpus: A-span duplicated across docs 1/2 and WITHIN
+      // doc 3 — the global first (doc 1, p 1) survives, every other
+      // occurrence is cut, including the intra-doc repeat
+      import spark.implicits._
+      val span = (1 to 8).map(i => s"w$i").mkString(" ")
+      val planted = Seq(
+        (1L, s"$span tail1 tail2"),
+        (2L, s"lead1 $span"),
+        (3L, s"$span mid $span")
+      ).toDF("doc_id", "text")
+      val p = TextOps.exactsubstrRewriteOf(planted)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(p(1L).getAs[Int]("n_removed") == 0)
+      assert(p(1L).getAs[String]("clean_text") == s"$span tail1 tail2")
+      assert(p(2L).getAs[Int]("n_removed") == 8)
+      assert(p(2L).getAs[String]("clean_text") == "lead1")
+      assert(p(3L).getAs[Int]("n_removed") == 16)
+      assert(p(3L).getAs[String]("clean_text") == "mid")
+      // removal is real somewhere (the corpus has cross-doc dup spans)
+      assert(df.agg(sum("n_removed")).first().getLong(0) > 0)
+      // global firsts survive: total removed strictly less than total
+      // duplicated-window mass ⇒ at least one occurrence kept per span
+      val removed = df.agg(sum("n_removed")).first().getLong(0)
+      val covered = t36.agg(sum("covered_tokens")).first().getLong(0)
+      assert(removed < covered || covered == 0,
+        s"removed $removed must keep first occurrences (t36 cov $covered)")
+    } finally { df.unpersist(); t36.unpersist() }
+  }
+
   test("t44 vocab coverage: token mass conserved, oov bounded, vocab " +
     "members are never oov") {
     val df = TextOps.t44VocabCoverage(spark, sf).cache()
