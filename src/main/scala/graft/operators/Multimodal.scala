@@ -179,9 +179,13 @@ object Multimodal {
   /** The per-asset 48-bit byte-level simhash — m6's engine-specific
     * layer, dumped by [[graft.OpLake]] so the oracle re-derives only the
     * relational banding + hamming remainder (the t8 pattern). Shingles
-    * are overlapping 4-byte windows of the payload (rendered via hex —
-    * 8 hex chars per window), each xxhash64'd into the codegen'd simhash
-    * kernel: one projection, no explode, no shuffle for the signature. */
+    * are 4-byte windows of the payload at stride 4 (rendered via hex —
+    * 8 hex chars per window; the stride caps signature cost at
+    * n_bytes/4 hashes per asset — full overlap was the bench hotspot —
+    * while byte-identical payloads still collapse to identical
+    * signatures and lightly-edited ones stay hamming-close), each
+    * xxhash64'd into the codegen'd simhash kernel: one projection, no
+    * explode, no shuffle for the signature. */
   private[graft] def m6Sigs(s: SparkSession, d: String): DataFrame =
     m6SigsOf(media(s, d))
 
@@ -190,7 +194,8 @@ object Multimodal {
       .select(col("doc_id"), hex(col("media")).as("hx"), col("n_bytes"))
       .select(col("doc_id"),
         graft.functions.VectorExprs.simhash(expr(
-          """transform(sequence(1, cast(greatest(1, n_bytes - 3) as int)),
+          """transform(
+            |  sequence(1, cast(greatest(1, n_bytes - 3) as int), 4),
             |  p -> xxhash64(substring(hx, p * 2 - 1, 8)))"""
             .stripMargin), 48).as("sh"))
 
