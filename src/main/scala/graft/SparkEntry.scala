@@ -87,13 +87,15 @@ object SparkEntry {
     * top-5), parameterized by the coarse-centroid source: e5 derives the
     * centroids in SQL (first 16 corpus vectors); e6 reads the TRAINED
     * model from the Verify dump and re-derives everything downstream. */
-  private def ivfSql(centroidSrc: String): String =
+  private def ivfSql(centroidSrc: String,
+      candCond: String = "TRUE"): String =
     s"""WITH c AS ($centroidSrc),
-       |  sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |  sims AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
        |      ${cosSql("e.embedding", "c.cv")} AS sim
        |    FROM embeddings e CROSS JOIN c),
-       |  assigned AS (SELECT vec_id, embedding, centroid_id FROM (
-       |      SELECT vec_id, embedding, centroid_id, row_number() OVER (
+       |  assigned AS (SELECT vec_id, embedding, label, centroid_id FROM (
+       |      SELECT vec_id, embedding, label, centroid_id,
+       |        row_number() OVER (
        |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
        |        AS rn
        |      FROM sims) WHERE rn = 1),
@@ -106,7 +108,7 @@ object SparkEntry {
        |  scored AS (SELECT p.query_id, a.vec_id AS cand_id,
        |      ${cosSql("p.q", "a.embedding")} AS cosine
        |    FROM probes p JOIN assigned a USING (centroid_id)
-       |    WHERE p.query_id <> a.vec_id)
+       |    WHERE p.query_id <> a.vec_id AND ($candCond))
        |SELECT query_id, cand_id, rnk FROM (
        |  SELECT query_id, cand_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
@@ -239,6 +241,12 @@ object SparkEntry {
     "e5_ivf_ann" -> ivfSql(
       "SELECT vec_id AS centroid_id, embedding AS cv " +
         "FROM embeddings WHERE vec_id < 16"),
+    // e17: identical pipeline SQL with the metadata predicate applied
+    // to the candidate (assigned) side — filtered vector search
+    "e17_filtered_ann" -> ivfSql(
+      "SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id < 16",
+      candCond = "a.label % 2 = 0"),
     // e10: identical semantics to e5 through the PERSISTED partitioned
     // index — the oracle is therefore the same full-pipeline SQL; what
     // e10 adds (the pruned disk layout) is asserted by its plan spec
@@ -882,6 +890,29 @@ object SparkEntry {
         |FROM a""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
+    "w18_trending" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n, rnk FROM (
+        |  SELECT day, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY day ORDER BY n DESC, event_type) AS INTEGER)
+        |    AS rnk FROM c) WHERE rnk <= 3""",
+    // a24: the z^2 > 9 rule cross-multiplied to integers — no sqrt,
+    // no division, bit-identical across engines
+    "a24_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    count(*) OVER win AS win_n,
+        |    COALESCE(sum(n_events) OVER win, 0) AS s,
+        |    COALESCE(sum(n_events * n_events) OVER win, 0) AS q
+        |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events, CAST(win_n AS BIGINT) AS win_n,
+        |  win_n = 7 AND (win_n * n_events - s) * (win_n * n_events - s)
+        |    > 9 * (win_n * q - s * s) AS anomaly
+        |FROM w""",
     // a23: the merged weekly estimates come from the Verify dump; the
     // exact side and the 10% accuracy contract are the oracle's own
     "a23_hll_merge" ->

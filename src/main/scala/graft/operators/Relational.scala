@@ -1320,7 +1320,57 @@ object Relational {
           .as("est_within_bound"))
   }
 
+  /** w18 — per-day TRENDING top-3 event types: the daily-leaderboard
+    * query every analytics surface serves. Aggregate FIRST (map-side-
+    * combined count per (day, type) — the only corpus-scaled shuffle),
+    * then rank inside the day partition; WindowGroupLimit prunes to 3
+    * rows per partition before the final exchange (the t28/e13
+    * shape). (count desc, type) is a total order → deterministic cut. */
+  def w18Trending(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** a24 — integer-exact ANOMALY FLAGS (|z| > 3 against a trailing
+    * 7-day window) per event type: the alerting rule of an ops
+    * dashboard, in the reference's stats-doc family (§2.12) but over
+    * the event firehose. The z² > 9 test is cross-multiplied into pure
+    * integers — (n·x − S)² > 9·(n·Q − S²) with S/Q the trailing
+    * sum/sum-of-squares — so both engines agree bit-for-bit with no
+    * sqrt and no division. Scale shape: aggregate FIRST (the only
+    * corpus-scaled shuffle is the (type, day) count), then the window
+    * runs over the tiny (types × days) aggregate, partitioned by
+    * type — never global, never over raw events. */
+  def a24Anomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("q",
+        coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("win_n"),
+        (col("win_n") === 7 &&
+          (col("win_n") * col("n_events") - col("s")) *
+            (col("win_n") * col("n_events") - col("s")) >
+            lit(9L) * (col("win_n") * col("q") - col("s") * col("s")))
+          .as("anomaly"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_trending" -> w18Trending _,
+    "a24_anomaly" -> a24Anomaly _,
     "a23_hll_merge" -> a23HllMerge _,
     "sc6_url_parse" -> sc6UrlParse _,
     "j7_full_outer" -> j7FullOuter _,

@@ -768,7 +768,36 @@ object Similarity {
     rerankOf(emb, cands)
   }
 
+  /** e17 — FILTERED vector search (metadata predicate ∧ ANN — the
+    * vector-database hot path: "nearest neighbors WHERE label is
+    * even"): the IVF index is shared with e5, but only candidates
+    * satisfying the predicate are scored inside the probed lists.
+    * Pre-filtering the candidate relation BEFORE coarse assignment is
+    * equivalent to post-filtering the lists (assignment is
+    * per-vector) and lets Catalyst push the predicate into the
+    * parquet scan — at 100 TB the filter prunes the candidate payload
+    * read, not just the scoring. Same probes, same kernel, same tie
+    * order as e5; the oracle runs the identical pipeline SQL with the
+    * predicate on the assigned CTE. */
+  def e17FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = centroidsOf(emb, 16)
+    val assigned = assignToCentroids(
+      emb.filter(col("label") % 2 === 0), centroids)
+    val probes = probesOf(emb, centroids, 4)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_filtered_ann" -> e17FilteredAnn _,
     "e16_matryoshka" -> e16Matryoshka _,
     "e15_recall_eval" -> e15RecallEval _,
     "e9_semdedup" -> e9SemDedup _,

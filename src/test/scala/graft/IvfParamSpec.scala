@@ -176,6 +176,24 @@ class IvfParamSpec extends SparkSuite {
     assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
   }
 
+  test("e17 filtered ann: every neighbor satisfies the predicate, " +
+    "5 rows per query, and the filter demonstrably changes e5") {
+    val df = Similarity.e17FilteredAnn(spark, sf).cache()
+    try {
+      val counts = df.groupBy("query_id").count().collect()
+      assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+      val labels = embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("label"))
+      assert(df.join(labels, Seq("cand_id"))
+        .filter(col("label") % 2 =!= 0).count() == 0)
+      // the unfiltered e5 surfaces odd-label neighbors on this corpus,
+      // so the predicate must be doing real work
+      val e5odd = Similarity.e5IvfAnn(spark, sf).join(labels, Seq("cand_id"))
+        .filter(col("label") % 2 =!= 0).count()
+      assert(e5odd > 0, "corpus must have odd-label neighbors in e5")
+    } finally df.unpersist()
+  }
+
   test("z20: m6 pair space under 20x cloning follows the exact " +
     "closed form (clone cliques + squared base pairs, nothing else)") {
     val base = graft.operators.Multimodal.m6MediaNearDup(spark, sf)

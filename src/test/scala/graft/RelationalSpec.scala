@@ -418,4 +418,45 @@ class RelationalSpec extends SparkSuite {
         "merged day sketches must estimate identically to one-shot")
     } finally df.unpersist()
   }
+
+  test("w18 trending: exactly top-3 per day, ranks gapless and " +
+    "count-ordered") {
+    val df = Relational.w18Trending(spark, sf).cache()
+    try {
+      val perDay = df.groupBy("day").agg(count(lit(1)).as("k"),
+        min("rnk").as("mn"), max("rnk").as("mx"))
+      assert(perDay.filter(col("mn") =!= 1 ||
+        col("mx") =!= col("k") || col("k") > 3).count() == 0)
+      // count order respected within the day
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy("rnk")
+      val bad = df.withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull && col("n") > col("prev"))
+      assert(bad.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("a24 anomaly: flags re-derive from a driver-side replay of one " +
+    "event type, and every flag sits on a full 7-day window") {
+    val df = Relational.a24Anomaly(spark, sf).cache()
+    try {
+      assert(df.filter(col("win_n") < 0 || col("win_n") > 7)
+        .count() == 0)
+      assert(df.filter(col("anomaly") && col("win_n") =!= 7)
+        .count() == 0)
+      val rows = df.filter(col("event_type") === "click")
+        .orderBy("day").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("win_n"),
+          r.getAs[Boolean]("anomaly")))
+      val xs = rows.map(_._1)
+      rows.zipWithIndex.foreach { case ((x, wn, fl), i) =>
+        val win = xs.slice(math.max(0, i - 7), i)
+        assert(wn == win.length)
+        val s = win.sum; val q = win.map(v => v * v).sum
+        val expect = win.length == 7 &&
+          (7 * x - s) * (7 * x - s) > 9 * (7 * q - s * s)
+        assert(fl == expect, s"row $i flag $fl != $expect")
+      }
+    } finally df.unpersist()
+  }
 }
