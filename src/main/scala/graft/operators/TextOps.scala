@@ -670,6 +670,24 @@ object TextOps {
           sum(when(col("covered_tokens") === col("n_tokens"), 1L)
             .otherwise(0L)).as("fully_covered"))
     }),
+    // ExactSubstr-rewrite scale stress: 20× clones — the GLOBAL-first
+    // semantics must keep exactly the i=0 replica's base behavior
+    // (clone ids are strictly larger) and cut every ≥8-token clone to
+    // nothing; removed mass follows the exact closed form
+    // base_removed + 19 × Σ tokens(docs with ≥8 tokens). Also the
+    // worst case of the within-doc position⋈removal join (every
+    // position of every clone covered).
+    "z21_t46_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      exactsubstrRewriteOf(reps)
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_removed")).as("removed"),
+          sum(when(col("n_removed") === col("n_tokens"), 1L)
+            .otherwise(0L)).as("fully_removed"))
+    }),
     "z2_inter_nocache" -> ((s: SparkSession, d: String) => {
       val sh = shingleExploded(s, d)
         .select(col("doc_id"), col("h1").as("h"))

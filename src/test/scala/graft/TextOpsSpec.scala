@@ -689,6 +689,28 @@ class TextOpsSpec extends SparkSuite {
     } finally { df.unpersist(); t36.unpersist() }
   }
 
+  test("z21 exactsubstr stress: clone corpus removal follows the " +
+    "closed form (base removals + 19 full cuts of every >=8-token doc)") {
+    val base = TextOps.t46ExactsubstrRewrite(spark, sf).cache()
+    try {
+      val baseRemoved = base.agg(sum("n_removed")).first().getLong(0)
+      val bigTokens = base.filter(col("n_tokens") >= 8)
+        .agg(sum("n_tokens")).first().getLong(0)
+      val nBig = base.filter(col("n_tokens") >= 8).count()
+      val nDocs = base.count()
+      val z = TextOps.diag("z21_t46_20x")(spark, sf).first()
+      assert(z.getAs[Long]("docs") == 20L * nDocs)
+      assert(z.getAs[Long]("removed") == baseRemoved + 19L * bigTokens,
+        s"removed ${z.getAs[Long]("removed")} != " +
+          s"${baseRemoved + 19L * bigTokens}")
+      // every non-first >=8-token clone is cut entirely; base fully-
+      // removed docs (if any) stay fully removed in the i=0 replica
+      val baseFull = base
+        .filter(col("n_removed") === col("n_tokens")).count()
+      assert(z.getAs[Long]("fully_removed") == 19L * nBig + baseFull)
+    } finally base.unpersist()
+  }
+
   test("t44 vocab coverage: token mass conserved, oov bounded, vocab " +
     "members are never oov") {
     val df = TextOps.t44VocabCoverage(spark, sf).cache()
