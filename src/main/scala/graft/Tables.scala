@@ -19,16 +19,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as Long and integer-divide to micros
-    * (plain `/` would go through Double and lose precision above 2^53 —
-    * epoch-nanos are ~1.7e18). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, no-tz) in others; normalize both to
+    * session-UTC TimestampType so every downstream query sees one type.
+    *  - NANOS: Spark's vectorized reader rejects it — read nanos as Long
+    *    and integer-divide to micros (plain `/` would go through Double
+    *    and lose precision above 2^53; epoch-nanos are ~1.7e18).
+    *  - MICROS no-tz: arrives as TIMESTAMP_NTZ; with the session timezone
+    *    pinned to UTC the cast to TimestampType is wall-clock-identical
+    *    to what DuckDB's `epoch_us(ts)` sees on the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")

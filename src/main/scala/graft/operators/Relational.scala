@@ -1368,7 +1368,61 @@ object Relational {
           .as("anomaly"))
   }
 
+  /** w19 — LONGEST CONSECUTIVE-DAY STREAK per user (gaps-and-islands):
+    * the engagement metric behind every "N-day streak" badge. The
+    * classic formulation: distinct (user, day), then `day −
+    * row_number()` is constant exactly within a run of consecutive
+    * days, so grouping on that difference yields the islands. Scale
+    * shape: the only corpus-scaled shuffle is the distinct on
+    * (user, day); the window partitions by user_id (bounded per key,
+    * never global) and everything after runs on the user-day relation.
+    * Pure integer arithmetic — bit-identical across engines. */
+  def w19Streaks(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+  }
+
+  /** a25 — EXACT WEIGHTED MEDIAN (price weighted by quantity) per
+    * return flag: the weighted companion of a15's exact median, same
+    * two-level discipline so no window ever sees a corpus-scaled
+    * input. Pass 1 collapses rows to distinct (flag, cents) with
+    * aggregated integer weight — the only corpus-scaled shuffle, fully
+    * map-side combined. Pass 2 runs the cumulative-weight window over
+    * that distinct-value relation (bounded by price cardinality, not
+    * row count) and picks the smallest value whose cumulative weight
+    * reaches half the total — the textbook lower weighted median, in
+    * pure integer arithmetic (cents × integer quantities), so both
+    * engines agree bit-for-bit. */
+  def a25WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val vw = lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy("l_returnflag", "cents")
+      .agg(sum(col("wt")).as("w"))
+    val tot = vw.groupBy("l_returnflag").agg(sum(col("w")).as("wtot"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vw.withColumn("cum", sum(col("w")).over(wc))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .filter(col("cum") * 2 >= col("wtot") &&
+        (col("cum") - col("w")) * 2 < col("wtot"))
+      .select(col("l_returnflag"), col("wtot"),
+        (col("cents").cast("double") / 100).as("weighted_median_price"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_streaks" -> w19Streaks _,
+    "a25_weighted_median" -> a25WeightedMedian _,
     "w18_trending" -> w18Trending _,
     "a24_anomaly" -> a24Anomaly _,
     "a23_hll_merge" -> a23HllMerge _,

@@ -1691,7 +1691,45 @@ object TextOps {
       .select(md5(col("text").cast("binary")).as("text_hash"))
       .distinct()
 
+  /** t47 — CROSS-SPLIT CONTAMINATION MATRIX: for every pair of t12's
+    * train/val/test splits, the distinct token trigrams present in BOTH
+    * splits plus the trigram-level jaccard — the split-hygiene audit a
+    * pipeline runs after any re-split (t14/t23 scrub against an eval
+    * SET; this one audits the split ASSIGNMENT itself). Scale shape:
+    * trigrams collapse to 64-bit md5-prefix keys before any shuffle
+    * (hashes-not-text; md5 so the oracle derives identical keys), the
+    * per-split distinct is the only corpus-scaled exchange, and the
+    * pair join runs on the ≤3×-distinct-gram relation with per-split
+    * totals broadcast. Counts are integers; jaccard is one int/int
+    * double division — identical across engines. */
+  def t47SplitOverlap(s: SparkSession, d: String): DataFrame = {
+    val split = t12HashSplit(s, d).select(col("doc_id"), col("split"))
+    val sg = tokenTrigrams(documents(s, d))
+      .select(col("doc_id"),
+        substring(md5(col("trigram")), 1, 16).as("g"))
+      .join(split, Seq("doc_id"))
+      .select(col("split"), col("g"))
+      .distinct()
+    val totals = sg.groupBy("split").agg(count(lit(1)).as("n_grams"))
+    val pairs = sg.as("a")
+      .join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("split", "split_a")
+        .withColumnRenamed("n_grams", "n_a")), Seq("split_a"))
+      .join(broadcast(totals.withColumnRenamed("split", "split_b")
+        .withColumnRenamed("n_grams", "n_b")), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("gram_jaccard"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_split_overlap" -> t47SplitOverlap _,
     "t43_line_dedup" -> t43LineDedup _,
     "t46_exactsubstr_rewrite" -> t46ExactsubstrRewrite _,
     "t44_vocab_coverage" -> t44VocabCoverage _,
