@@ -18,6 +18,7 @@ object Profile {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // extra conf via SPARK_GRAFT_CONF="k=v;k=v" for A/B plan experiments
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>

@@ -1235,7 +1235,131 @@ object SparkEntry {
          |FROM t""",
   )
 
+  /** Shared by t41 (session-cached features) and t41b (persisted
+    * feature lake) — one semantic, two execution strategies. */
+  private val t41DsirSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, source,
+      |    CAST(CAST(list_sum(list_transform(range(1, 7),
+      |      i -> (strpos('0123456789abcdef',
+      |        substr(md5('dsir:' || bg), CAST(i AS INTEGER), 1)) - 1)
+      |        * (16 ** (6 - i)))) AS BIGINT) % 10000 AS BIGINT) AS f
+      |  FROM (SELECT doc_id, source,
+      |      unnest(list_transform(range(1, len(tk)),
+      |        i -> tk[CAST(i AS INTEGER)] || ' '
+      |          || tk[CAST(i + 1 AS INTEGER)])) AS bg FROM t)),
+      |raw AS (SELECT f, count(*) AS cnt_r FROM f GROUP BY f),
+      |tgt AS (SELECT f, count(*) AS cnt_t FROM f
+      |  WHERE source = 'src1' GROUP BY f),
+      |dim AS (SELECT raw.f, cnt_r,
+      |    COALESCE(cnt_t, 0) AS cnt_t
+      |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+      |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r,
+      |    CAST(sum(cnt_t) AS BIGINT) AS n_t FROM dim)
+      |SELECT doc_id,
+      |  CAST(sum(cnt_t) AS BIGINT) AS score_num,
+      |  CAST(sum(cnt_r) AS BIGINT) AS score_den,
+      |  CAST(sum(cnt_t) AS BIGINT) * n_r
+      |    > CAST(sum(cnt_r) AS BIGINT) * n_t AS keep
+      |FROM f JOIN dim ON f.f = dim.f CROSS JOIN tot
+      |GROUP BY doc_id, n_r, n_t""" // margins stripped by the map below
+
   def oracleSql: Map[String, String] = (tsOracles ++ Map(
+    // w19: gaps-and-islands — consecutive-day runs via day - row_number()
+    "w19_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM ud),
+        |g AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM g GROUP BY 1""",
+    // a25: lower weighted median over distinct integer cents — the
+    // cumulative-weight window re-derived; all-integer gate on both sides
+    "a25_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS wtot
+        |  FROM vw)
+        |SELECT l_returnflag, CAST(wtot AS BIGINT) AS wtot,
+        |  CAST(cents AS DOUBLE) / 100 AS weighted_median_price
+        |FROM c WHERE cum * 2 >= wtot AND (cum - w) * 2 < wtot""",
+    // t48: Gopher repetition rules — list-wise total-vs-distinct n-gram
+    // counts; keep gate re-derived with the same integer cross-multiply
+    "t48_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)),
+        |        i -> t[CAST(i AS INTEGER)] || ' '
+        |          || t[CAST(i + 1 AS INTEGER)])
+        |    ELSE [] END AS g2,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[CAST(i AS INTEGER)] || ' '
+        |          || t[CAST(i + 1 AS INTEGER)] || ' '
+        |          || t[CAST(i + 2 AS INTEGER)])
+        |    ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(g2) AS INT) AS n_2grams,
+        |  CAST(len(list_distinct(g2)) AS INT) AS n_2distinct,
+        |  CAST(len(g3) AS INT) AS n_3grams,
+        |  CAST(len(list_distinct(g3)) AS INT) AS n_3distinct,
+        |  CASE WHEN len(g2) > 0 THEN
+        |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+        |      / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_frac_2,
+        |  CASE WHEN len(g3) > 0 THEN
+        |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |      / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_frac_3,
+        |  (len(g2) - len(list_distinct(g2))) * 100 <= len(g2) * 20
+        |    AND (len(g3) - len(list_distinct(g3))) * 100 <= len(g3) * 18
+        |    AS keep
+        |FROM g""",
+    // t47: t12's md5-bucket split + t32's trigram machinery; NOTE the
+    // emit-only-overlapping-pairs convention — a split pair with zero
+    // shared trigrams is ABSENT, not a zero row, on both engines
+    "t47_split_overlap" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 7),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
+        |      * (16 ** (6 - i)))) AS BIGINT) % 100 AS bkt
+        |  FROM documents),
+        |sp AS (SELECT doc_id, CASE WHEN bkt < 90 THEN 'train'
+        |    WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split FROM b),
+        |tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tg AS (SELECT DISTINCT doc_id, substr(md5(trigram), 1, 16) AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+        |    FROM tok)),
+        |sg AS (SELECT DISTINCT split, g FROM tg JOIN sp USING (doc_id)),
+        |totals AS (SELECT split, count(*) AS n_grams FROM sg GROUP BY 1),
+        |pairs AS (SELECT a.split AS split_a, b.split AS split_b,
+        |    count(*) AS n_shared
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.split < b.split
+        |  GROUP BY 1, 2)
+        |SELECT split_a, split_b, n_shared, ta.n_grams AS n_a,
+        |  tb.n_grams AS n_b,
+        |  CAST(n_shared AS DOUBLE)
+        |    / CAST(ta.n_grams + tb.n_grams - n_shared AS DOUBLE)
+        |    AS gram_jaccard
+        |FROM pairs
+        |JOIN totals ta ON split_a = ta.split
+        |JOIN totals tb ON split_b = tb.split""",
     "f1_range_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -2329,35 +2453,11 @@ object SparkEntry {
         |    AS BIGINT) > 0 AS keep
         |FROM t""",
     // t41: hashed-bigram counts re-derived relationally; the keep test
-    // is the same integer cross-multiplication as t31
-    "t41_dsir" ->
-      """WITH t AS (SELECT doc_id, source,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-        |  FROM documents),
-        |f AS (SELECT doc_id, source,
-        |    CAST(CAST(list_sum(list_transform(range(1, 7),
-        |      i -> (strpos('0123456789abcdef',
-        |        substr(md5('dsir:' || bg), CAST(i AS INTEGER), 1)) - 1)
-        |        * (16 ** (6 - i)))) AS BIGINT) % 10000 AS BIGINT) AS f
-        |  FROM (SELECT doc_id, source,
-        |      unnest(list_transform(range(1, len(tk)),
-        |        i -> tk[CAST(i AS INTEGER)] || ' '
-        |          || tk[CAST(i + 1 AS INTEGER)])) AS bg FROM t)),
-        |raw AS (SELECT f, count(*) AS cnt_r FROM f GROUP BY f),
-        |tgt AS (SELECT f, count(*) AS cnt_t FROM f
-        |  WHERE source = 'src1' GROUP BY f),
-        |dim AS (SELECT raw.f, cnt_r,
-        |    COALESCE(cnt_t, 0) AS cnt_t
-        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
-        |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r,
-        |    CAST(sum(cnt_t) AS BIGINT) AS n_t FROM dim)
-        |SELECT doc_id,
-        |  CAST(sum(cnt_t) AS BIGINT) AS score_num,
-        |  CAST(sum(cnt_r) AS BIGINT) AS score_den,
-        |  CAST(sum(cnt_t) AS BIGINT) * n_r
-        |    > CAST(sum(cnt_r) AS BIGINT) * n_t AS keep
-        |FROM f JOIN dim ON f.f = dim.f CROSS JOIN tot
-        |GROUP BY doc_id, n_r, n_t""",
+    // is the same integer cross-multiplication as t31.
+    // t41b is the persisted-feature-lake variant — same semantics, same
+    // oracle (the lake is an execution detail, not a semantic one).
+    "t41b_dsir_lake" -> t41DsirSql,
+    "t41_dsir" -> t41DsirSql,
     // t30: DuckDB rebuilds the shifted-zip bigrams list-wise; tk[i] is
     // 1-based, range(1, len) = [1, len-1]
     "t30_bigram_vocab" ->

@@ -21,24 +21,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump failures must be LOUD: a silently-missing artifact shows up
+    // downstream as a mystery "No files found" oracle row (round-5
+    // w13/w16). Record every failure with its full stack in
+    // $outDir/_FAILED.txt so one glance pinpoints the crash site.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    def loud(tag: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        System.err.println(s"[verify] $tag FAILED: ${e.getMessage}")
+        failures += s"== $tag ==\n$sw"
+      }
     // materialize the decoded TS layers the ts-family oracles read
-    try graft.ts.TsLake.ensureDumped(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] tsdump failed: ${e.getMessage}")
-    }
+    loud("tsdump")(graft.ts.TsLake.ensureDumped(spark))
     // …and the engine-specific artifacts (simhash signatures, LSH
     // buckets, trained centroids, HLL estimates) their oracles read
-    try OpLake.ensureDumped(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] opdump failed: ${e.getMessage}")
-    }
+    loud("opdump")(OpLake.ensureDumped(spark, sfDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        loud(name)(fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"))
+    }
+    if (failures.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/_FAILED.txt"),
+        failures.mkString("\n"))
+      System.err.println(
+        s"[verify] ${failures.size} dump(s) FAILED — see $outDir/_FAILED.txt")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

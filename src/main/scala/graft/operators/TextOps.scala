@@ -1510,11 +1510,17 @@ object TextOps {
     * (map-side combined), one broadcast-join projection + per-doc sum.
     * Target domain = source 'src1' (the curated-slice stand-in). */
   def t41Dsir(s: SparkSession, d: String): DataFrame = {
-    val tk = split(trim(lower(col("text"))), "\\s+")
     // the hashed-feature relation feeds three consumers (raw counts,
     // target counts, the per-doc scoring join) — cache it once per
     // session instead of re-tokenizing the corpus three times
-    val feats = lshMemo(s, d + "#dsir")(documents(s, d)
+    dsirScoreOf(lshMemo(s, d + "#dsir")(dsirFeatsOf(s, d).cache()))
+  }
+
+  /** The DSIR hashed-feature relation (doc_id, source, f): md5-hashed
+    * bigrams folded into a fixed 10 000-bucket space. */
+  private def dsirFeatsOf(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(zip_with(
           slice(tk, lit(1), size(tk) - 1),
@@ -1524,7 +1530,12 @@ object TextOps {
         (conv(substring(md5(concat(lit("dsir:"), col("bg"))
           .cast("binary")), 1, 6), 16, 10).cast("long") % 10000L)
           .as("f"))
-      .cache())
+  }
+
+  /** DSIR scoring over an already-built (doc_id, source, f) hashed
+    * feature relation — shared by the session-cached t41 and the
+    * persisted-lake t41b so the two variants cannot drift. */
+  private def dsirScoreOf(feats: DataFrame): DataFrame = {
     val raw = feats.groupBy("f").agg(count(lit(1)).as("cnt_r"))
     val tgt = feats.filter(col("source") === "src1")
       .groupBy("f").agg(count(lit(1)).as("cnt_t"))
@@ -1541,6 +1552,31 @@ object TextOps {
       .select(col("doc_id"), col("score_num"), col("score_den"),
         (col("score_num") * col("n_r") > col("score_den") * col("n_t"))
           .as("keep"))
+  }
+
+  private val dsirLakeWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** t41b — DSIR over a PERSISTED feature lake: the 100 TB variant of
+    * t41 (PLANS.md t41 row). t41's session cache of the exploded
+    * corpus×bigram relation is right at test SF but evicts/spills at
+    * corpus scale; here the tokenize+hash pass runs ONCE as a batch
+    * job and lands as parquet hive-partitioned on `fp = f % 16` (the
+    * e10/ivfIndexPath build≠serve split), and all three consumers —
+    * count dims and scoring join — read the lake, never re-tokenizing.
+    * Same output, same oracle, hash-must-match t41. */
+  def t41bDsirLake(s: SparkSession, d: String): DataFrame = {
+    val path = dsirLakeWritten.computeIfAbsent(d, { _ =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/dsirlake")
+      val p = s"$base/$md5"
+      dsirFeatsOf(s, d)
+        .withColumn("fp", col("f") % 16)
+        .write.mode("overwrite").partitionBy("fp").parquet(p)
+      p
+    })
+    dsirScoreOf(s.read.parquet(path).select("doc_id", "source", "f"))
   }
 
   /** t43 — INTRA-document segment dedup (the CCNet preprocessing pass
@@ -1728,7 +1764,57 @@ object TextOps {
           .as("gram_jaccard"))
   }
 
+  /** t48 — WITHIN-DOCUMENT REPETITION filter (the Gopher quality rules,
+    * Rae et al. 2021 §A1.1): fraction of duplicated 2-grams and
+    * 3-grams inside each document, keep iff dup_frac_2 ≤ 0.2 ∧
+    * dup_frac_3 ≤ 0.18 (the published thresholds). Catches the
+    * boilerplate-loop/SEO-spam failure mode that cross-doc dedup
+    * (t1/t7) structurally cannot see. Pure per-document projection —
+    * tokenize, shift-zip the n-grams, count total vs distinct
+    * list-wise — so the whole filter is ONE whole-stage-codegen pass
+    * with ZERO exchanges (the t40 gate shape): at 100 TB this runs at
+    * scan speed. All quantities integer; the two fractions are single
+    * int/int divisions so both engines agree bit-for-bit. */
+  def t48Repetition(s: SparkSession, d: String): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    documents(s, d)
+      .select(col("doc_id"), tk.as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        expr("""CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(0, size(t) - 2),
+          |    i -> concat_ws(' ', t[i], t[i + 1]))
+          |ELSE array() END""".stripMargin).as("g2"),
+        expr("""CASE WHEN size(t) >= 3 THEN
+          |  transform(sequence(0, size(t) - 3),
+          |    i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))
+          |ELSE array() END""".stripMargin).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g2")).as("n_2grams"),
+        size(array_distinct(col("g2"))).as("n_2distinct"),
+        size(col("g3")).as("n_3grams"),
+        size(array_distinct(col("g3"))).as("n_3distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_2grams"), col("n_2distinct"),
+        col("n_3grams"), col("n_3distinct"),
+        when(col("n_2grams") > 0,
+          (col("n_2grams") - col("n_2distinct")).cast("double") /
+            col("n_2grams").cast("double")).otherwise(0.0)
+          .as("dup_frac_2"),
+        when(col("n_3grams") > 0,
+          (col("n_3grams") - col("n_3distinct")).cast("double") /
+            col("n_3grams").cast("double")).otherwise(0.0)
+          .as("dup_frac_3"))
+      // the keep gate in exact integer cross-multiplication:
+      // (n - distinct)/n ≤ thr  ⇔  (n - distinct) * 100 ≤ n * thr·100
+      .withColumn("keep",
+        (col("n_2grams") - col("n_2distinct")) * 100 <=
+          col("n_2grams") * 20 &&
+        (col("n_3grams") - col("n_3distinct")) * 100 <=
+          col("n_3grams") * 18)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t48_repetition" -> t48Repetition _,
     "t47_split_overlap" -> t47SplitOverlap _,
     "t43_line_dedup" -> t43LineDedup _,
     "t46_exactsubstr_rewrite" -> t46ExactsubstrRewrite _,
@@ -1739,6 +1825,7 @@ object TextOps {
       ((s: SparkSession, d: String) => t39BpeMerge(s, d)),
     "t40_fasttext_score" -> t40FasttextScore _,
     "t41_dsir" -> t41Dsir _,
+    "t41b_dsir_lake" -> t41bDsirLake _,
     "t31_domain_mix" -> t31DomainMix _,
     "t32_containment" -> t32Containment _,
     "t33_prefix_containment" -> t33PrefixContainment _,

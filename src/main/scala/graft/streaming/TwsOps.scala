@@ -527,9 +527,10 @@ object TwsOps {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$d/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 as tsus")
+    // Tables.events owns the parquet-ts-physical-type dispatch
+    // (nanos-long vs timestamp[us]); never read the file raw here.
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as tsus")
       .as[(Long, String, Long)]
       .collect().sortBy(e => (e._3, e._1, e._2))
     val mem = MemoryStream[(Long, String, Long)]
@@ -630,9 +631,10 @@ object TwsOps {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$d/events.parquet")
-      .selectExpr("user_id", "ts div 1000 as tsus")
+    // Tables.events owns the parquet-ts-physical-type dispatch
+    // (nanos-long vs timestamp[us]); never read the file raw here.
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) as tsus")
       .as[(Long, Long)]
       .collect().sortBy(e => (e._2, e._1))
     val mem = MemoryStream[(Long, Long)]
