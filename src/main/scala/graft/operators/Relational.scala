@@ -1409,11 +1409,16 @@ object Relational {
         col("l_quantity").cast("long").as("wt"))
       .groupBy("l_returnflag", "cents")
       .agg(sum(col("wt")).as("w"))
-    val tot = vw.groupBy("l_returnflag").agg(sum(col("w")).as("wtot"))
+    // cum and wtot share ONE window exchange: the running sum and the
+    // per-flag total are both windows over the same (flag, cents)
+    // partitioning+sort, so Spark evaluates them in a single Window
+    // operator — no second scan/agg of vw, no totals join
     val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("l_returnflag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     vw.withColumn("cum", sum(col("w")).over(wc))
-      .join(broadcast(tot), Seq("l_returnflag"))
+      .withColumn("wtot", sum(col("w")).over(wt))
       .filter(col("cum") * 2 >= col("wtot") &&
         (col("cum") - col("w")) * 2 < col("wtot"))
       .select(col("l_returnflag"), col("wtot"),
