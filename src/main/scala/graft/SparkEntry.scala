@@ -1294,6 +1294,28 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(wtot AS BIGINT) AS wtot,
         |  CAST(cents AS DOUBLE) / 100 AS weighted_median_price
         |FROM c WHERE cum * 2 >= wtot AND (cum - w) * 2 < wtot""",
+    // t49: the bloom prefilter is exactness-neutral (no false negatives;
+    // FPs scrubbed by the confirm join) — the oracle is the plain
+    // segment semi-join on segment TEXT (DuckDB has no xxhash64; equal
+    // counts ⇔ hash collision-freedom, as in t18)
+    "t49_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |seg AS (SELECT doc_id,
+        |    array_to_string(tk[CAST(i * 10 + 1 AS INTEGER)
+        |      :CAST(i * 10 + 10 AS INTEGER)], ' ') AS seg
+        |  FROM t, LATERAL unnest(range(0,
+        |    CAST(ceil(len(tk) / 10.0) AS INTEGER))) AS u(i)),
+        |prior AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 3 = 0),
+        |inc AS (SELECT doc_id, count(*) AS n_segs,
+        |    sum(CASE WHEN seg IN (SELECT seg FROM prior)
+        |      THEN 1 ELSE 0 END) AS n_dup
+        |  FROM seg WHERE doc_id % 3 != 0 GROUP BY 1)
+        |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+        |  CAST(n_dup AS BIGINT) AS n_prior_dup_segs,
+        |  n_dup > 0 AS is_contaminated
+        |FROM inc""",
     // t48: Gopher repetition rules — list-wise total-vs-distinct n-gram
     // counts; keep gate re-derived with the same integer cross-multiply
     "t48_repetition" ->

@@ -899,13 +899,20 @@ object TextOps {
   def t18SegmentDedup(s: SparkSession, d: String): DataFrame =
     segmentDedupOf(documents(s, d))
 
-  private[graft] def segmentDedupOf(docs: DataFrame): DataFrame = {
-    val segs = docs
+  /** The 10-token-segment relation (doc_id, seg_hash) shared by t18
+    * (cross-doc segment dedup) and t49 (incremental bloom dedup):
+    * segments reduce to 8-byte xxhash64 in-task, so every downstream
+    * shuffle carries hashes, never segment text. */
+  private[graft] def tenTokenSegsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, cast(ceil(size(t)/10.0) as int) - 1),
           |  i -> xxhash64(array_join(slice(t, i*10+1, 10), ' ')))"""
           .stripMargin)).as("seg_hash"))
+
+  private[graft] def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val segs = tenTokenSegsOf(docs)
     val freq = segs.groupBy("seg_hash")
       .agg(count_distinct(col("doc_id")).as("n_docs"))
     segs.join(freq, Seq("seg_hash"))
@@ -1813,7 +1820,47 @@ object TextOps {
           col("n_3grams") * 18)
   }
 
+  /** t49 — INCREMENTAL (cross-run) dedup via bloom prefilter: the
+    * new-crawl-vs-already-indexed-corpus pass every continuously-fed
+    * training pipeline runs. Prior corpus = docs with doc_id % 3 = 0
+    * (the stand-in for yesterday's index); incoming = the rest. The
+    * prior's distinct 10-token-segment hashes (t18's relation) fold
+    * into ONE bloom image — O(numBits) bytes to the driver, never
+    * O(segments) — which probes the incoming scan as a foldable
+    * literal at scan speed, no shuffle. Bloom hits (no false negatives
+    * by construction) then pass an EXACT confirm join against the
+    * prior hash relation, scrubbing false positives, so the output is
+    * exact and the oracle is a plain semi-join — the two-phase shape
+    * production uses: the probe prunes the join input from
+    * all-incoming-segments to candidate hits; only candidates shuffle.
+    * At 100 TB, `items`/`bits` derive from prior-corpus stats (the
+    * e9 corpus-derived-k discipline); both are arguments. */
+  def t49IncrementalDedup(s: SparkSession, d: String,
+      items: Long = 1L << 22, bits: Long = 1L << 25): DataFrame = {
+    val segs = tenTokenSegsOf(documents(s, d))
+    val prior = segs.filter(col("doc_id") % 3 === 0)
+      .select("seg_hash").distinct()
+    val incoming = segs.filter(col("doc_id") % 3 =!= 0)
+    // one aggregation pass; the collect is the O(bits) filter image
+    val bloomImage = prior
+      .agg(graft.functions.Bloom
+        .bloom_agg(col("seg_hash"), items, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hits = incoming
+      .filter(graft.functions.Bloom
+        .bloom_might_contain(bloomImage, col("seg_hash")))
+      .join(prior, Seq("seg_hash")) // exact FP scrub on 8-byte hashes
+      .groupBy("doc_id").agg(count(lit(1)).as("dup"))
+    incoming.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("dup"), lit(0L)).as("n_prior_dup_segs"),
+        (coalesce(col("dup"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t49_incremental_dedup" ->
+      ((s: SparkSession, d: String) => t49IncrementalDedup(s, d)),
     "t48_repetition" -> t48Repetition _,
     "t47_split_overlap" -> t47SplitOverlap _,
     "t43_line_dedup" -> t43LineDedup _,

@@ -164,6 +164,34 @@ class TextOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("t49 incremental dedup: exact under a deliberately tiny bloom " +
+    "(FP-heavy) and under the production size — the scrub is total") {
+    // reference result: the pure exact semi-join, no bloom anywhere
+    val segs = TextOps.tenTokenSegsOf(Tables.documents(spark, sf))
+    val prior = segs.filter(col("doc_id") % 3 === 0)
+      .select("seg_hash").distinct()
+    val incoming = segs.filter(col("doc_id") % 3 =!= 0)
+    val exact = incoming.join(prior, Seq("seg_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_prior_dup_segs"))
+    // production-size bloom
+    val big = TextOps.t49IncrementalDedup(spark, sf)
+    assert(big.count() ==
+      incoming.select("doc_id").distinct().count())
+    assert(big.filter(col("is_contaminated"))
+      .select("doc_id", "n_prior_dup_segs")
+      .except(exact.filter(col("n_prior_dup_segs") > 0)
+        .select("doc_id", "n_prior_dup_segs")).count() == 0)
+    // 1024-bit bloom: almost every probe is a false positive, so the
+    // prefilter prunes nothing — but the confirm join must keep the
+    // output bit-identical (exactness never depends on filter size)
+    val tiny = TextOps.t49IncrementalDedup(spark, sf,
+      items = 16, bits = 1024)
+    assert(tiny.except(big).count() == 0 &&
+      big.except(tiny).count() == 0)
+    // sanity: contamination exists in this corpus (the test is live)
+    assert(big.filter(col("is_contaminated")).count() > 0)
+  }
+
   test("t19 tfidf: top-3 per doc, ranks dense, scores ordered") {
     val df = TextOps.t19Tfidf(spark, sf).cache()
     val perDoc = df.groupBy("doc_id")
