@@ -1267,6 +1267,20 @@ object SparkEntry {
       |GROUP BY doc_id, n_r, n_t""" // margins stripped by the map below
 
   def oracleSql: Map[String, String] = (tsOracles ++ Map(
+    // w20: per-user lag chain → event-type² transition matrix; the
+    // per-source total re-derived with the same partition window
+    "w20_transitions" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, event_type AS curr, count(*) AS n
+        |  FROM r WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, curr, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS n_from,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+        |FROM tr""",
     // w19: gaps-and-islands — consecutive-day runs via day - row_number()
     "w19_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -1391,6 +1391,32 @@ object Relational {
         sum(col("len")).as("n_active_days"))
   }
 
+  /** w20 — EVENT-TRANSITION MATRIX (the Markov/path-analysis query
+    * behind funnels-as-discovered, Sankey flows, next-action
+    * prediction): for each ordered (prev → curr) event-type pair,
+    * the transition count and row-normalized probability. The lag
+    * window partitions by user (per-user session history, never
+    * global); after it, the relation collapses to event-type² rows
+    * (≤ 25 here), so the per-source total rides the SAME window trick
+    * as a25 — no totals join, one exchange on a dimension-bounded
+    * relation. Probabilities are one int/int division. */
+  def w20Transitions(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wu))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tr.withColumn("n_from", sum(col("n")).over(wp))
+      .select(col("prev"), col("curr"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** a25 — EXACT WEIGHTED MEDIAN (price weighted by quantity) per
     * return flag: the weighted companion of a15's exact median, same
     * two-level discipline so no window ever sees a corpus-scaled
@@ -1426,6 +1452,7 @@ object Relational {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_transitions" -> w20Transitions _,
     "w19_streaks" -> w19Streaks _,
     "a25_weighted_median" -> a25WeightedMedian _,
     "w18_trending" -> w18Trending _,
