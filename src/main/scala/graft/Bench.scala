@@ -39,16 +39,24 @@ object Bench {
       // sweep still runs, but the skew must be attributable from logs
       System.err.println(s"[bench] warm-up failed: $e")
     }
+    // an errored query must be VISIBLE, not a silent timing row: it
+    // still contributes its wall time, but its name lands in `errors`
+    // (and on stderr) so a red bench is diagnosable from the JSON alone
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: $e")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     SessionMemo.clearAll()
     spark.stop()
   }
