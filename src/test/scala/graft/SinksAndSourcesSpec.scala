@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PeakWithReset
 import graft.operators.Settings
-import graft.sinks.Sinks
+import graft.sinks.{JdbcSink, Sinks}
 
 class SinksAndSourcesSpec extends SparkSuite {
 
@@ -24,6 +24,38 @@ class SinksAndSourcesSpec extends SparkSuite {
     val all = spark.read.parquet(dir).collect()
       .map(r => r.getAs[String]("sys_id") -> r.getAs[Long]("v")).toMap
     assert(all == Map("a" -> 10L, "b" -> 2L))
+  }
+
+  test("K2 wire-level: JDBC delete+insert+verify round-trip against a " +
+    "real SQL store (embedded Derby), idempotent and key-replacing") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft-jdbc").toString + "/k2db"
+    val url = s"jdbc:derby:$db;create=true"
+    val v1 = Seq((1L, "doc-a", 10L), (2L, "doc-b", 20L))
+      .toDF("sys_id", "doc", "v")
+    JdbcSink.ensureTable(url, "procs_docs", v1.schema)
+    JdbcSink.upsertByKey(v1, "sys_id", url, "procs_docs")
+    assert(JdbcSink.verifyUpsert(v1, "sys_id", url, "procs_docs") == 0)
+    // re-running the same batch must not duplicate rows (delete-first)
+    JdbcSink.upsertByKey(v1, "sys_id", url, "procs_docs")
+    assert(JdbcSink.verifyUpsert(v1, "sys_id", url, "procs_docs") == 0)
+    // update key 1 only; key 2 must survive untouched
+    val v2 = Seq((1L, "doc-a2", 11L)).toDF("sys_id", "doc", "v")
+    JdbcSink.upsertByKey(v2, "sys_id", url, "procs_docs")
+    assert(JdbcSink.verifyUpsert(v2, "sys_id", url, "procs_docs") == 0)
+    val all = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "procs_docs").load()
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(all == Map(1L -> ("doc-a2", 11L), 2L -> ("doc-b", 20L)))
+    // the real K2 payload: the k5 registry document rows themselves
+    val reg = graft.operators.Settings.k5InstanceCreate(spark, sf)
+      .filter(col("proc_id").isNotNull)
+      .select(col("proc_id"), col("proc_name"), col("envelope"))
+    JdbcSink.ensureTable(url, "registry", reg.schema)
+    JdbcSink.upsertByKey(reg, "proc_id", url, "registry")
+    assert(JdbcSink.verifyUpsert(reg, "proc_id", url, "registry") == 0)
+    assert(reg.count() > 0)
   }
 
   test("corpus writer: partition-pruned layout, lossless readback, " +
