@@ -42,6 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_sig(vec, bits) - random-hyperplane LSH signature"),
       (args: Seq[Expression]) =>
         HyperplaneSigExpr(args(0), args(1).eval().asInstanceOf[Int])))
+    // Spark's internal runtime-filter bloom kernels, exposed to SQL —
+    // bloom_agg builds the filter image (one aggregate pass), and
+    // bloom_might_contain probes it (bloom side must be a constant or
+    // scalar subquery, exactly as InjectRuntimeFilter uses them)
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(xxhash64_col, items, bits) - bloom filter image"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, xxhash64_value) - membership probe"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("parse_ts"),
       info("parse_ts",

@@ -110,6 +110,22 @@ class RemuxAndExtensionsSpec extends SparkSuite {
         "SELECT hyperplane_sig(array(cast(1.0 as float)," +
           " cast(-1.0 as float)), 12) AS b").first().getInt(0)
       assert(hp >= 0 && hp < (1 << 12))
+      // bloom build + probe end-to-end in SQL: members hit, a
+      // non-member (overwhelmingly) misses at this sizing
+      s2.range(100).selectExpr("xxhash64(id) AS h")
+        .createOrReplaceTempView("bloom_in")
+      val hits = s2.sql(
+        """SELECT sum(CASE WHEN bloom_might_contain(
+          |  (SELECT bloom_agg(h, 100L, 8192L) FROM bloom_in), h)
+          |  THEN 1 ELSE 0 END) AS n
+          |FROM bloom_in""".stripMargin).first().getLong(0)
+      assert(hits == 100L) // no false negatives, ever
+      val miss = s2.sql(
+        """SELECT bloom_might_contain(
+          |  (SELECT bloom_agg(h, 100L, 8192L) FROM bloom_in),
+          |  xxhash64(987654321098765432L)) AS m""".stripMargin)
+        .first().getBoolean(0)
+      assert(!miss)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
