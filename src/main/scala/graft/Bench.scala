@@ -52,11 +52,38 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of stdout; a full
+    // 178-query map (~6 KB) gets its head truncated and the line never
+    // parses (BENCH_r01–r05 all show parsed:null). So: print ONE compact
+    // line — whole-sweep aggregates + a fixed headline subset, values
+    // rounded to ms — and write the complete per-query map to a file.
+    def r3(v: Double): String = f"$v%.3f"
+    val headline = Seq(
+      "ts1_pid_stats", "ts6_programs_summary", "ts16_cbr_plan",
+      "a10_rollup", "a15_exact_median", "j5_dim_chain", "w12_funnel",
+      "w17_rolling_dau", "t1_exact_dedup", "t7_minhash_lsh", "t8_simhash",
+      "t17_dup_components", "t14_decontaminate", "t41_dsir",
+      "e1_cosine_topk", "e5_ivf_ann", "e8_ivf_pq", "e15_recall_eval",
+      "t42_stream_dedup", "w13_stream_funnel", "w16_stream_retention",
+      "m6_media_neardup", "sc4_bit_ops")
+    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${r3(v)}"""))
       .mkString("{", ",", "}")
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    val (slowName, slowSec) =
+      if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+    val fullPath = "target/bench_full.json"
+    try {
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(s"""{"sf":"$sfDir","queries":$fullJson,"errors":$errJson}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write failed: $e")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean_sec":${r3(mean)},"max":{"${slowName}":${r3(slowSec)}},"queries":$qs,"errors":$errJson,"full":"$fullPath","sf":"$sfDir"}""")
     SessionMemo.clearAll()
     spark.stop()
   }
