@@ -47,6 +47,9 @@ object OpLake {
     save(operators.Relational.a11Estimates(s, d), "a11_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
     save(operators.TextOps.t21Model(s, d), "t21_model")
+    // t50's idf model: ln computed once (Spark), both engines read the
+    // same bits; the oracle re-derives tf/dl/scoring relationally
+    save(operators.TextOps.t50Idf(s, d), "t50_idf")
     // the STREAMING near-dup pair set from a deterministic multi-batch
     // replay — the t25 oracle reads this; the Spark side recomputes the
     // batch candidate relation, so the hash gate IS the stream≡batch

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Multimodal, Relational, Settings, Similarity, TextOps, TsQueries}
+import graft.operators.{Changelog, Graph, Layout, Multimodal, Relational, Settings, Similarity, TextOps, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all ++
-      Settings.all ++ Multimodal.all
+      Settings.all ++ Multimodal.all ++ Graph.all ++ Changelog.all ++
+      Layout.all
 
   // ---- TS-family oracle plumbing -----------------------------------
   // Verify materializes the decoded TS layers (TsLake.ensureDumped) to a
@@ -1267,6 +1268,138 @@ object SparkEntry {
       |GROUP BY doc_id, n_r, n_t""" // margins stripped by the map below
 
   def oracleSql: Map[String, String] = (tsOracles ++ Map(
+    // g1: fixed-point integer PageRank (scale 1e-12), 5 unrolled
+    // iterations — every op is BIGINT floor division / sum, so both
+    // engines agree bit-for-bit; the readable double is one final
+    // division. Node ids: part = 2k, supplier = 2k+1.
+    "g1_pagerank" -> {
+      val base = "1000000000000 // (SELECT n FROM nn)"
+      def iter(cur: String, prev: String) =
+        s"""$cur AS (SELECT d.node,
+           |    (15 * ($base)) // 100
+           |      + (85 * COALESCE(CAST(s.inc AS BIGINT), 0)) // 100 AS r
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // dg.deg) AS inc
+           |    FROM edges e JOIN $prev r ON e.src = r.node
+           |    JOIN deg dg ON e.src = dg.node
+           |    GROUP BY 1) s ON d.node = s.node)"""
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |edges AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg
+         |  FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT node, $base AS r FROM deg),
+         |${iter("r1", "r0")},
+         |${iter("r2", "r1")},
+         |${iter("r3", "r2")},
+         |${iter("r4", "r3")},
+         |${iter("r5", "r4")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS node_key, r AS rank_fp,
+         |  CAST(r AS DOUBLE) / 1e12 AS rank
+         |FROM r5 ORDER BY r DESC, node LIMIT 20"""
+    },
+    // j10: SCD2 — version increments on value change; valid_to = next
+    // version's valid_from (NULL ⇒ current); all times epoch-micros
+    "j10_scd2" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |      OR prev <> event_type THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS version FROM s),
+        |g AS (SELECT user_id, event_type AS attr_value, version,
+        |    min(epoch_us(ts)) AS valid_from_us, count(*) AS n_events
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT user_id, attr_value, CAST(version AS INT) AS version,
+        |  valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS valid_to_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY version) IS NULL AS is_current,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g""",
+    // j11: CDC merge — last-writer-wins by (ts, event_id); final op D
+    // drops the key; cents via floor(x*100 + 0.5) on both engines
+    "j11_cdc_merge" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'D'
+        |      WHEN event_id % 7 < 3 THEN 'I' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS n_deletes
+        |  FROM events)
+        |SELECT user_id, op AS last_op, event_type AS cur_event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cur_value_cents,
+        |  epoch_us(ts) AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops,
+        |  CAST(n_deletes AS BIGINT) AS n_deletes
+        |FROM o WHERE rn = 1 AND op <> 'D'""",
+    // l1: Morton interleave via the shift/mask ladder — identical
+    // integer ops both engines; bucket = z >> 14
+    "l1_zorder" -> {
+      s"""WITH b0 AS (SELECT l_partkey, l_suppkey,
+         |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+         |  FROM lineitem),
+         |b1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+         |    (y0 | (y0 << 8)) & 16711935 AS y1 FROM b0),
+         |b2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+         |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM b1),
+         |b3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+         |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM b2),
+         |b4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+         |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM b3),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |    (x4 | (y4 << 1)) // 16384 AS bucket FROM b4),
+         |g AS (SELECT bucket, count(*) AS n_rows,
+         |    min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |    min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |  FROM z GROUP BY 1)
+         |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+         |  min_part, max_part, min_supp, max_supp,
+         |  max_part < 500 OR min_part > 599 AS skips_probe
+         |FROM g"""
+    },
+    // t50: BM25 — idf read from the Spark dump (ln computed once);
+    // tf/dl/scoring re-derived; rank on the 1e-6-rounded score
+    "t50_bm25" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS term FROM documents),
+         |ft AS (SELECT doc_id, term FROM toks
+         |  WHERE len(term) >= 5 AND regexp_matches(term, '^[a-z]+$$')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM ft GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM ft GROUP BY 1),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |m AS (SELECT * FROM ${oprel("t50_idf")}),
+         |qt AS (SELECT term, idf,
+         |    (row_number() OVER (ORDER BY df DESC, term) - 1) // 3
+         |      AS q_id
+         |  FROM (SELECT * FROM m ORDER BY df DESC, term LIMIT 15)),
+         |sc AS (SELECT qt.q_id, tf.doc_id,
+         |    sum(qt.idf * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl.dl AS DOUBLE)
+         |          / (SELECT avgdl FROM st)))))) AS raw,
+         |    count(*) AS n_hit_terms
+         |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, round(raw, 6) AS score,
+         |    n_hit_terms FROM sc),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, doc_id) AS rank FROM r)
+         |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score,
+         |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+         |FROM rk WHERE rank <= 10""",
     // w20: per-user lag chain → event-type² transition matrix; the
     // per-source total re-derived with the same partition window
     "w20_transitions" ->

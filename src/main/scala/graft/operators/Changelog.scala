@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture shapes: the warehouse-side maintenance passes
+  * every long-lived training-data lake runs against its metadata and
+  * dimension tables. Both operators treat `events` as the change
+  * stream (key = user_id, change order = (ts, event_id) — a total
+  * order, so results are replay-deterministic).
+  *
+  * Scale design: both are ONE hash shuffle on the key followed by
+  * per-key window/aggregate work — the minimum any keyed merge can do.
+  * No global windows, no driver-side state; a 100 TB changelog
+  * partitions by key exactly like the sf0.01 one.
+  */
+object Changelog {
+
+  private def ordered(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+
+  /** j10 — SCD TYPE-2 dimension build: collapse each user's
+    * event_type change stream into versioned validity intervals
+    * [valid_from, valid_to), open-ended for the current row. The
+    * version counter increments exactly on value change (runs of the
+    * same value collapse), so the output is the canonical
+    * slowly-changing-dimension table a MERGE-based warehouse
+    * maintains incrementally. */
+  def j10Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = ordered(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("chg")).over(w))
+    val byVer = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .groupBy(col("user_id"), col("event_type").as("attr_value"),
+        col("version"))
+      .agg(min(unix_micros(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+      .select(col("user_id"), col("attr_value"),
+        col("version").cast("int").as("version"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"), col("n_events"))
+  }
+
+  /** j11 — CDC changelog MERGE: apply an insert/update/delete stream
+    * to a keyed snapshot with last-writer-wins semantics (op derived
+    * deterministically from event_id: %7==0 → D, <3 → I, else U). A
+    * key whose final op is D is absent from the snapshot — the MERGE
+    * INTO semantics of every lakehouse table format, expressed as one
+    * window + filter. Money stays integer (cents via floor(x*100+0.5),
+    * identical on both engines). */
+  def j11CdcMerge(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ordered(s, d)
+      .withColumn("op",
+        when(col("event_id") % 7 === 0, "D")
+          .when(col("event_id") % 7 < 3, "I").otherwise("U"))
+      .withColumn("value_cents",
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy("user_id")))
+      .withColumn("n_deletes", sum(when(col("op") === "D", 1L)
+        .otherwise(0L)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("event_type").as("cur_event_type"),
+        col("value_cents").as("cur_value_cents"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("n_ops"), col("n_deletes"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_scd2" -> j10Scd2 _,
+    "j11_cdc_merge" -> j11CdcMerge _)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as plain DataFrame joins — the family
+  * member t17 (connected components) lacks: importance scoring over a
+  * data-derived graph. The reference has no graph operator; this is
+  * part of the round-6 training-data-pipeline extension surface (a
+  * crawl/citation graph's PageRank is a standard quality prior for
+  * corpus sampling, cf. Common Crawl's harmonic-centrality ranks).
+  *
+  * Scale design: the graph lives as TWO distributed relations (edges,
+  * degrees) partitioned by node id; one PageRank iteration is one
+  * shuffle (edge join on src + re-aggregation on dst) — the exact
+  * Pregel-on-DataFrames shape t17 uses for label propagation.
+  * Iteration count is fixed (k=5), so the plan is statically unrolled
+  * and AQE sizes every stage; at cluster scale each iteration would
+  * `localCheckpoint` to cut lineage, which changes nothing semantic.
+  *
+  * Determinism: ranks are FIXED-POINT integers (micro-units of 1e-12,
+  * the a24 integer-exact discipline) — `rank div deg` and the
+  * damping mix use integer floor division only, so Spark and the
+  * DuckDB oracle (same ops, unrolled CTEs) agree bit-for-bit; no
+  * float summation order anywhere. The readable `rank` double is one
+  * final division, deterministic on both engines.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1 rank unit = 1e-12. */
+  val Scale = 1000000000000L
+
+  /** Undirected bipartite part↔supplier graph from distinct lineitem
+    * (l_partkey, l_suppkey) pairs; node ids disambiguate the two key
+    * spaces by parity (part = 2k, supplier = 2k+1). */
+  private[graft] def edgesOf(s: SparkSession, d: String): DataFrame = {
+    val e0 = graft.Tables.lineitem(s, d)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** g1 — PageRank, damping 0.85, k fixed iterations, fixed-point
+    * integer arithmetic. Emits the top-20 nodes by rank. */
+  def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val edges = edgesOf(s, d).cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node").cache()
+    val n = deg.count() // the only driver-side value: |V|, a scalar
+    val base = Scale / n
+    val teleport = (15L * base) / 100L
+    var ranks = deg.select(col("node"), lit(base).as("r"))
+    for (_ <- 1 to k) {
+      val contrib = ranks.join(deg, "node")
+        .select(col("node"), expr("r div deg").as("c"))
+      val incoming = edges.join(contrib, edges("src") === contrib("node"))
+        .groupBy(edges("dst").as("node"))
+        .agg(sum(col("c")).as("inc"))
+      ranks = deg.select(col("node"))
+        .join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("85 * coalesce(inc, 0L) div 100")).as("r"))
+    }
+    ranks
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast("long").as("node_key"),
+        col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(1e12)).as("rank"))
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)))
+}

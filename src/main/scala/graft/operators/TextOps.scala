@@ -1858,7 +1858,74 @@ object TextOps {
         (coalesce(col("dup"), lit(0L)) > 0).as("is_contaminated"))
   }
 
+  /** t50's token universe: lowercased whitespace tokens, alphabetic and
+    * ≥ 5 chars — one deterministic filter both engines apply verbatim. */
+  private[graft] def bm25Tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 5 && col("term").rlike("^[a-z]+$"))
+
+  /** Per-term document frequency + BM25 idf (Lucene's
+    * ln(1 + (N − df + ½)/(df + ½)) — always positive). Verify dumps
+    * this relation (`t50_idf`) so the oracle reuses Spark's `ln` bits
+    * verbatim (the t21 discipline: transcendentals computed ONCE). */
+  private[graft] def t50Idf(s: SparkSession, d: String): DataFrame = {
+    val toks = bm25Tokens(s, d)
+    val n = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n)) // 1 row — |D| rides along, no collect
+      .select(col("term"), col("df"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))).as("idf"))
+  }
+
+  /** t50 — BM25 TOP-K KEYWORD SEARCH over an inverted index: the
+    * lexical-retrieval counterpart of the e-family's ANN serving (and
+    * the other half of every hybrid retrieval stack). The postings
+    * relation (doc_id, term, tf) IS the inverted index — partitioned
+    * by term, so a query's lookup touches only its terms' posting
+    * lists; the 15-term query set and the idf model broadcast (both
+    * O(vocab-head), never corpus-scaled), making scoring a map-side
+    * join + one (q_id, doc_id) aggregation. k1 = 1.2, b = 0.75 (the
+    * Robertson/Lucene defaults). Queries are data-derived: the top-15
+    * df terms, 3 per query, 5 queries — deterministic on both engines
+    * from the dumped df ranking. Scores round to 1e-6 before ranking
+    * so the rank ties break identically cross-engine. */
+  def t50Bm25(s: SparkSession, d: String): DataFrame = {
+    val toks = bm25Tokens(s, d)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val qterms = t50Idf(s, d)
+      .orderBy(col("df").desc, col("term")).limit(15) // TakeOrdered, no global window
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("df").desc, col("term")))) // 15 rows post-limit
+      .select(expr("(rk - 1) div 3").as("q_id"), col("term"), col("idf"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("comp",
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("comp")).as("raw"), count(lit(1)).as("n_hit_terms"))
+      .withColumn("score", round(col("raw"), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"), col("n_hit_terms"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t50_bm25" -> t50Bm25 _,
     "t49_incremental_dedup" ->
       ((s: SparkSession, d: String) => t49IncrementalDedup(s, d)),
     "t48_repetition" -> t48Repetition _,
