@@ -117,6 +117,39 @@ object SparkEntry {
 
   /** Exact brute-force top-5 (the e1 oracle), reused verbatim as the
     * ground-truth CTE of the e15 recall evaluation. */
+  /** The t50 BM25 chain up to the ranked relation `bm25rk` — shared by
+    * the t50 oracle and the e18 RRF-fusion oracle. idf comes from the
+    * Spark dump so `ln` is computed exactly once. */
+  private def t50Cte: String =
+    s"""WITH bm25toks AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |      AS term FROM documents),
+       |bm25ft AS (SELECT doc_id, term FROM bm25toks
+       |  WHERE len(term) >= 5 AND regexp_matches(term, '^[a-z]+$$')),
+       |bm25tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM bm25ft GROUP BY 1, 2),
+       |bm25dl AS (SELECT doc_id, count(*) AS dl FROM bm25ft GROUP BY 1),
+       |bm25st AS (SELECT CAST(sum(dl) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avgdl FROM bm25dl),
+       |bm25m AS (SELECT * FROM ${oprel("t50_idf")}),
+       |bm25qt AS (SELECT term, idf,
+       |    (row_number() OVER (ORDER BY df DESC, term) - 1) // 3
+       |      AS q_id
+       |  FROM (SELECT * FROM bm25m ORDER BY df DESC, term LIMIT 15)),
+       |bm25sc AS (SELECT bm25qt.q_id, bm25tf.doc_id,
+       |    sum(bm25qt.idf * ((CAST(bm25tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(bm25tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |        * (CAST(bm25dl.dl AS DOUBLE)
+       |          / (SELECT avgdl FROM bm25st)))))) AS raw,
+       |    count(*) AS n_hit_terms
+       |  FROM bm25tf JOIN bm25qt USING (term)
+       |    JOIN bm25dl USING (doc_id)
+       |  GROUP BY 1, 2),
+       |bm25r AS (SELECT q_id, doc_id, round(raw, 6) AS score,
+       |    n_hit_terms FROM bm25sc),
+       |bm25rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id) AS rank FROM bm25r)"""
+
   private def e1Sql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
       |    FROM embeddings WHERE vec_id < 10),
@@ -1370,36 +1403,49 @@ object SparkEntry {
     // t50: BM25 — idf read from the Spark dump (ln computed once);
     // tf/dl/scoring re-derived; rank on the 1e-6-rounded score
     "t50_bm25" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
-         |      AS term FROM documents),
-         |ft AS (SELECT doc_id, term FROM toks
-         |  WHERE len(term) >= 5 AND regexp_matches(term, '^[a-z]+$$')),
-         |tf AS (SELECT doc_id, term, count(*) AS tf
-         |  FROM ft GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM ft GROUP BY 1),
-         |st AS (SELECT CAST(sum(dl) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-         |m AS (SELECT * FROM ${oprel("t50_idf")}),
-         |qt AS (SELECT term, idf,
-         |    (row_number() OVER (ORDER BY df DESC, term) - 1) // 3
-         |      AS q_id
-         |  FROM (SELECT * FROM m ORDER BY df DESC, term LIMIT 15)),
-         |sc AS (SELECT qt.q_id, tf.doc_id,
-         |    sum(qt.idf * ((CAST(tf.tf AS DOUBLE) * 2.2)
-         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-         |        * (CAST(dl.dl AS DOUBLE)
-         |          / (SELECT avgdl FROM st)))))) AS raw,
-         |    count(*) AS n_hit_terms
-         |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
-         |  GROUP BY 1, 2),
-         |r AS (SELECT q_id, doc_id, round(raw, 6) AS score,
-         |    n_hit_terms FROM sc),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score DESC, doc_id) AS rank FROM r)
+      s"""$t50Cte
          |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score,
          |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
-         |FROM rk WHERE rank <= 10""",
+         |FROM bm25rk WHERE rank <= 10""",
+    // e18: RRF fusion of the t50 lexical ranking and the e1 dense
+    // ranking (query ids 0–4); contributions are fixed-point integers
+    // so rank ties break identically
+    "e18_hybrid_rrf" ->
+      s"""$t50Cte,
+         |lex AS (SELECT q_id, doc_id, CAST(rank AS INT) AS lex_rank
+         |  FROM bm25rk WHERE rank <= 10),
+         |dq AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |dc AS (SELECT vec_id AS cand_id, embedding AS cv
+         |  FROM embeddings),
+         |dsims AS (SELECT query_id, cand_id,
+         |    list_sum(list_transform(range(1, len(qv) + 1),
+         |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+         |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+         |      AS cosine
+         |  FROM dq CROSS JOIN dc WHERE query_id <> cand_id),
+         |dense AS (SELECT query_id AS q_id, cand_id AS doc_id,
+         |    CAST(rnk AS INT) AS dense_rank FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM dsims) WHERE rnk <= 5),
+         |f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id,
+         |    COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |    lex_rank, dense_rank
+         |  FROM lex FULL OUTER JOIN dense
+         |    ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id),
+         |r AS (SELECT *, CAST(
+         |    COALESCE(1000000000 // (60 + lex_rank), 0)
+         |    + COALESCE(1000000000 // (60 + dense_rank), 0) AS BIGINT)
+         |      AS rrf_fp FROM f)
+         |SELECT q_id, CAST(fused_rank AS INT) AS fused_rank, doc_id,
+         |  rrf_fp, lex_rank, dense_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_fp DESC, doc_id) AS fused_rank FROM r)
+         |WHERE fused_rank <= 10""",
     // w20: per-user lag chain → event-type² transition matrix; the
     // per-source total re-derived with the same partition window
     "w20_transitions" ->

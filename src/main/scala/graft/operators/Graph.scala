@@ -42,25 +42,37 @@ object Graph {
   }
 
   /** g1 — PageRank, damping 0.85, k fixed iterations, fixed-point
-    * integer arithmetic. Emits the top-20 nodes by rank. */
+    * integer arithmetic. Emits the top-20 nodes by rank.
+    *
+    * Per-iteration data movement: the EDGE relation is hash-partitioned
+    * on src ONCE (repartition + cache — at cluster scale, a bucketed
+    * table) and never moves again; each round exchanges only the rank
+    * vector (O(|V|), 16 bytes/row) into the edge partitioning, partial-
+    * aggregates contributions map-side, and joins the new ranks back to
+    * the degree relation exchange-free (deg and the groupBy output share
+    * hash(node) partitioning). The state carries (node, deg, r) so no
+    * extra deg join is needed to form contributions. */
   def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val edges = edgesOf(s, d).cache()
+    val edges = edgesOf(s, d).repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").cache()
     val n = deg.count() // the only driver-side value: |V|, a scalar
     val base = Scale / n
     val teleport = (15L * base) / 100L
-    var ranks = deg.select(col("node"), lit(base).as("r"))
+    var ranks = deg.select(col("node"), col("deg"), lit(base).as("r"))
     for (_ <- 1 to k) {
-      val contrib = ranks.join(deg, "node")
-        .select(col("node"), expr("r div deg").as("c"))
+      val contrib = ranks.select(col("node"), expr("r div deg").as("c"))
       val incoming = edges.join(contrib, edges("src") === contrib("node"))
         .groupBy(edges("dst").as("node"))
         .agg(sum(col("c")).as("inc"))
-      ranks = deg.select(col("node"))
+      ranks = deg
         .join(incoming, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(teleport) + expr("85 * coalesce(inc, 0L) div 100")).as("r"))
+        // cut lineage: without this the final plan nests k join rounds
+        // and AQE replans the whole chain. On a cluster this would be a
+        // reliable checkpoint to survive executor loss.
+        .localCheckpoint()
     }
     ranks
       .orderBy(col("r").desc, col("node"))

@@ -796,7 +796,37 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** e18 — HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et
+    * al. 2009): fuse the lexical ranking (t50 BM25 over the inverted
+    * index) with the dense ranking (e1 exact cosine) for the shared
+    * query ids 0–4, score = Σ 1/(60 + rank). The production hybrid-
+    * search shape: both rankers are already top-k-bounded, so the
+    * fusion input is O(queries × k) — it would BROADCAST at any
+    * corpus size; the heavy lifting stays inside the per-system
+    * retrieval plans. RRF contributions are fixed-point integers
+    * (1e9 // (60 + rank), the g1 discipline) so both engines rank
+    * identically with no float summation anywhere. */
+  def e18HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = TextOps.t50Bm25(s, d)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = e1CosineTopK(s, d)
+      .filter(col("query_id") < 5)
+      .select(col("query_id").as("q_id"), col("cand_id").as("doc_id"),
+        col("rnk").as("dense_rank"))
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + dense_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("rrf_fp").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 10)
+      .select(col("q_id"), col("fused_rank").cast("int").as("fused_rank"),
+        col("doc_id"), col("rrf_fp"), col("lex_rank"), col("dense_rank"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_hybrid_rrf" -> e18HybridRrf _,
     "e17_filtered_ann" -> e17FilteredAnn _,
     "e16_matryoshka" -> e16Matryoshka _,
     "e15_recall_eval" -> e15RecallEval _,

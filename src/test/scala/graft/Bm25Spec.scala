@@ -8,7 +8,7 @@ import graft.operators.TextOps
 class Bm25Spec extends SparkSuite {
 
   test("t50 bm25: per-query ranking is dense, ordered and bounded") {
-    val out = TextOps.t50Bm25(spark, sf).cache()
+    val out = TextOps.t50Bm25(spark, sf)
     val qs = out.select("q_id").distinct().count()
     assert(qs == 5, s"expected 5 queries, got $qs")
 
@@ -27,7 +27,7 @@ class Bm25Spec extends SparkSuite {
   }
 
   test("t50 idf model: positive, df-monotone") {
-    val m = TextOps.t50Idf(spark, sf).cache()
+    val m = TextOps.t50Idf(spark, sf)
     assert(m.filter(col("idf") <= 0).count() == 0)
     // higher df ⇒ lower idf (strictly monotone in df)
     val byDf = m.select("df", "idf").distinct()

@@ -9,7 +9,7 @@ import graft.operators.Changelog
 class ChangelogSpec extends SparkSuite {
 
   test("j10 scd2: versions tile the timeline, one current row per user") {
-    val out = Changelog.j10Scd2(spark, sf).cache()
+    val out = Changelog.j10Scd2(spark, sf)
 
     // exactly one open-ended (current) version per user
     val badCurrent = out.groupBy("user_id")
@@ -42,7 +42,7 @@ class ChangelogSpec extends SparkSuite {
   }
 
   test("j11 cdc merge: last-writer-wins with delete semantics") {
-    val out = Changelog.j11CdcMerge(spark, sf).cache()
+    val out = Changelog.j11CdcMerge(spark, sf)
 
     // independently derive each user's final op; D keys must be absent
     val w = Window.partitionBy("user_id")

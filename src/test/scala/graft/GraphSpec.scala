@@ -8,7 +8,7 @@ import graft.operators.Graph
 class GraphSpec extends SparkSuite {
 
   test("g1 pagerank: integer fixed-point invariants hold") {
-    val out = Graph.g1PageRank(spark, sf).cache()
+    val out = Graph.g1PageRank(spark, sf)
     val rows = out.collect()
     assert(rows.length == 20)
     assert(rows.map(_.getAs[String]("node_type")).toSet

@@ -9,7 +9,7 @@ import graft.operators.Layout
 class LayoutSpec extends SparkSuite {
 
   test("l1 zorder: buckets partition the table and stats are exact") {
-    val out = Layout.l1Zorder(spark, sf).cache()
+    val out = Layout.l1Zorder(spark, sf)
     val total = Tables.lineitem(spark, sf).count()
     assert(out.agg(sum("n_rows")).collect().head.getLong(0) == total)
     // envelope sanity and the probe skip rule, recomputed row-wise
