@@ -52,8 +52,11 @@ object Graph {
     * the degree relation exchange-free (deg and the groupBy output share
     * hash(node) partitioning). The state carries (node, deg, r) so no
     * extra deg join is needed to form contributions. */
-  def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val edges = edgesOf(s, d).repartition(col("src")).cache()
+  def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    pageRankOf(edgesOf(s, d), k)
+
+  private[graft] def pageRankOf(edges0: DataFrame, k: Int): DataFrame = {
+    val edges = edges0.repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").cache()
     val n = deg.count() // the only driver-side value: |V|, a scalar
@@ -87,4 +90,24 @@ object Graph {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)))
+
+  /** Scale-stress probes (Profile-only, the z-family convention):
+    * the graph at `stressReps`× — every replica is a disjoint copy of
+    * the base bipartite graph, so |V| and |E| scale linearly while
+    * the per-iteration shape (one rank-vector exchange against the
+    * stationary edge partitioning) must stay identical. */
+  def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z23_g1_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until TextOps.stressReps)
+        .map(i => graft.Tables.lineitem(s, d)
+          .select((col("l_partkey") + lit(i * 1000000L)).as("p"),
+            (col("l_suppkey") + lit(i * 1000000L)).as("q")))
+        .reduce(_ unionByName _)
+      val e0 = reps
+        .select((col("p") * 2).as("src"), (col("q") * 2 + 1).as("dst"))
+        .distinct()
+      pageRankOf(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+        5)
+    }))
 }

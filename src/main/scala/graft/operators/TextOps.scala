@@ -677,6 +677,17 @@ object TextOps {
     // base_removed + 19 × Σ tokens(docs with ≥8 tokens). Also the
     // worst case of the within-doc position⋈removal join (every
     // position of every clone covered).
+    // BM25 at 20×: the full path (df/idf build + inverted-index
+    // scoring + per-query top-k) over the replicated corpus — postings
+    // scale 20×, but the query set stays 15 terms and the model stays
+    // O(vocab), so wall time must track the postings scan, not pairs
+    "z24_t50_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      t50Of(bm25TokensOf(reps))
+    }),
     "z21_t46_20x" -> ((s: SparkSession, d: String) => {
       val reps = (0 until stressReps).map(i => documents(s, d)
           .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
@@ -1861,7 +1872,10 @@ object TextOps {
   /** t50's token universe: lowercased whitespace tokens, alphabetic and
     * ≥ 5 chars — one deterministic filter both engines apply verbatim. */
   private[graft] def bm25Tokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    bm25TokensOf(documents(s, d))
+
+  private[graft] def bm25TokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) >= 5 && col("term").rlike("^[a-z]+$"))
@@ -1870,8 +1884,10 @@ object TextOps {
     * ln(1 + (N − df + ½)/(df + ½)) — always positive). Verify dumps
     * this relation (`t50_idf`) so the oracle reuses Spark's `ln` bits
     * verbatim (the t21 discipline: transcendentals computed ONCE). */
-  private[graft] def t50Idf(s: SparkSession, d: String): DataFrame = {
-    val toks = bm25Tokens(s, d)
+  private[graft] def t50Idf(s: SparkSession, d: String): DataFrame =
+    t50IdfOf(bm25Tokens(s, d))
+
+  private[graft] def t50IdfOf(toks: DataFrame): DataFrame = {
     val n = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
     toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(n)) // 1 row — |D| rides along, no collect
@@ -1893,13 +1909,15 @@ object TextOps {
     * df terms, 3 per query, 5 queries — deterministic on both engines
     * from the dumped df ranking. Scores round to 1e-6 before ranking
     * so the rank ties break identically cross-engine. */
-  def t50Bm25(s: SparkSession, d: String): DataFrame = {
-    val toks = bm25Tokens(s, d)
+  def t50Bm25(s: SparkSession, d: String): DataFrame =
+    t50Of(bm25Tokens(s, d))
+
+  private[graft] def t50Of(toks: DataFrame): DataFrame = {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("sum_dl"),
       count(lit(1)).as("n_docs"))
-    val qterms = t50Idf(s, d)
+    val qterms = t50IdfOf(toks)
       .orderBy(col("df").desc, col("term")).limit(15) // TakeOrdered, no global window
       .withColumn("rk", row_number().over(
         Window.orderBy(col("df").desc, col("term")))) // 15 rows post-limit
