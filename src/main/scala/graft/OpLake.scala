@@ -69,6 +69,12 @@ object OpLake {
     // reads this; the Spark side recomputes batch w12Funnel, so the
     // hash gate IS the stream≡batch funnel parity
     save(streaming.TwsOps.funnelReplay(s, d), "stream_funnel")
+    // the STREAMING CDC-merge snapshot emissions (per-user last-writer
+    // state across a ts-ordered 5-batch replay) — the j12 oracle takes
+    // each user's latest seq and drops final-op-D keys; batch
+    // j11CdcMerge must hash-match, so the gate IS stream≡batch MERGE
+    // parity (including delete semantics)
+    save(streaming.TwsOps.cdcReplay(s, d), "stream_cdc")
     // the STREAMING retention emissions (per-user cohort + seen-day
     // state across a ts-ordered 5-batch replay) — the w16 oracle
     // aggregates these; the Spark side recomputes batch w15Retention,

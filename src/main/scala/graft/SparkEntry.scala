@@ -1375,6 +1375,15 @@ object SparkEntry {
         |  epoch_us(ts) AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops,
         |  CAST(n_deletes AS BIGINT) AS n_deletes
         |FROM o WHERE rn = 1 AND op <> 'D'""",
+    // j12: stream≡batch CDC parity — latest snapshot emission per user
+    // from the replay dump, final-op-D keys dropped, vs batch j11
+    "j12_stream_cdc" ->
+      s"""SELECT user_id, last_op, cur_event_type, cur_value_cents,
+         |  last_ts_us, n_ops, n_deletes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY seq DESC) AS rn
+         |  FROM ${oprel("stream_cdc")})
+         |WHERE rn = 1 AND last_op <> 'D'""",
     // l1: Morton interleave via the shift/mask ladder — identical
     // integer ops both engines; bucket = z >> 14
     "l1_zorder" -> {

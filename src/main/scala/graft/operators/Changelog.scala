@@ -81,5 +81,9 @@ object Changelog {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_scd2" -> j10Scd2 _,
-    "j11_cdc_merge" -> j11CdcMerge _)
+    "j11_cdc_merge" -> j11CdcMerge _,
+    // j12: the SPARK side is batch j11; the oracle side is the
+    // streaming CDC replay dump — hash match = stream≡batch MERGE
+    // parity (the t29/w13/w16 convention)
+    "j12_stream_cdc" -> j11CdcMerge _)
 }

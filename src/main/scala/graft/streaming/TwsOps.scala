@@ -664,6 +664,110 @@ object TwsOps {
     hits.toDF()
   }
 
+  // ---- streaming CDC merge (j12 = streaming j11) --------------------
+
+  case class CdcIn(user_id: Long, tsus: Long, event_id: Long,
+      event_type: String, value_cents: Long)
+  case class CdcState(ts: Long, eid: Long, op: String, etype: String,
+      cents: Long, nOps: Long, nDel: Long, seq: Long)
+  case class CdcOut(user_id: Long, last_op: String,
+      cur_event_type: String, cur_value_cents: Long, last_ts_us: Long,
+      n_ops: Long, n_deletes: Long, seq: Long)
+
+  /** j11's changelog MERGE as an online keyed state machine: per-user
+    * state tracks the winning (ts, event_id) record plus op counters;
+    * each micro-batch that touches a user emits ONE post-batch
+    * snapshot row stamped with a monotone per-user `seq`, so the
+    * latest emission per user IS the current table state (delete
+    * state included — the dump consumer drops final-op-D keys exactly
+    * like batch j11's filter). State per live key is O(1); last-
+    * writer-wins means late re-deliveries of older (ts, event_id)
+    * records are no-ops, the idempotence a CDC consumer needs. */
+  class CdcProcessor extends StatefulProcessor[Long, CdcIn, CdcOut] {
+    @transient private var state: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcState](
+        "cdc", Encoders.product[CdcState], TTLConfig.NONE)
+
+    private def opOf(eventId: Long): String =
+      if (eventId % 7 == 0) "D" else if (eventId % 7 < 3) "I" else "U"
+
+    override def handleInputRows(user: Long, rows: Iterator[CdcIn],
+        timerValues: TimerValues): Iterator[CdcOut] = {
+      var st = Option(state.get())
+        .getOrElse(CdcState(-1L, -1L, "", "", 0L, 0L, 0L, 0L))
+      rows.toArray.sortBy(r => (r.tsus, r.event_id)).foreach { r =>
+        val op = opOf(r.event_id)
+        st = st.copy(nOps = st.nOps + 1,
+          nDel = st.nDel + (if (op == "D") 1L else 0L))
+        if (r.tsus > st.ts || (r.tsus == st.ts && r.event_id > st.eid))
+          st = st.copy(ts = r.tsus, eid = r.event_id, op = op,
+            etype = r.event_type, cents = r.value_cents)
+      }
+      st = st.copy(seq = st.seq + 1)
+      state.update(st)
+      Iterator.single(CdcOut(user, st.op, st.etype, st.cents, st.ts,
+        st.nOps, st.nDel, st.seq))
+    }
+  }
+
+  def cdcStreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "tsus", "event_id", "event_type",
+        "value_cents")
+      .as[CdcIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay through
+    * [[cdcStreamTws]] — the producer behind the j12 parity row: the
+    * OpLake dump keeps every per-batch snapshot emission; the oracle
+    * takes each user's latest `seq` and drops final-op-D keys, which
+    * must hash-match batch `j11CdcMerge`. */
+  def cdcReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) as tsus", "event_id",
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) as value_cents")
+      .as[(Long, Long, Long, String, Long)]
+      .collect().sortBy(e => (e._2, e._1, e._3))
+    val mem = MemoryStream[(Long, Long, Long, String, Long)]
+    val name = s"cdc_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = cdcStreamTws(mem.toDS()
+        .toDF("user_id", "tsus", "event_id", "event_type", "value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[CdcOut].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
