@@ -75,6 +75,10 @@ object OpLake {
     // j11CdcMerge must hash-match, so the gate IS stream≡batch MERGE
     // parity (including delete semantics)
     save(streaming.TwsOps.cdcReplay(s, d), "stream_cdc")
+    // the STREAMING SCD2 closed-interval emissions — the j13 oracle
+    // reads these; the Spark side recomputes batch j10's non-current
+    // rows, so the hash gate IS stream≡batch dimension-build parity
+    save(streaming.TwsOps.scd2Replay(s, d), "stream_scd2")
     // the STREAMING retention emissions (per-user cohort + seen-day
     // state across a ts-ordered 5-batch replay) — the w16 oracle
     // aggregates these; the Spark side recomputes batch w15Retention,

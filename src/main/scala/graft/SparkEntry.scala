@@ -1375,6 +1375,32 @@ object SparkEntry {
         |  epoch_us(ts) AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops,
         |  CAST(n_deletes AS BIGINT) AS n_deletes
         |FROM o WHERE rn = 1 AND op <> 'D'""",
+    // w21: per-user generate_series spine left-joined to observed
+    // daily counts; filled rows are exactly the NULL-join days
+    "w21_calendar_fill" ->
+      """WITH bd AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |    FROM bd GROUP BY 1))
+        |SELECT sp.user_id, sp.day,
+        |  COALESCE(bd.n, 0) AS n, bd.n IS NULL AS is_filled
+        |FROM sp LEFT JOIN bd USING (user_id, day)""",
+    // s9: top-10 heavy hitters + integer ppm share and ceil(n/avg)
+    // salt factor — same integer formulas both engines
+    "s9_skew_report" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM pk)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST((n * n_keys + total - 1) // total AS BIGINT)
+        |    AS salt_factor
+        |FROM pk CROSS JOIN t
+        |ORDER BY n DESC, user_id LIMIT 10""",
     // j12: stream≡batch CDC parity — latest snapshot emission per user
     // from the replay dump, final-op-D keys dropped, vs batch j11
     "j12_stream_cdc" ->
@@ -1384,6 +1410,12 @@ object SparkEntry {
          |    ORDER BY seq DESC) AS rn
          |  FROM ${oprel("stream_cdc")})
          |WHERE rn = 1 AND last_op <> 'D'""",
+    // j13: stream≡batch SCD2 parity — the replay dump's closed rows
+    // vs batch j10's non-current rows
+    "j13_stream_scd2" ->
+      s"""SELECT user_id, attr_value, version, valid_from_us,
+         |  valid_to_us, n_events
+         |FROM ${oprel("stream_scd2")}""",
     // l1: Morton interleave via the shift/mask ladder — identical
     // integer ops both engines; bucket = z >> 14
     "l1_zorder" -> {

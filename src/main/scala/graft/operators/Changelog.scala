@@ -85,5 +85,11 @@ object Changelog {
     // j12: the SPARK side is batch j11; the oracle side is the
     // streaming CDC replay dump — hash match = stream≡batch MERGE
     // parity (the t29/w13/w16 convention)
-    "j12_stream_cdc" -> j11CdcMerge _)
+    "j12_stream_cdc" -> j11CdcMerge _,
+    // j13: batch j10's CLOSED intervals vs the streaming SCD2 replay
+    // dump — hash match = stream≡batch dimension-build parity
+    "j13_stream_scd2" -> ((s: SparkSession, d: String) =>
+      j10Scd2(s, d).filter(!col("is_current"))
+        .select(col("user_id"), col("attr_value"), col("version"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"))))
 }

@@ -1451,7 +1451,54 @@ object Relational {
         (col("cents").cast("double") / 100).as("weighted_median_price"))
   }
 
+  /** w21 — CALENDAR GAP FILL: per-user daily activity with every
+    * missing day inside the user's [first, last] span materialized as
+    * an explicit zero row — the dense series every downstream
+    * time-series op (forward fill, rolling windows, trend fits)
+    * assumes. The spine is `sequence()` per user (generator-shaped:
+    * the explode fans a user's span across tasks, nobody builds a
+    * global calendar), joined back to the observed counts on
+    * (user, day) — one key-partitioned shuffle each side, no global
+    * window. Day spans here are ≤ the observation window; a 100 TB
+    * run is bounded by users × span-days exactly like this one. */
+  def w21CalendarFill(s: SparkSession, d: String): DataFrame = {
+    val byDay = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val spine = byDay.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(byDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("is_filled"))
+  }
+
+  /** s9 — KEY-SKEW REPORT: the diagnostic that decides when j9's
+    * salted join (or AQE skew handling) is needed. One pass over the
+    * keyed relation: per-key counts (partial-aggregated), top-10
+    * heavy hitters via TakeOrdered (no global window), each with its
+    * integer ppm share and the ceil(n/avg) salt factor a rebalance
+    * would use. All arithmetic integer, so the report is bit-exact
+    * cross-engine. */
+  def s9SkewReport(s: SparkSession, d: String): DataFrame = {
+    val perKey = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = perKey.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    perKey.orderBy(col("n").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"), col("total"), col("n_keys"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        // ceil(n / (total/n_keys)) in pure integer math
+        expr("(n * n_keys + total - 1) div total").as("salt_factor"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w21_calendar_fill" -> w21CalendarFill _,
+    "s9_skew_report" -> s9SkewReport _,
     "w20_transitions" -> w20Transitions _,
     "w19_streaks" -> w19Streaks _,
     "a25_weighted_median" -> a25WeightedMedian _,

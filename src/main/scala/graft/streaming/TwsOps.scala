@@ -768,6 +768,103 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming SCD2 (j13 = streaming j10, closed intervals) -------
+
+  case class ScdIn(user_id: Long, tsus: Long, event_id: Long,
+      event_type: String)
+  case class ScdState(value: String, version: Long, validFrom: Long,
+      nEvents: Long)
+  case class ScdClosed(user_id: Long, attr_value: String, version: Int,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  /** j10's SCD Type-2 build as an online dimension maintainer: per-user
+    * state holds only the OPEN version (value, version, valid_from,
+    * run length); a value change CLOSES the open interval — emitting
+    * the finished dimension row exactly once — and opens the next.
+    * Append-mode emissions are therefore precisely the closed rows of
+    * batch j10 (`is_current = false`), which is what the j13 parity
+    * row asserts; the open tail lives in state, O(1) per live key. */
+  class ScdProcessor extends StatefulProcessor[Long, ScdIn, ScdClosed] {
+    @transient private var state: ValueState[ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScdState](
+        "scd", Encoders.product[ScdState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[ScdIn],
+        timerValues: TimerValues): Iterator[ScdClosed] = {
+      var st = Option(state.get())
+      val out = Vector.newBuilder[ScdClosed]
+      rows.toArray.sortBy(r => (r.tsus, r.event_id)).foreach { r =>
+        st match {
+          case None =>
+            st = Some(ScdState(r.event_type, 1L, r.tsus, 1L))
+          case Some(cur) if cur.value == r.event_type =>
+            st = Some(cur.copy(nEvents = cur.nEvents + 1))
+          case Some(cur) =>
+            out += ScdClosed(user, cur.value, cur.version.toInt,
+              cur.validFrom, r.tsus, cur.nEvents)
+            st = Some(ScdState(r.event_type, cur.version + 1, r.tsus, 1L))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  def scd2StreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "tsus", "event_id", "event_type")
+      .as[ScdIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new ScdProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay through
+    * [[scd2StreamTws]] — the producer behind the j13 parity row: the
+    * dump holds every closed dimension row; batch j10's non-current
+    * rows must hash-match it. */
+  def scd2Replay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) as tsus", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .collect().sortBy(e => (e._2, e._1, e._3))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val name = s"scd2_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = scd2StreamTws(mem.toDS()
+        .toDF("user_id", "tsus", "event_id", "event_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[ScdClosed].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
