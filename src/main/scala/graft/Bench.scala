@@ -31,8 +31,9 @@ object Bench {
       graft.operators.TsQueries.warmPsiState(spark)
       graft.operators.TsQueries.warmMptsState(spark)
       graft.operators.Settings.warmRegistry(spark, sfDir)
-      // index BUILD is a batch job; e10 measures index SERVE
+      // index BUILD is a batch job; e10/t50b measure index SERVE
       graft.operators.Similarity.ivfIndexPath(spark, sfDir)
+      graft.operators.TextOps.bm25IndexPath(spark, sfDir)
     } catch { case e: Throwable =>
       // visible, not fatal: a failed warm-up means whatever it was
       // meant to pre-build gets (re)built inside a timed query — the

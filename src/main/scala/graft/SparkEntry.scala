@@ -1335,6 +1335,42 @@ object SparkEntry {
          |  CAST(r AS DOUBLE) / 1e12 AS rank
          |FROM r5 ORDER BY r DESC, node LIMIT 20"""
     },
+    // g2: independent-algorithm cross-check — recursive-SQL
+    // reachability closure vs Spark's min-label propagation
+    "g2_components" ->
+      """WITH RECURSIVE e0 AS (
+        |    SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |    FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT a AS n FROM ed),
+        |reach(n, comp) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT e.a, r.comp FROM ed e JOIN reach r ON e.b = r.n),
+        |lab AS (SELECT n, min(comp) AS comp FROM reach GROUP BY 1)
+        |SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parts,
+        |  CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suppliers
+        |FROM lab GROUP BY 1""",
+    // g3: per-part bounded pair join; integer ppm jaccard
+    "g3_cosupplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |  FROM lineitem),
+        |deg AS (SELECT sup, count(*) AS n_parts FROM ps GROUP BY 1),
+        |pairs AS (SELECT a.sup AS s_a, b.sup AS s_b, count(*) AS n_shared
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+        |  GROUP BY 1, 2)
+        |SELECT s_a, s_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(da.n_parts AS BIGINT) AS n_a,
+        |  CAST(db.n_parts AS BIGINT) AS n_b,
+        |  CAST(n_shared * 1000000 // (da.n_parts + db.n_parts - n_shared)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |JOIN deg da ON s_a = da.sup
+        |JOIN deg db ON s_b = db.sup
+        |ORDER BY n_shared DESC, s_a, s_b LIMIT 50""",
     // j10: SCD2 — version increments on value change; valid_to = next
     // version's valid_from (NULL ⇒ current); all times epoch-micros
     "j10_scd2" ->
@@ -1444,6 +1480,13 @@ object SparkEntry {
     // t50: BM25 — idf read from the Spark dump (ln computed once);
     // tf/dl/scoring re-derived; rank on the 1e-6-rounded score
     "t50_bm25" ->
+      s"""$t50Cte
+         |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score,
+         |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+         |FROM bm25rk WHERE rank <= 10""",
+    // t50b: serve-from-persisted-index must equal inline t50 — same
+    // independent oracle re-derivation
+    "t50b_bm25_serve" ->
       s"""$t50Cte
          |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score,
          |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms

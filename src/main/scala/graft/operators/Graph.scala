@@ -88,8 +88,64 @@ object Graph {
         (col("r").cast("double") / lit(1e12)).as("rank"))
   }
 
+  /** g2 — CONNECTED COMPONENTS over the recurring-relationship graph
+    * (part↔supplier pairs backed by ≥ 3 lineitems — the repeated-
+    * business subgraph, which fragments into real clusters instead of
+    * one hub blob): t17's min-label propagation reused verbatim on a
+    * non-text graph, then a component census. The oracle re-derives
+    * the closure with an independent algorithm (recursive-SQL
+    * reachability), the same cross-check discipline as t17. */
+  def g2Components(s: SparkSession, d: String): DataFrame = {
+    val strong = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .select((col("l_partkey") * 2).as("doc_a"),
+        (col("l_suppkey") * 2 + 1).as("doc_b"))
+    val nodes = strong.select(col("doc_a").as("doc_id"))
+      .union(strong.select(col("doc_b").as("doc_id"))).distinct()
+    TextOps.componentsOf(nodes, strong)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_parts"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_suppliers"))
+  }
+
+  /** g3 — CO-SUPPLIER projection: supplier pairs ranked by how many
+    * parts they both supply (the one-mode projection of the bipartite
+    * graph — co-occurrence/triangle analysis). The pair join is
+    * bounded PER PART (suppliers-per-part is a small constant at any
+    * scale), so supplier×supplier never materializes; top-50 via
+    * TakeOrdered; overlap reported as integer ppm Jaccard. */
+  def g3CoSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct()
+    val deg = ps.groupBy(col("sup")).agg(count(lit(1)).as("n_parts"))
+    val pairs = ps.as("a")
+      .join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("s_a"), col("b.sup").as("s_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(deg.select(col("sup").as("s_a"), col("n_parts").as("n_a")),
+        Seq("s_a"))
+      .join(deg.select(col("sup").as("s_b"), col("n_parts").as("n_b")),
+        Seq("s_b"))
+      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+      .limit(50)
+      .select(col("s_a"), col("s_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)))
+    "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)),
+    "g2_components" -> g2Components _,
+    "g3_cosupplier" -> g3CoSupplier _)
 
   /** Scale-stress probes (Profile-only, the z-family convention):
     * the graph at `stressReps`× — every replica is a disjoint copy of

@@ -1942,8 +1942,84 @@ object TextOps {
         col("doc_id"), col("score"), col("n_hit_terms"))
   }
 
+  private val bm25IndexWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once INVERTED-INDEX layout for [[t50bBm25Serve]] — the
+    * lexical counterpart of e10's persisted IVF lists (build ≠ serve):
+    * `postings/` holds (doc_id, term, tf, dl) hive-partitioned by a
+    * 64-way term-hash bucket, so a query's terms prune the scan to
+    * their buckets; `model/` holds the idf table with the corpus
+    * stats (sum_dl, n_docs) riding every row — serve never rescans the
+    * corpus. Keyed by MD5 of the data dir (the e10 collision-proof
+    * discipline); base overridable via GRAFT_INDEX_DIR. */
+  private[graft] def bm25IndexPath(s: SparkSession, d: String): String =
+    bm25IndexWritten.computeIfAbsent(d, { _ =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val path = s"$base/bm25-$md5"
+      val toks = bm25Tokens(s, d)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("bkt", pmod(xxhash64(col("term")), lit(64)))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$path/postings")
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).as("n_docs"))
+      t50Idf(s, d).crossJoin(broadcast(stats))
+        .write.mode("overwrite").parquet(s"$path/model")
+      path
+    })
+
+  /** t50b — BM25 SERVE from the persisted inverted index: the query's
+    * 15 terms (ranked from the persisted model, no corpus scan)
+    * broadcast into the postings read, joined on (bkt, term) so
+    * dynamic partition pruning drops every non-query bucket at the
+    * source — the e10 DPP-serve shape for lexical search. Must produce
+    * exactly t50's rows (same oracle), proving index-build + serve ≡
+    * inline scoring. */
+  def t50bBm25Serve(s: SparkSession, d: String): DataFrame = {
+    val path = bm25IndexPath(s, d)
+    val model = s.read.parquet(s"$path/model")
+    val qt = model
+      .orderBy(col("df").desc, col("term")).limit(15)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .select(expr("(rk - 1) div 3").as("q_id"), col("term"),
+        col("idf"), col("sum_dl"), col("n_docs"),
+        pmod(xxhash64(col("term")), lit(64)).as("bkt"))
+    // the query's bucket list is O(|query terms|) — a bounded driver
+    // value like the k-means model, never corpus-scaled. Filtering the
+    // scan with the literal list guarantees STATIC partition pruning
+    // (visible as PartitionFilters), independent of whether the DPP
+    // cost model would fire at this data size.
+    val qBuckets = qt.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val posts = s.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(qBuckets: _*))
+    posts.join(broadcast(qt), Seq("bkt", "term"))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("comp",
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("comp")).as("raw"), count(lit(1)).as("n_hit_terms"))
+      .withColumn("score", round(col("raw"), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"), col("n_hit_terms"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t50_bm25" -> t50Bm25 _,
+    "t50b_bm25_serve" -> t50bBm25Serve _,
     "t49_incremental_dedup" ->
       ((s: SparkSession, d: String) => t49IncrementalDedup(s, d)),
     "t48_repetition" -> t48Repetition _,
