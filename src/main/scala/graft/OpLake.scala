@@ -45,6 +45,7 @@ object OpLake {
     save(operators.Relational.a23Estimates(s, d)
       .select("week", "est_users"), "a23_est")
     save(operators.Relational.a11Estimates(s, d), "a11_est")
+    save(operators.Relational.a26Estimates(s, d), "a26_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
     save(operators.TextOps.t21Model(s, d), "t21_model")
     // t50's idf model: ln computed once (Spark), both engines read the

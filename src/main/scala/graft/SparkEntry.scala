@@ -949,6 +949,23 @@ object SparkEntry {
         |FROM w""",
     // a23: the merged weekly estimates come from the Verify dump; the
     // exact side and the 10% accuracy contract are the oracle's own
+    // a26: sketch inclusion–exclusion from the dumped estimates; exact
+    // intersection + integer bound re-derived independently
+    "a26_sketch_intersection" ->
+      s"""WITH est AS (SELECT * FROM ${oprel("a26_est")}),
+         |c AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase'),
+         |ex AS (SELECT count(*) AS exact_inter
+         |  FROM c JOIN p USING (user_id))
+         |SELECT est_click, est_purchase, est_union,
+         |  CAST(est_click + est_purchase - est_union AS BIGINT)
+         |    AS est_inter,
+         |  CAST(exact_inter AS BIGINT) AS exact_inter,
+         |  abs(est_click + est_purchase - est_union - exact_inter) * 10
+         |    <= exact_inter AS within_bound
+         |FROM est CROSS JOIN ex""",
     "a23_hll_merge" ->
       s"""WITH est AS (SELECT week, est_users FROM ${oprel("a23_est")}),
          |  ex AS (SELECT (epoch_us(ts) // 86400000000) // 7 AS week,

@@ -1320,6 +1320,50 @@ object Relational {
           .as("est_within_bound"))
   }
 
+  /** The engine-side layer of a26: per-behavior HLL sketches and their
+    * union estimate, one bounded row — Verify dumps it (`a26_est`) so
+    * the oracle shares the sketch numerology. */
+  private[graft] def a26Estimates(s: SparkSession, d: String): DataFrame = {
+    val sk = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val perType = sk.select(col("event_type"),
+      expr("cast(hll_sketch_estimate(sk) as bigint)").as("est"))
+    perType.filter(col("event_type") === "click")
+      .select(col("est").as("est_click"))
+      .crossJoin(perType.filter(col("event_type") === "purchase")
+        .select(col("est").as("est_purchase")))
+      .crossJoin(sk.agg(
+        expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+          .as("est_union")))
+  }
+
+  /** a26 — SKETCH SET ALGEBRA: estimate the overlap of two behavioral
+    * audiences (clickers ∩ purchasers) WITHOUT ever co-shuffling them,
+    * via inclusion–exclusion over mergeable HLL sketches — the
+    * composable-profile trick a7/a23 use for cardinality, extended to
+    * intersections. At 100 TB each audience sketch is a few KB
+    * regardless of user count and the estimate is sketch arithmetic;
+    * the exact intersection (a key-partitioned semi-join here) is
+    * computed alongside as the audit column, with the estimate
+    * asserted inside a 10% bound in integer math. */
+  def a26SketchIntersection(s: SparkSession, d: String): DataFrame = {
+    val est = a26Estimates(s, d)
+    def audience(t: String) = events(s, d)
+      .filter(col("event_type") === t).select("user_id").distinct()
+    val exact = audience("click").join(audience("purchase"), "user_id")
+      .agg(count(lit(1)).as("exact_inter"))
+    est.crossJoin(exact)
+      .select(col("est_click"), col("est_purchase"), col("est_union"),
+        (col("est_click") + col("est_purchase") - col("est_union"))
+          .as("est_inter"),
+        col("exact_inter"),
+        (abs(col("est_click") + col("est_purchase") - col("est_union")
+          - col("exact_inter")) * 10 <= col("exact_inter"))
+          .as("within_bound"))
+  }
+
   /** w18 — per-day TRENDING top-3 event types: the daily-leaderboard
     * query every analytics surface serves. Aggregate FIRST (map-side-
     * combined count per (day, type) — the only corpus-scaled shuffle),
@@ -1505,6 +1549,7 @@ object Relational {
     "w18_trending" -> w18Trending _,
     "a24_anomaly" -> a24Anomaly _,
     "a23_hll_merge" -> a23HllMerge _,
+    "a26_sketch_intersection" -> a26SketchIntersection _,
     "sc6_url_parse" -> sc6UrlParse _,
     "j7_full_outer" -> j7FullOuter _,
     "j8_null_safe_join" -> j8NullSafeJoin _,

@@ -459,4 +459,17 @@ class RelationalSpec extends SparkSuite {
       }
     } finally df.unpersist()
   }
+
+  test("a26 sketch intersection: estimate within bound of the exact join") {
+    val r = Relational.a26SketchIntersection(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("within_bound"),
+      s"estimate ${row.getAs[Long]("est_inter")} outside 10% of " +
+        s"exact ${row.getAs[Long]("exact_inter")}")
+    // union can never exceed the sum nor undercut either side
+    assert(row.getAs[Long]("est_union") <=
+      row.getAs[Long]("est_click") + row.getAs[Long]("est_purchase"))
+    assert(row.getAs[Long]("exact_inter") > 0)
+  }
 }
