@@ -1501,6 +1501,38 @@ object SparkEntry {
          |SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score,
          |  CAST(n_hit_terms AS BIGINT) AS n_hit_terms
          |FROM bm25rk WHERE rank <= 10""",
+    // e19: append ≡ rebuild under a fixed coarse quantizer — the
+    // oracle re-assigns the UNION corpus (base + re-keyed arrivals)
+    // from scratch and must match the served append-only index
+    "e19_ivf_incremental" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |sims AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.cv")} AS sim
+         |  FROM corpus e CROSS JOIN c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT vec_id, embedding, centroid_id,
+         |      row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+         |        AS rn
+         |    FROM sims) WHERE rn = 1),
+         |probes AS (SELECT query_id, q, centroid_id FROM (
+         |    SELECT vec_id AS query_id, embedding AS q, centroid_id,
+         |      row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
+         |        AS rn
+         |    FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+         |scored AS (SELECT p.query_id, a.vec_id AS cand_id,
+         |    ${cosSql("p.q", "a.embedding")} AS cosine
+         |  FROM probes p JOIN assigned a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5""",
     // t50b: serve-from-persisted-index must equal inline t50 — same
     // independent oracle re-derivation
     "t50b_bm25_serve" ->

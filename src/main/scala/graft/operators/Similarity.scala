@@ -825,7 +825,67 @@ object Similarity {
         col("doc_id"), col("rrf_fp"), col("lex_rank"), col("dense_rank"))
   }
 
+  /** Tomorrow's arrival batch, synthesized deterministically: every
+    * fifth vector re-keyed into a disjoint id space. */
+  private[graft] def newArrivals(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+
+  private val incrIndexWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** e19's index lifecycle: base assignment written once, then the
+    * arrival batch assigned against the SAME centroids and APPENDED to
+    * the partitioned layout — an index update that touches only the
+    * new rows (no rebuild, no read of existing lists). Fixed coarse
+    * quantizer ⇒ appending pointwise assignments is exactly
+    * re-assigning the union corpus, which is what the oracle checks. */
+  private[graft] def incrIndexPath(s: SparkSession, d: String,
+      k: Int = 16): String =
+    incrIndexWritten.computeIfAbsent(s"$d#k=$k", { _ =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val path = s"$base/incr-$md5-k$k"
+      val emb = embeddings(s, d)
+      val cents = centroidsOf(emb, k)
+      assignToCentroids(emb.select(col("vec_id"), col("embedding")), cents)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      assignToCentroids(newArrivals(emb), cents)
+        .write.mode("append").partitionBy("centroid_id").parquet(path)
+      path
+    })
+
+  /** e19 — INCREMENTAL IVF index maintenance + serve: top-k over the
+    * base corpus PLUS an appended arrival batch, served from the
+    * persisted lists after an append-only update (the lakehouse index
+    * upkeep path — at 100 TB a rebuild is a non-starter; appending
+    * partition files to the affected lists is the only shape that
+    * works). Queries and probe selection are unchanged from e5/e10;
+    * the oracle re-derives the full union-corpus assignment
+    * independently, proving append ≡ rebuild under a fixed coarse
+    * quantizer. */
+  def e19IvfIncremental(s: SparkSession, d: String, k: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = centroidsOf(emb, k)
+    val probes = probesOf(emb, centroids, nprobe)
+      .withColumn("centroid_id", col("centroid_id").cast("int"))
+    val lists = s.read.parquet(incrIndexPath(s, d, k))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes).join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_ivf_incremental" ->
+      ((s: SparkSession, d: String) => e19IvfIncremental(s, d)),
     "e18_hybrid_rrf" -> e18HybridRrf _,
     "e17_filtered_ann" -> e17FilteredAnn _,
     "e16_matryoshka" -> e16Matryoshka _,
