@@ -51,6 +51,12 @@ object OpLake {
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")
+    // t51's Stupid Backoff models (train-split bigram + unigram
+    // branches, ln pre-quantized to DECIMAL(18,9)) and the 1-row OOV
+    // floor — the oracle re-derives the held-out pair scoring only
+    save(operators.TextOps.t51BigramModel(s, d), "t51_bigram")
+    save(operators.TextOps.t51UnigramModel(s, d), "t51_unigram")
+    save(operators.TextOps.t51ModelStats(s, d), "t51_stats")
     // the STREAMING near-dup pair set from a deterministic multi-batch
     // replay — the t25 oracle reads this; the Spark side recomputes the
     // batch candidate relation, so the hash gate IS the stream≡batch
@@ -85,5 +91,12 @@ object OpLake {
     // aggregates these; the Spark side recomputes batch w15Retention,
     // so the hash gate IS the stream≡batch retention parity
     save(streaming.TwsOps.retentionReplay(s, d), "stream_retention")
+    // the STREAMING last-touch attribution emissions (O(1) latest-
+    // touch state per user) — the w23 oracle reads these; the Spark
+    // side recomputes the batch window-max detail, so the hash gate
+    // IS stream≡batch attribution parity
+    save(streaming.TwsOps.attributionReplay(s, d), "stream_attrib")
+    // a27's quantized decay table (pow computed once in Spark)
+    save(operators.Relational.a27DecayWeights(s, d), "a27_decay")
   }
 }

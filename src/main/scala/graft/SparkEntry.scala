@@ -1454,6 +1454,406 @@ object SparkEntry {
         |    AS salt_factor
         |FROM pk CROSS JOIN t
         |ORDER BY n DESC, user_id LIMIT 10""",
+    // w22: the oracle derives attribution INDEPENDENTLY — conversion×
+    // touch lookback join + row_number pick-latest — vs Spark's
+    // range-frame window max; hash match proves the two agree
+    "w22_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsus,
+        |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |cv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |tc AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT c.event_id AS cid, t.event_type AS ttype,
+        |    t.tsus AS tts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.tsus DESC, t.event_id DESC) AS rn
+        |  FROM cv c JOIN tc t ON c.user_id = t.user_id
+        |    AND t.tsus BETWEEN c.tsus - 604800000000 AND c.tsus - 1),
+        |at AS (SELECT c.event_id, c.cents, c.tsus AS cts, b.ttype, b.tts
+        |  FROM cv c LEFT JOIN (SELECT * FROM m WHERE rn = 1) b
+        |    ON c.event_id = b.cid)
+        |SELECT COALESCE(ttype, 'unattributed') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents,
+        |  CAST(sum(CASE WHEN tts IS NOT NULL THEN cts - tts END)
+        |    AS BIGINT) AS sum_lag_us
+        |FROM at GROUP BY 1""",
+    // w24: quintile = strictly-below-count × 5 // n, re-derived with
+    // RANGE frames (≤ v−1) instead of distinct-value windows —
+    // different mechanics, same tie-stable math
+    "w24_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(day) AS anchor FROM p),
+        |b AS (SELECT user_id, anchor - max(day) AS recency_days,
+        |    count(*) AS frequency, sum(cents) AS monetary
+        |  FROM p CROSS JOIN a GROUP BY user_id, anchor),
+        |q AS (SELECT user_id, recency_days, frequency, monetary,
+        |    5 - (count(*) OVER (ORDER BY recency_days
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      * 5 // count(*) OVER ()) AS r_score,
+        |    1 + (count(*) OVER (ORDER BY frequency
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      * 5 // count(*) OVER ()) AS f_score,
+        |    1 + (count(*) OVER (ORDER BY monetary
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      * 5 // count(*) OVER ()) AS m_score
+        |  FROM b)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency,
+        |  CAST(monetary AS BIGINT) AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM q""",
+    // a29: both medians re-derived by direct row_number ranking at
+    // rank (n+1)//2 — value at a rank is tie-order-independent
+    "a29_mad" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM li),
+        |med AS (SELECT l_returnflag, cents AS median_cents, n
+        |  FROM r WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT li.l_returnflag,
+        |    abs(li.cents - med.median_cents) AS dev
+        |  FROM li JOIN med USING (l_returnflag)),
+        |r2 AS (SELECT l_returnflag, dev,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM dv),
+        |mad AS (SELECT l_returnflag, dev AS mad_cents
+        |  FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT med.l_returnflag, CAST(med.n AS BIGINT) AS n,
+        |  med.median_cents, mad.mad_cents
+        |FROM med JOIN mad USING (l_returnflag)""",
+    // g5: reachability re-derived with depth-capped recursive SQL —
+    // independent algorithm, identical min-hop histogram
+    "g5_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_partkey * 2 AS a,
+        |    l_suppkey * 2 + 1 AS b FROM lineitem),
+        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT a AS n FROM ed),
+        |reach(n, dist) AS (
+        |    SELECT n, CAST(0 AS BIGINT) FROM nodes
+        |    WHERE n % 2 = 1 AND n // 2 < 5
+        |    UNION
+        |    SELECT e.a, r.dist + 1 FROM ed e JOIN reach r ON e.b = r.n
+        |    WHERE r.dist < 4),
+        |best AS (SELECT n, min(dist) AS dist FROM reach GROUP BY 1),
+        |hist AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |    FROM best GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+        |    FROM nodes WHERE n NOT IN (SELECT n FROM best))
+        |SELECT dist, n_nodes FROM hist WHERE n_nodes > 0""",
+    // l3: the l1 Morton ladder + the natural-grain envelopes, same
+    // probe, skip rates compared — all integer bucket math
+    "l3_layout_ab" ->
+      """WITH b0 AS (SELECT l_partkey, l_orderkey,
+        |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+        |  FROM lineitem),
+        |b1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+        |    (y0 | (y0 << 8)) & 16711935 AS y1 FROM b0),
+        |b2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM b1),
+        |b3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM b2),
+        |b4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM b3),
+        |z AS (SELECT l_partkey,
+        |    (x4 | (y4 << 1)) // 16384 AS bucket FROM b4),
+        |za AS (SELECT 'zorder' AS layout, count(*) AS n_buckets,
+        |    sum(CASE WHEN xp < 500 OR mp > 599 THEN 1 ELSE 0 END)
+        |      AS n_skipped
+        |  FROM (SELECT bucket, min(l_partkey) AS mp,
+        |      max(l_partkey) AS xp FROM z GROUP BY 1)),
+        |na AS (SELECT 'natural' AS layout, count(*) AS n_buckets,
+        |    sum(CASE WHEN xp < 500 OR mp > 599 THEN 1 ELSE 0 END)
+        |      AS n_skipped
+        |  FROM (SELECT l_orderkey // 2048 AS bucket,
+        |      min(l_partkey) AS mp, max(l_partkey) AS xp
+        |    FROM lineitem GROUP BY 1)),
+        |u AS (SELECT * FROM za UNION ALL SELECT * FROM na)
+        |SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(n_skipped AS BIGINT) AS n_skipped,
+        |  CAST(n_skipped * 1000000 // n_buckets AS BIGINT) AS skip_ppm
+        |FROM u""",
+    // j15: nearest-asof re-derived INDEPENDENTLY as the tolerance-
+    // bounded pair join + one global candidate ranking (abs distance,
+    // backward-first, id desc) vs Spark's two window passes
+    "j15_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events),
+        |o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ot
+        |  FROM orders),
+        |cand AS (SELECT e.event_id, o.o_orderkey,
+        |    CASE WHEN o.ot <= e.t THEN e.t - o.ot ELSE o.ot - e.t END
+        |      AS adt,
+        |    CASE WHEN o.ot <= e.t THEN 0 ELSE 1 END AS fwd,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |      (CASE WHEN o.ot <= e.t THEN e.t - o.ot
+        |        ELSE o.ot - e.t END),
+        |      (CASE WHEN o.ot <= e.t THEN 0 ELSE 1 END),
+        |      o.o_orderkey DESC) AS rn
+        |  FROM ev e JOIN o ON o.o_custkey = e.user_id
+        |    AND o.ot BETWEEN e.t - 2592000000000
+        |      AND e.t + 2592000000000),
+        |best AS (SELECT * FROM cand WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  b.o_orderkey AS nearest_orderkey,
+        |  COALESCE(b.adt, -1) AS dt_us,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'none'
+        |    WHEN b.fwd = 1 THEN 'forward'
+        |    ELSE 'backward' END AS matched
+        |FROM ev e LEFT JOIN best b ON e.event_id = b.event_id""",
+    // t53: scores re-derived from the t21 model dump; the selection
+    // re-derived with ONE direct quality-ordered window — proving
+    // Spark's two-level (bucket subtotal + per-bucket refinement)
+    // prefix sum ≡ the direct one
+    "t53_token_budget" ->
+      s"""WITH terms AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |m AS (SELECT * FROM ${oprel("t21_model")}),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(floor(CAST(sum(logp) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT) AS score
+         |  FROM terms JOIN m USING (term) GROUP BY doc_id),
+         |b AS (SELECT sum(n_tokens) // 2 AS budget FROM sc),
+         |o AS (SELECT doc_id, score, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS sel_offset
+         |  FROM sc)
+         |SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sel_offset AS BIGINT) AS sel_offset,
+         |  sel_offset < budget AS kept
+         |FROM o CROSS JOIN b""",
+    // a28: the trim re-derived with a direct row_number ranking —
+    // tie order inside a value group cannot change the kept multiset
+    "a28_trimmed_mean" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |kept AS (SELECT * FROM r
+        |  WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(n * 5 // 100) AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(cents) AS BIGINT) AS sum_kept_cents,
+        |  min(cents) AS lo_kept, max(cents) AS hi_kept,
+        |  CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+        |    AS mean_kept_micros
+        |FROM kept GROUP BY 1""",
+    // m8: the m6 pair derivation (banding + hamming over the sig
+    // dump) closed by recursive-SQL reachability — an independent
+    // algorithm vs Spark's min-label propagation (t17/g2 discipline)
+    "m8_asset_clusters" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, sh
+         |    FROM ${oprel("m6_sigs")}),
+         |ch AS (SELECT doc_id, sh, c, (sh >> (c * 12)) & 4095 AS ckey
+         |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ch x JOIN ch y
+         |  ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.sh, y.sh)) <= 12),
+         |ed AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |nodes AS (SELECT DISTINCT a AS n FROM ed),
+         |reach(n, comp) AS (
+         |    SELECT n, n FROM nodes
+         |    UNION
+         |    SELECT e.a, r.comp FROM ed e JOIN reach r ON e.b = r.n),
+         |lab AS (SELECT n, min(comp) AS comp FROM reach GROUP BY 1)
+         |SELECT comp, CAST(count(*) AS BIGINT) AS n_assets,
+         |  min(n) AS keep_id
+         |FROM lab GROUP BY 1""",
+    // w23: stream≡batch attribution parity — the oracle reads the
+    // streaming replay's per-conversion emissions; Spark recomputes
+    // the batch window-max detail
+    "w23_stream_attribution" ->
+      s"""SELECT conv_id, user_id, channel, cents, lag_us
+         |FROM ${oprel("stream_attrib")}""",
+    // a27: the quantized decay table is read from the Spark dump (pow
+    // computed once); the oracle re-derives ages + exact decimal sums
+    "a27_decayed_engagement" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |a AS (SELECT max(day) AS anchor FROM ev),
+         |w AS (SELECT * FROM ${oprel("a27_decay")}),
+         |j AS (SELECT user_id, cents, anchor - day AS age
+         |  FROM ev CROSS JOIN a)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(w.w) AS DECIMAL(38,9)) AS decayed_count,
+         |  CAST(sum(w.w * CAST(cents AS DECIMAL(12,0))) AS DECIMAL(38,9))
+         |    AS decayed_cents
+         |FROM j JOIN w ON j.age = w.age
+         |GROUP BY user_id""",
+    // s10: same distinct-value cumulative-rank decile formula — each
+    // tie group binned by its first rank; integer-exact
+    "s10_equidepth" ->
+      """WITH vc AS (SELECT
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT cents, cnt,
+        |    COALESCE(sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev,
+        |    sum(cnt) OVER () AS n
+        |  FROM vc)
+        |SELECT CAST(cum_prev * 10 // n AS BIGINT) AS bin,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c GROUP BY 1""",
+    // sc8: same synth + canonicalization via list split/filter/rejoin
+    // (no regex lookarounds — RE2 has none)
+    "sc8_url_canonical" ->
+      """WITH u AS (SELECT 'https://'
+        |    || CASE WHEN event_id % 2 = 0 THEN 'CDN' ELSE 'cdn' END
+        |    || CAST(user_id % 20 AS VARCHAR) || '.Example.COM'
+        |    || '/item/' || CAST(event_id % 50 AS VARCHAR)
+        |    || CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END
+        |    || '?utm_source=news&sku=' || CAST(event_id % 7 AS VARCHAR)
+        |    || '&utm_medium=' || CAST(event_id % 3 AS VARCHAR)
+        |    || '&ref=' || CAST(user_id % 5 AS VARCHAR)
+        |    || CASE WHEN event_id % 5 = 0
+        |      THEN '#sec' || CAST(event_id % 4 AS VARCHAR)
+        |      ELSE '' END AS url
+        |  FROM events),
+        |n AS (SELECT url, string_split(url, '#')[1] AS nofrag FROM u),
+        |c AS (SELECT url,
+        |    regexp_replace(lower(string_split(nofrag, '?')[1]), '/+$', '')
+        |    || CASE WHEN q = '' THEN '' ELSE '?' || q END
+        |      AS canonical_url
+        |  FROM (SELECT url, nofrag,
+        |      array_to_string(list_filter(
+        |        string_split(string_split(nofrag, '?')[2], '&'),
+        |        p -> NOT starts_with(p, 'utm_')), '&') AS q
+        |    FROM n))
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  min(url) AS example_url
+        |FROM c GROUP BY 1""",
+    // j14: the same sweep re-derived with a single direct window —
+    // delta collapse, running sum, peak + first peak time
+    "j14_concurrency" ->
+      """WITH iv AS (SELECT l_suppkey AS supp, epoch_us(l_shipdate) AS t0
+        |  FROM lineitem),
+        |pt AS (SELECT supp, t0 AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT supp, t0 + 604800000000, -1 FROM iv),
+        |ag AS (SELECT supp, t, sum(delta) AS delta FROM pt GROUP BY 1, 2),
+        |sw AS (SELECT supp, t,
+        |    sum(delta) OVER (PARTITION BY supp ORDER BY t) AS conc
+        |  FROM ag),
+        |mx AS (SELECT supp, max(conc) AS mc FROM sw GROUP BY 1),
+        |ct AS (SELECT supp, count(*) AS n FROM iv GROUP BY 1)
+        |SELECT s.supp, CAST(ct.n AS BIGINT) AS n_shipments,
+        |  CAST(mx.mc AS BIGINT) AS max_concurrent,
+        |  min(s.t) AS first_peak_us
+        |FROM sw s JOIN mx ON s.supp = mx.supp AND s.conc = mx.mc
+        |JOIN ct ON ct.supp = s.supp
+        |GROUP BY 1, 2, 3""",
+    // l2: the oracle re-derives the packing with a SINGLE direct
+    // prefix-sum window — hash match proves Spark's two-level
+    // (chunk-local + offset join) prefix sum ≡ the direct one
+    "l2_compaction" ->
+      """WITH d0 AS (SELECT source, doc_id,
+        |    octet_length(encode(text)) AS bytes FROM documents),
+        |c AS (SELECT source, doc_id, bytes,
+        |    COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prev
+        |  FROM d0)
+        |SELECT source, CAST(prev // 2048 AS BIGINT) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""",
+    // g4: full re-derivation — backbone top-k, degree keys, oriented
+    // wedge join, EXISTS closure — all integer, bit-exact
+    "g4_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |  FROM lineitem),
+        |pr AS (SELECT a.sup AS s_a, b.sup AS s_b, count(*) AS n_shared
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT s_a, s_b FROM pr
+        |  ORDER BY n_shared DESC, s_a, s_b LIMIT 2000),
+        |nd AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT s_a AS node FROM ed
+        |    UNION ALL SELECT s_b FROM ed) GROUP BY 1),
+        |ky AS (SELECT node, deg * 1000000000000 + node AS k FROM nd),
+        |ori AS (SELECT
+        |    CASE WHEN ka.k < kb.k THEN e.s_a ELSE e.s_b END AS u,
+        |    CASE WHEN ka.k < kb.k THEN e.s_b ELSE e.s_a END AS v,
+        |    CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS kv
+        |  FROM ed e JOIN ky ka ON e.s_a = ka.node
+        |  JOIN ky kb ON e.s_b = kb.node),
+        |wg AS (SELECT e1.v AS v, e2.v AS w FROM ori e1 JOIN ori e2
+        |  ON e1.u = e2.u AND e1.kv < e2.kv),
+        |tri AS (SELECT count(*) AS n_triangles FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM ori o
+        |    WHERE o.u = wg.v AND o.v = wg.w)),
+        |tot AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |      AS n_wedges,
+        |    CAST(count(*) AS BIGINT) AS n_nodes FROM nd)
+        |SELECT tot.n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,
+        |  tot.n_wedges, CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+        |  CAST(3 * tri.n_triangles * 1000000 // tot.n_wedges AS BIGINT)
+        |    AS clustering_ppm
+        |FROM tri CROSS JOIN tot""",
+    // t51: the quantized Stupid Backoff models are read from the Spark
+    // dump (ln computed once); the oracle re-derives the held-out
+    // split, pair explode, three-branch coalesce and decimal mean
+    "t51_backoff_lm" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |    CAST(list_sum(list_transform(range(1, 7),
+         |      i -> (strpos('0123456789abcdef',
+         |        substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
+         |        * (16 ** (6 - i)))) AS BIGINT) % 100 AS bkt
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |  FROM b WHERE bkt >= 90),
+         |pr AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[CAST(i AS INTEGER)] || ' '
+         |        || tk[CAST(i + 1 AS INTEGER)])) AS bigram,
+         |    unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[CAST(i + 1 AS INTEGER)])) AS w2
+         |  FROM ev WHERE len(tk) >= 2),
+         |m2 AS (SELECT * FROM ${oprel("t51_bigram")}),
+         |m1 AS (SELECT * FROM ${oprel("t51_unigram")}),
+         |st AS (SELECT * FROM ${oprel("t51_stats")}),
+         |sc AS (SELECT p.doc_id,
+         |    COALESCE(m2.logp, m1.logp, st.oov_logp) AS lp,
+         |    m2.logp IS NULL AS backed_off,
+         |    m2.logp IS NULL AND m1.logp IS NULL AS oov
+         |  FROM pr p
+         |  LEFT JOIN m2 ON p.bigram = m2.bigram
+         |  LEFT JOIN m1 ON p.w2 = m1.term
+         |  CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff,
+         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logp
+         |FROM sc GROUP BY doc_id""",
     // j12: stream≡batch CDC parity — latest snapshot emission per user
     // from the replay dump, final-op-D keys dropped, vs batch j11
     "j12_stream_cdc" ->

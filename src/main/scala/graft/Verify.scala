@@ -21,6 +21,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a clean run must not inherit a previous run's failure marker
+    Files.deleteIfExists(Paths.get(s"$outDir/_FAILED.txt"))
     // Dump failures must be LOUD: a silently-missing artifact shows up
     // downstream as a mystery "No files found" oracle row (round-5
     // w13/w16). Record every failure with its full stack in

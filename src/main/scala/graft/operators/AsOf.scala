@@ -44,6 +44,83 @@ object AsOf {
       .select(col("left_id"), col("k"), col("asof_right"))
   }
 
+  /** NEAREST-direction as-of join with tolerance — pandas
+    * `merge_asof(direction='nearest', tolerance=T)` semantics, still
+    * by composition: the SAME union+window pass run twice (backward,
+    * and forward on the reversed ordering), then a per-row pick of
+    * the nearer candidate. Two sorts of |L|+|R| — still no candidate
+    * explosion, no range cross join.
+    *
+    * Tie policy (deterministic): equal distances prefer the BACKWARD
+    * match; among simultaneous right rows the largest `rightId` wins
+    * on both sides. A right row at exactly the left timestamp is a
+    * backward match with distance 0 (so the forward pass deliberately
+    * excludes equal timestamps — sorting left before right in the
+    * reversed ordering is what enforces that). */
+  def joinNearest(left: DataFrame, leftKey: String, leftTs: String,
+      leftId: String, right: DataFrame, rightKey: String, rightTs: String,
+      rightId: String, tolUs: Long): DataFrame = {
+    val l = left.select(
+      col(leftKey).as("k"), col(leftTs).as("t"),
+      col(leftId).as("left_id"),
+      lit(null).cast("long").as("right_id"),
+      lit(null).cast("long").as("rt"), lit(1).as("side"))
+    val r = right.select(
+      col(rightKey).as("k"), col(rightTs).as("t"),
+      lit(null).cast("long").as("left_id"),
+      col(rightId).cast("long").as("right_id"),
+      col(rightTs).as("rt"), lit(0).as("side"))
+    val u = l.unionByName(r)
+    val back = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reversed ordering; left (side 1) before right at equal t, so a
+    // simultaneous right row is invisible forward; right_id ASC makes
+    // last() pick the max id at the nearest forward timestamp
+    val fwd = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("side").desc, col("right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // must be NULL (not a struct of nulls) on left rows, or
+    // last(ignoreNulls) would pick the left rows themselves
+    val cand = when(col("side") === 0, struct(col("rt"), col("right_id")))
+    u.withColumn("b", last(cand, ignoreNulls = true).over(back))
+      .withColumn("f", last(cand, ignoreNulls = true).over(fwd))
+      .filter(col("side") === 1)
+      .withColumn("b_dt", col("t") - col("b.rt"))
+      .withColumn("f_dt", col("f.rt") - col("t"))
+      .withColumn("b_ok", col("b").isNotNull && col("b_dt") <= tolUs)
+      .withColumn("f_ok", col("f").isNotNull && col("f_dt") <= tolUs)
+      .select(col("left_id"), col("k"),
+        when(col("b_ok") && (!col("f_ok") || col("b_dt") <= col("f_dt")),
+          col("b.right_id"))
+          .when(col("f_ok"), col("f.right_id"))
+          .as("nearest_right"),
+        when(col("b_ok") && (!col("f_ok") || col("b_dt") <= col("f_dt")),
+          col("b_dt"))
+          .when(col("f_ok"), col("f_dt"))
+          .as("dt_us"),
+        when(col("b_ok") && (!col("f_ok") || col("b_dt") <= col("f_dt")),
+          lit("backward"))
+          .when(col("f_ok"), lit("forward"))
+          .otherwise(lit("none")).as("matched"))
+  }
+
+  /** Driver query j15: for each event, the user's NEAREST order within
+    * ±30 days (either direction) — the tolerance-bounded enrichment
+    * join a feature pipeline uses when "latest before" is too strict.
+    * Timestamps are compared in epoch micros. */
+  def j15AsofNearest(s: SparkSession, d: String): DataFrame =
+    joinNearest(
+      events(s, d).withColumn("tsus", expr("unix_micros(ts)")),
+      "user_id", "tsus", "event_id",
+      orders(s, d).withColumn("ots",
+        expr("unix_micros(cast(o_orderdate as timestamp))")),
+      "o_custkey", "ots", "o_orderkey",
+      30L * 86400000000L)
+      .select(col("left_id").as("event_id"), col("k").as("user_id"),
+        col("nearest_right").as("nearest_orderkey"),
+        coalesce(col("dt_us"), lit(-1L)).as("dt_us"), col("matched"))
+
   /** Driver query: for each event, the user's latest order at or before
     * the event time (events.user_id ↔ orders.o_custkey). */
   def w6AsofJoin(s: SparkSession, d: String): DataFrame =

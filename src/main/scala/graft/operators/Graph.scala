@@ -142,10 +142,107 @@ object Graph {
           .as("jaccard_ppm"))
   }
 
+  /** g4 — TRIANGLE CENSUS on the co-supplier backbone: the top-2000
+    * strongest co-supplier edges (by shared-part support, ties by id —
+    * deterministic at every SF), counted by the degree-ordered
+    * node-iterator: each edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, wedges are generated only at an edge's
+    * LOW endpoint, and a wedge closes into a triangle iff its far pair
+    * is itself an oriented edge. Orientation bounds wedge fan-out by
+    * out-degree (≤ √|E| on any graph — the Schank/Wagner bound), which
+    * is what makes distributed triangle counting tractable: the naive
+    * 3-way edge self-join generates Σ deg² wedges at hubs. The
+    * backbone cap bounds the motif census at any corpus scale; the
+    * full-graph count is the same plan minus the top-k. Emits one row:
+    * |V|, |E|, open-wedge count Σ C(deg,2), triangle count, and the
+    * global clustering coefficient in integer ppm. */
+  def g4Triangles(s: SparkSession, d: String): DataFrame = {
+    val ps = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = ps.as("a")
+      .join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("s_a"), col("b.sup").as("s_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+      .limit(2000)
+      .select("s_a", "s_b")
+      // consumed 4× (degrees, both orientation joins, |E|); ≤ 2000 rows
+      // by construction at any SF, so caching is always cheap
+      .cache()
+    val deg = edges.select(explode(array(col("s_a"), col("s_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order by (deg, id), packed into one collision-free long
+    val keyed = deg.select(col("node"),
+      (col("deg") * lit(1000000000000L) + col("node")).as("k"))
+    val oriented = edges
+      .join(keyed.select(col("node").as("s_a"), col("k").as("ka")), "s_a")
+      .join(keyed.select(col("node").as("s_b"), col("k").as("kb")), "s_b")
+      .select(
+        when(col("ka") < col("kb"), col("s_a")).otherwise(col("s_b"))
+          .as("u"),
+        when(col("ka") < col("kb"), col("s_b")).otherwise(col("s_a"))
+          .as("v"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
+          .as("kv"))
+      .cache() // consumed 3×: both wedge sides + the closure probe
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .select(col("e1.v").as("v"), col("e2.v").as("w"))
+    val closed = wedges.join(oriented.select(col("u").as("v"),
+      col("v").as("w")), Seq("v", "w"), "left_semi")
+    val wedgeTotal = deg
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedgeTotal)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div n_wedges")
+          .as("clustering_ppm"))
+  }
+
+  /** g5 — MULTI-SOURCE BFS (bounded frontier expansion): exact
+    * shortest-hop distances from a fixed seed set (suppliers 0–4)
+    * over the bipartite part↔supplier graph, 4 rounds statically
+    * unrolled — one hash join + min-aggregation per round, the g1
+    * iteration shape with distance instead of rank. Emits the hop
+    * histogram plus an `unreached` row (dist −1): the coverage
+    * profile a crawl-frontier or influence analysis reads. The
+    * oracle re-derives reachability with recursive SQL capped at the
+    * same depth — independent algorithm, identical min-hop counts. */
+  def g5BfsHops(s: SparkSession, d: String, rounds: Int = 4)
+      : DataFrame = {
+    val edges = edgesOf(s, d).repartition(col("src")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    var dist = nodes
+      .filter(col("node") % 2 === 1 && expr("node div 2") < 5)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = edges.join(dist, edges("src") === dist("node"))
+        .select(edges("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint() // cut lineage each round (g1 discipline)
+    }
+    val reached = dist.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(dist, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("dist"), col("n_nodes"))
+    reached.unionByName(unreached).filter(col("n_nodes") > 0)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)),
     "g2_components" -> g2Components _,
-    "g3_cosupplier" -> g3CoSupplier _)
+    "g3_cosupplier" -> g3CoSupplier _,
+    "g4_triangles" -> g4Triangles _,
+    "g5_bfs_hops" -> ((s: SparkSession, d: String) => g5BfsHops(s, d)))
 
   /** Scale-stress probes (Profile-only, the z-family convention):
     * the graph at `stressReps`× — every replica is a disjoint copy of

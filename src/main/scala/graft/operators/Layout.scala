@@ -56,6 +56,74 @@ object Layout {
       .withColumn("skips_probe",
         col("max_part") < 500 || col("min_part") > 599)
 
+  /** l2 — COMPACTION PLANNER: the small-files half of `OPTIMIZE`.
+    * Documents are packed into target-sized output files per source
+    * partition by prefix-sum byte accounting: a doc's file is
+    * `floor(bytes_before_it / target)` in (source, doc_id) order —
+    * the deterministic greedy packing a table optimizer applies to a
+    * directory of small files. The prefix sum is TWO-LEVEL (per-chunk
+    * local sums + chunk offsets joined back), the k5 partitioned
+    * prefix-sum discipline, so no per-source window ever holds a
+    * whole 100 TB partition in one task; the chunk-offset relation is
+    * docs/64 rows and recurses the same way at the next scale. Output
+    * is the compaction manifest: per planned file, its doc count,
+    * byte size and doc-id range. Integer-exact; the oracle re-derives
+    * the packing with a SINGLE direct window, so the hash match
+    * proves two-level ≡ direct prefix sum. */
+  def l2Compaction(s: SparkSession, d: String): DataFrame = {
+    val target = 2048L // bytes per planned file (PLANS.md: scaled const)
+    val docs = graft.Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        expr("doc_id div 64").as("chunk"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "chunk").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    val chunkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("chunk")
+      .rowsBetween(Long.MinValue, -1)
+    val offsets = docs.groupBy("source", "chunk")
+      .agg(sum(col("bytes")).as("ctot"))
+      .withColumn("coff", coalesce(sum(col("ctot")).over(chunkW), lit(0L)))
+      .select("source", "chunk", "coff")
+    docs
+      .withColumn("lprev",
+        coalesce(sum(col("bytes")).over(localW), lit(0L)))
+      .join(offsets, Seq("source", "chunk"))
+      .withColumn("file_id", expr(s"(coff + lprev) div $target"))
+      .groupBy("source", "file_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** l3 — LAYOUT A/B SKIP AUDIT: the quantified WIN of l1's z-order.
+    * The same probe predicate (l_partkey ∈ [500, 599]) is evaluated
+    * against per-file min/max envelopes under TWO layouts — z-prefix
+    * buckets vs the natural insert-order grain (l_orderkey ranges) —
+    * and the report is one row of skip rates. This is the number a
+    * table optimizer shows to justify an OPTIMIZE ZORDER rewrite: on
+    * the clustered layout most envelopes exclude the probe; on
+    * insert order the partkey envelope spans the domain and nothing
+    * skips. Pure integer bucket math on both engines. */
+  def l3LayoutAb(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"),
+        zval(col("l_partkey"), col("l_suppkey")).as("z"))
+    def audit(bucket: org.apache.spark.sql.Column, name: String) =
+      li.groupBy(bucket.as("bucket"))
+        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("max_p") < 500 || col("min_p") > 599, 1L)
+            .otherwise(0L)).as("n_skipped"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("n_skipped"),
+          expr("n_skipped * 1000000 div n_buckets").as("skip_ppm"))
+    audit(expr("z div 16384"), "zorder")
+      .unionByName(audit(expr("l_orderkey div 2048"), "natural"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "l1_zorder" -> l1Zorder _)
+    "l1_zorder" -> l1Zorder _,
+    "l2_compaction" -> l2Compaction _,
+    "l3_layout_ab" -> l3LayoutAb _)
 }

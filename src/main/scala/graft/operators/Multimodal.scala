@@ -243,7 +243,29 @@ object Multimodal {
       .filter(col("n_shared_segs") >= 2)
   }
 
+  /** m8 — ASSET DEDUP CLUSTERS: m6's pairwise near-dup relation
+    * closed into TRANSITIVE clusters with t17's min-label propagation
+    * (the same edge-connected-only fixpoint; singletons never enter
+    * the loop), then a per-cluster census — the keep-one-per-cluster
+    * manifest an asset-dedup pass actually acts on. The oracle
+    * re-derives the closure with an independent algorithm
+    * (recursive-SQL reachability over the same signature dump), the
+    * t17/g2 cross-check discipline. */
+  def m8AssetClusters(s: SparkSession, d: String): DataFrame = {
+    // the m6 pair-gen is the expensive part (signature scan + banded
+    // self-join); pin it once — nodes, the propagation edges and the
+    // census all read the same ≤|pairs| relation
+    val pairs = m6MediaNearDup(s, d).select(col("doc_a"), col("doc_b"))
+      .cache()
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    TextOps.componentsOf(nodes, pairs)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("keep_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_asset_clusters" -> m8AssetClusters _,
     "m7_segment_neardup" -> m7SegmentNearDup _,
     "m6_media_neardup" -> m6MediaNearDup _,
     "m5_segment_stats" -> m5SegmentStats _,

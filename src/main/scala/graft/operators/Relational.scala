@@ -1540,7 +1540,346 @@ object Relational {
         expr("(n * n_keys + total - 1) div total").as("salt_factor"))
   }
 
+  /** w22 — LAST-TOUCH ATTRIBUTION: every conversion (`purchase`) is
+    * credited to the LATEST preceding touch (`click`/`view`) by the
+    * same user within a 7-day lookback, then the credit is rolled up
+    * per channel. The attribution itself is one range-frame window
+    * `max` over a touch struct ordered (ts, event_id) — no
+    * conversion×touch pair relation ever materializes, which is the
+    * 100 TB shape (the naive lookback join is |conv|×|touches/window|).
+    * Unattributed conversions are first-class (`channel =
+    * 'unattributed'`). Revenue is summed in integer cents; the lag sum
+    * is exact micros — bit-stable cross-engine. The oracle re-derives
+    * attribution INDEPENDENTLY via the pair join + row_number, so the
+    * hash match proves window-max ≡ join-then-pick-latest. */
+  def w22Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tsus"), col("event_id"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val lookback = Window.partitionBy("user_id").orderBy("tsus")
+      .rangeBetween(-7L * 86400000000L, -1L)
+    // max over (tsus, event_id, event_type) = latest touch, ties by id;
+    // non-touch rows contribute NULL which max ignores
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("tsus"), col("event_id"), col("event_type")))
+    ev.withColumn("t", max(touch).over(lookback))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("t.event_type"), lit("unattributed"))
+        .as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("attributed_cents"),
+        sum(when(col("t").isNotNull, col("tsus") - col("t.tsus")))
+          .as("sum_lag_us"))
+  }
+
+  /** j14 — INTERVAL-OVERLAP CENSUS by sweep-line: per supplier, the
+    * maximum number of concurrently open shipment intervals
+    * [l_shipdate, +7 days) and when that peak is first reached.
+    * Each interval becomes a +1/-1 delta point; deltas collapse per
+    * (key, t) map-side; one running sum per key orders the sweep.
+    * O(n log n) with NO pair materialization — the overlap-pair join
+    * this replaces is quadratic in the concurrency, which is exactly
+    * what explodes at 100 TB. Window partitions by supplier (bounded
+    * key), all arithmetic integer. */
+  def j14Concurrency(s: SparkSession, d: String): DataFrame = {
+    // l_shipdate ships as TIMESTAMP_NTZ in some testdata generations;
+    // with the session TZ pinned UTC the cast is wall-clock-identical
+    // to DuckDB's epoch_us on the same file (Tables.events discipline)
+    val iv = lineitem(s, d).select(col("l_suppkey").as("supp"),
+      expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"))
+    val pts = iv.select(col("supp"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("supp"),
+        (col("t0") + lit(7L * 86400000000L)).as("t"),
+        lit(-1L).as("delta")))
+      .groupBy("supp", "t").agg(sum(col("delta")).as("delta"))
+    val sweepW = Window.partitionBy("supp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweep = pts.withColumn("conc", sum(col("delta")).over(sweepW))
+    val peaks = sweep.groupBy("supp")
+      .agg(max(col("conc")).as("max_concurrent"))
+    // first time the peak is reached: exact two-pass (max, then min t at
+    // max) — max_by would tie-break arbitrarily
+    sweep.join(peaks, Seq("supp"))
+      .filter(col("conc") === col("max_concurrent"))
+      .groupBy("supp", "max_concurrent")
+      .agg(min(col("t")).as("first_peak_us"))
+      .join(iv.groupBy("supp").agg(count(lit(1)).as("n_shipments")),
+        Seq("supp"))
+      .select(col("supp"), col("n_shipments"), col("max_concurrent"),
+        col("first_peak_us"))
+  }
+
+  /** w23 batch side — w22's attribution BEFORE rollup: one row per
+    * conversion with its channel/lag. This is what the streaming
+    * last-touch state machine (TwsOps.AttributionProcessor) emits
+    * online; the oracle reads the replay dump, so the w23 hash match
+    * IS stream≡batch attribution parity. lag_us = -1 encodes
+    * unattributed (the stream emits concrete longs, not nulls). */
+  def w23AttributionDetail(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tsus"), col("event_id"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val lookback = Window.partitionBy("user_id").orderBy("tsus")
+      .rangeBetween(-7L * 86400000000L, -1L)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("tsus"), col("event_id"), col("event_type")))
+    ev.withColumn("t", max(touch).over(lookback))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        coalesce(col("t.event_type"), lit("unattributed")).as("channel"),
+        col("cents"),
+        coalesce(col("tsus") - col("t.tsus"), lit(-1L)).as("lag_us"))
+  }
+
+  /** a27's decay table: weight 0.5^(age_days/halflife) for every
+    * day-age present in the data, POW computed once and quantized to
+    * DECIMAL(18,9) — the t21/t50 transcendental-determinism trick
+    * applied to exponential decay. Table size = distinct ages
+    * (bounded by the observation span in days), broadcast-scale
+    * forever. */
+  def a27DecayWeights(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+    val anchor = days.agg(max(col("day")).as("anchor"))
+    days.distinct().crossJoin(broadcast(anchor))
+      .select((col("anchor") - col("day")).as("age"))
+      .distinct()
+      .select(col("age"),
+        pow(lit(0.5), col("age").cast("double") / lit(7.0))
+          .cast("decimal(18,9)").as("w"))
+  }
+
+  /** a27 — EXPONENTIALLY-DECAYED ENGAGEMENT: per user, events and
+    * revenue weighted by 0.5^(age/7d) against the corpus max-day
+    * anchor — the freshness-weighted counter behind trending/decay
+    * scoring. The decay table joins broadcast; every sum is exact
+    * decimal arithmetic over the pre-quantized weights, so results
+    * are partitioning-independent and bit-stable cross-engine. */
+  def a27DecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val anchor = ev.agg(max(col("day")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"), (col("anchor") - col("day")).as("age"),
+        col("cents"))
+      .join(broadcast(a27DecayWeights(s, d)), Seq("age"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).cast(DecimalType(38, 9)).as("decayed_count"),
+        // cents fits DECIMAL(12,0); keeping the product's precision at
+        // 18+12+1 = 31 ≤ 38 stops Spark's precision-loss rule from
+        // shaving the scale to 8 (which broke the bit-exact oracle)
+        sum(col("w") * col("cents").cast(DecimalType(12, 0)))
+          .cast(DecimalType(38, 9)).as("decayed_cents"))
+  }
+
+  /** s10 — EQUI-DEPTH HISTOGRAM (the CBO statistics companion of
+    * a19's equi-width bins): decile boundaries over the cents domain
+    * WITHOUT a global row window — per-value counts aggregate
+    * map-side, the cumulative rank runs over the DISTINCT-VALUE
+    * relation only (the a25 discipline: value-cardinality-bounded,
+    * never row-scaled), and each tie group lands in the decile of its
+    * first rank — deterministic under ties, unlike ntile whose tie
+    * placement is row-order-dependent. */
+  def s10Equidepth(s: SparkSession, d: String): DataFrame = {
+    val vc = events(s, d)
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)")
+        .as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vc.agg(sum(col("cnt")).as("n"))
+    vc.withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("cum_prev * 10 div n"))
+      .groupBy("bin")
+      .agg(sum(col("cnt")).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
+  /** sc8 — URL CANONICALIZATION + dedup census (the crawl-frontier
+    * dedup step: tracking-param strip, case-folded host, fragment and
+    * trailing-slash removal — cf. Common Crawl's URL normalization).
+    * URLs are synthesized deterministically from events (mixed-case
+    * hosts, utm_* params, fragments); canonicalization is pure
+    * column work — split/filter/rejoin on the param list instead of
+    * regex lookarounds (RE2 has none, so the oracle could not follow)
+    * — then an exact groupBy census per canonical form. */
+  def sc8UrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val host = concat(
+      when(pmod(col("event_id"), lit(2L)) === 0, lit("CDN"))
+        .otherwise(lit("cdn")),
+      pmod(col("user_id"), lit(20L)).cast("string"),
+      lit(".Example.COM"))
+    val url = concat(lit("https://"), host, lit("/item/"),
+      pmod(col("event_id"), lit(50L)).cast("string"),
+      when(pmod(col("event_id"), lit(3L)) === 0, lit("/"))
+        .otherwise(lit("")),
+      lit("?utm_source=news&sku="),
+      pmod(col("event_id"), lit(7L)).cast("string"),
+      lit("&utm_medium="), pmod(col("event_id"), lit(3L)).cast("string"),
+      lit("&ref="), pmod(col("user_id"), lit(5L)).cast("string"),
+      when(pmod(col("event_id"), lit(5L)) === 0,
+        concat(lit("#sec"), pmod(col("event_id"), lit(4L)).cast("string")))
+        .otherwise(lit("")))
+    // anchored regexp, not rtrim: Spark's two-arg rtrim is
+    // (trimStr, str) while DuckDB's is (str, chars) — a silent
+    // argument-order trap; '/+$' is unambiguous in both dialects
+    val base = expr("regexp_replace(lower(element_at(" +
+      "split(nofrag, '[?]'), 1)), '/+$', '')")
+    val params = expr("array_join(filter(split(" +
+      "element_at(split(nofrag, '[?]'), 2), '&'), " +
+      "p -> NOT startswith(p, 'utm_')), '&')")
+    events(s, d)
+      .select(url.as("url"))
+      .withColumn("nofrag", element_at(split(col("url"), "#"), 1))
+      .withColumn("canonical_url",
+        concat(base, when(params === "", lit(""))
+          .otherwise(concat(lit("?"), params))))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("url")).as("example_url"))
+  }
+
+  /** a28 — EXACT TRIMMED MEAN (5% two-sided): the robust-statistics
+    * companion of a15's exact median, same scale shape — per-value
+    * counts aggregate map-side, ONE cumulative window over the
+    * DISTINCT-value relation per group, and each value contributes
+    * the overlap of its rank range with the kept band (k, n−k].
+    * No per-group row sort, no row-scaled window; all integer. The
+    * oracle re-derives the trim with a direct row_number ranking
+    * (tie order inside a value group is irrelevant to the kept
+    * multiset), so the hash match proves range-math ≡ rank-filter. */
+  def a28TrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    val vc = li.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    vc.withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .withColumn("k", expr("n * 5 div 100"))
+      .withColumn("kept_n", expr(
+        "greatest(0, least(cum_prev + cnt, n - k) - greatest(cum_prev, k))"))
+      .filter(col("kept_n") > 0)
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("kept_n")).as("n_kept"),
+        sum(expr("kept_n * cents")).as("sum_kept_cents"),
+        min(col("cents")).as("lo_kept"), max(col("cents")).as("hi_kept"))
+      .withColumn("mean_kept_micros",
+        expr("sum_kept_cents * 1000000 div n_kept"))
+  }
+
+  /** Quintile by strictly-below count: q(v) = |rows < v| · 5 / n —
+    * the tie-stable form of ntile (a whole tie group shares one
+    * quintile, decided by its FIRST rank; s10's decile formula at
+    * k = 5). Computed on the distinct-value relation only. */
+  private def quintile(perUser: DataFrame, vcol: String): DataFrame = {
+    val vc = perUser.groupBy(vcol).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(vcol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vc.agg(sum(col("cnt")).as("n"))
+    vc.withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col(vcol), expr("below * 5 div n").as("q"))
+  }
+
+  /** w24 — RFM SEGMENTATION: the classic customer-value grid over
+    * purchase events — recency (days since last purchase vs the
+    * corpus anchor), frequency (purchase count) and monetary (cents
+    * sum), each scored 1–5 by tie-stable quintiles (recency
+    * inverted: smaller = better). Three distinct-value windows, one
+    * row per purchasing user, all integer — bit-exact oracle. */
+  def w24Rfm(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val anchor = p.agg(max(col("day")).as("anchor"))
+    val base = p.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"), sum(col("cents")).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        (col("anchor") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"))
+      // 4 longs per user, consumed 4× (three quintile passes + join)
+      .cache()
+    base
+      .join(broadcast(quintile(base, "recency_days")
+        .select(col("recency_days"), (lit(5) - col("q")).as("r_score"))),
+        Seq("recency_days"))
+      .join(broadcast(quintile(base, "frequency")
+        .select(col("frequency"), (col("q") + 1).as("f_score"))),
+        Seq("frequency"))
+      .join(broadcast(quintile(base, "monetary")
+        .select(col("monetary"), (col("q") + 1).as("m_score"))),
+        Seq("monetary"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        expr("r_score * 100 + f_score * 10 + m_score").as("rfm"))
+  }
+
+  /** Lower median (rank ⌈n/2⌉) from a per-value count relation —
+    * distinct-value cumulative only, no row sort; integer-exact with
+    * no two-value interpolation, which is what lets MAD chain it
+    * twice without drift. */
+  private def lowerMedianOf(vals: DataFrame, g: String, v: String)
+      : DataFrame = {
+    val w = Window.partitionBy(g).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.groupBy(g).agg(sum(col("cnt")).as("n"))
+    vals.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), Seq(g))
+      .withColumn("k", expr("(n + 1) div 2"))
+      .filter(col("cum") - col("cnt") < col("k") && col("k") <= col("cum"))
+      .select(col(g), col(v).as("med"), col("n"))
+  }
+
+  /** a29 — MEDIAN ABSOLUTE DEVIATION, exact: the robust dispersion
+    * companion of a15/a28 (a20 is variance-based). Lower-median
+    * convention so BOTH medians stay integer cents — the second pass
+    * runs the same distinct-value order-statistic on |x − med|;
+    * nothing row-scaled, nothing interpolated, bit-exact. */
+  def a29Mad(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    val vc = li.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val med = lowerMedianOf(vc, "l_returnflag", "cents")
+    val dev = vc
+      .join(broadcast(med.select(col("l_returnflag"), col("med"))),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        abs(col("cents") - col("med")).as("dev"), col("cnt"))
+      .groupBy("l_returnflag", "dev").agg(sum(col("cnt")).as("cnt"))
+    med.select(col("l_returnflag"), col("n"),
+        col("med").as("median_cents"))
+      .join(lowerMedianOf(dev, "l_returnflag", "dev")
+        .select(col("l_returnflag"), col("med").as("mad_cents")),
+        Seq("l_returnflag"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w24_rfm" -> w24Rfm _,
+    "a29_mad" -> a29Mad _,
+    "a28_trimmed_mean" -> a28TrimmedMean _,
+    "j15_asof_nearest" -> AsOf.j15AsofNearest _,
+    "w22_attribution" -> w22Attribution _,
+    // w23: the SPARK side is the batch window-max detail; the oracle
+    // side is the streaming replay dump — hash match = parity
+    "w23_stream_attribution" -> w23AttributionDetail _,
+    "a27_decayed_engagement" -> a27DecayedEngagement _,
+    "s10_equidepth" -> s10Equidepth _,
+    "sc8_url_canonical" -> sc8UrlCanonical _,
+    "j14_concurrency" -> j14Concurrency _,
     "w21_calendar_fill" -> w21CalendarFill _,
     "s9_skew_report" -> s9SkewReport _,
     "w20_transitions" -> w20Transitions _,

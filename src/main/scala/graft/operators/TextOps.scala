@@ -866,16 +866,20 @@ object TextOps {
         .select(col("doc_a").as("doc_id"), col("comp"))
       val merged = labels.unionByName(viaNb)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-      // every 5th round, cut the lineage: each round's plan nests the
-      // previous one, and on a deep graph the compounding analyzer /
-      // optimizer cost would dominate long before the data does
-      val next =
-        if ((iter + 1) % 5 == 0) merged.localCheckpoint(true)
-        else merged.cache()
+      // eager localCheckpoint EVERY round: measured on the m8 media
+      // graph (11-round fixpoint), cache()-per-round leaves each
+      // round's plan nesting every prior round, and the ANALYZER cost
+      // compounds ~1.6×/round (0.4 s → 10.9 s by round 5) even though
+      // the data is cached — truncating the logical plan to the
+      // materialized RDD holds every round at a flat ~0.3 s. The
+      // materialization itself is one pass over the label vector
+      // (edge-connected nodes only), which a cache would do anyway; on
+      // a cluster this would be a reliable checkpoint for executor-
+      // loss recovery too.
+      val next = merged.localCheckpoint(true)
       val chk = BigDecimal(next
         .agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0))
-      labels.unpersist(blocking = false)
       labels = next
       done = chk == prev
       prev = chk
@@ -2017,7 +2021,158 @@ object TextOps {
         col("doc_id"), col("score"), col("n_hit_terms"))
   }
 
+  // ---- t51: Stupid Backoff bigram LM scoring ------------------------
+
+  /** Tokens + the t12 md5-bucket split (bucket < 90 = train): the
+    * model trains on the 90% split and scores the held-out 10%, so
+    * backoff and OOV branches are actually exercised (scoring the
+    * training corpus with its own model never backs off). */
+  private[graft] def t51Toks(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val bucket =
+      (conv(substring(h, 1, 6), 16, 10).cast("long") % 100).cast("int")
+    documents(s, d).select(col("doc_id"), (bucket < 90).as("is_train"),
+      split(trim(lower(col("text"))), "\\s+").as("t"))
+  }
+
+  /** Adjacent token pairs, keyed by the bigram STRING ("w1 w2" —
+    * tokens cannot contain whitespace, so the key is collision-free)
+    * plus the backoff key w2. Generator-shaped explode: a long doc
+    * fans its pairs across tasks. */
+  private def t51PairsOf(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(" +
+          "concat(t[i-1], ' ', t[i]) as bigram, " +
+          "t[i-1] as w1, t[i] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.bigram").as("bigram"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  private def t51TrainUnigrams(s: SparkSession, d: String): DataFrame =
+    t51Toks(s, d).filter(col("is_train"))
+      .select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Seen-bigram branch of Stupid Backoff (Brants et al. 2007):
+    * S(w₂|w₁) = c(w₁w₂)/c(w₁), carried as ln quantized to
+    * DECIMAL(18,9) — the t21/t50 determinism trick (ln computed once
+    * in Spark, dumped; every downstream op is exact decimal +/÷).
+    * Model size is the seen-bigram vocabulary — Zipf-bounded, far
+    * below corpus scale, but NOT broadcast-assumed: the scoring join
+    * hash-partitions on the bigram key. */
+  def t51BigramModel(s: SparkSession, d: String): DataFrame = {
+    val uni = t51TrainUnigrams(s, d)
+    t51PairsOf(t51Toks(s, d).filter(col("is_train")))
+      .groupBy(col("bigram"), col("w1")).agg(count(lit(1)).as("cbg"))
+      .join(uni.select(col("term").as("w1"), col("cnt").as("c1")),
+        Seq("w1"))
+      .select(col("bigram"),
+        log(col("cbg").cast("double") / col("c1").cast("double"))
+          .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** Backoff branch: α·c(w₂)/N with α = 0.4, same quantization. */
+  def t51UnigramModel(s: SparkSession, d: String): DataFrame = {
+    val uni = t51TrainUnigrams(s, d)
+    val n = uni.agg(sum(col("cnt")).cast("double").as("n_total"))
+    uni.crossJoin(broadcast(n))
+      .select(col("term"),
+        log(lit(0.4) * col("cnt").cast("double") / col("n_total"))
+          .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** 1-row model stats: train-token count + the OOV floor ln(α/N)
+    * (an unseen word scored as count 1). */
+  def t51ModelStats(s: SparkSession, d: String): DataFrame =
+    t51TrainUnigrams(s, d)
+      .agg(sum(col("cnt")).as("n_train_tokens"))
+      .select(col("n_train_tokens"),
+        log(lit(0.4) / col("n_train_tokens").cast("double"))
+          .cast("decimal(18,9)").as("oov_logp"))
+
+  /** t51 — STUPID BACKOFF LM SCORING: held-out documents scored by
+    * mean pair log-score under the train-split bigram model — the
+    * KenLM-perplexity data-quality signal (cf. CCNet) with the
+    * industrial-scale LM smoothing actually used at corpus size
+    * (Brants et al. 2007 chose Stupid Backoff BECAUSE it distributes:
+    * no discount renormalization pass, every branch a count ratio).
+    * Per pair: the bigram model if seen, else α·unigram, else the OOV
+    * floor. All three branches are pre-quantized decimals, so the
+    * per-doc sum is exact under any partitioning; the scoring join
+    * moves (bigram, w2) strings against the Zipf-bounded model with
+    * NO broadcast assumption. The oracle consumes the dumped models
+    * and re-derives pair explode + joins + decimal mean in SQL. */
+  def t51BackoffLm(s: SparkSession, d: String): DataFrame = {
+    val pairs = t51PairsOf(t51Toks(s, d).filter(!col("is_train")))
+    val bg = t51BigramModel(s, d)
+      .select(col("bigram"), col("logp").as("bg_logp"))
+    val uni = t51UnigramModel(s, d)
+      .select(col("term").as("w2"), col("logp").as("uni_logp"))
+    pairs
+      .join(bg, Seq("bigram"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(t51ModelStats(s, d).select(col("oov_logp"))))
+      .select(col("doc_id"),
+        coalesce(col("bg_logp"), col("uni_logp"), col("oov_logp"))
+          .as("lp"),
+        col("bg_logp").isNull.as("backed_off"),
+        (col("bg_logp").isNull && col("uni_logp").isNull).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("backed_off"), 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_pairs"), col("n_backoff"),
+        col("n_oov"),
+        (col("slp").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_logp"))
+  }
+
+  /** t53 — TOKEN-BUDGET CORPUS SELECTION: keep the highest-quality
+    * documents until a global token budget (half the corpus here) is
+    * spent — the data-mixing step that turns per-doc quality scores
+    * (t21's LM logprob, quantized to integer micros) into an actual
+    * training set. The global quality-ordered prefix sum is TWO-LEVEL
+    * (the l2/k5 discipline): score-bucket subtotals (score >> 10 —
+    * arithmetic shift, so floor semantics hold for negative logprobs
+    * where `div` would truncate toward zero) roll up in one bounded
+    * window, and the per-doc refinement window partitions by bucket.
+    * No row-scaled global window anywhere; the oracle re-derives the
+    * selection with ONE direct window, proving two-level ≡ direct. */
+  def t53TokenBudget(s: SparkSession, d: String): DataFrame = {
+    // 3 longs per doc, consumed 3× (budget, bucket subtotals, main) —
+    // cache instead of re-tokenizing the corpus three times; at lake
+    // scale this is the persisted score table (t41b discipline)
+    val scored = t21UnigramLogprob(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cast(floor(mean_logp * 1000000) as bigint)").as("score"))
+      .cache()
+    val tot = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val bucketed = scored.withColumn("bkt", expr("shiftright(score, 10)"))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val bOff = bucketed.groupBy("bkt")
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff",
+        coalesce(sum(col("btok")).over(bucketW), lit(0L)))
+      .select("bkt", "boff")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    bucketed
+      .withColumn("lprev",
+        coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .join(bOff, Seq("bkt"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        (col("boff") + col("lprev")).as("sel_offset"),
+        ((col("boff") + col("lprev")) < col("budget")).as("kept"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t53_token_budget" -> t53TokenBudget _,
+    "t51_backoff_lm" -> t51BackoffLm _,
     "t50_bm25" -> t50Bm25 _,
     "t50b_bm25_serve" -> t50bBm25Serve _,
     "t49_incremental_dedup" ->

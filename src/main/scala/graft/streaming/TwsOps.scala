@@ -865,6 +865,109 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming last-touch attribution (w23 = streaming w22) -------
+
+  case class AttrIn(user_id: Long, event_type: String, tsus: Long,
+      event_id: Long, cents: Long)
+  case class LastTouch(tsus: Long, event_id: Long, event_type: String)
+  case class AttrHit(conv_id: Long, user_id: Long, channel: String,
+      cents: Long, lag_us: Long)
+
+  /** w22's last-touch attribution as an online per-user state machine
+    * with O(1) STATE: only the latest touch is kept, because in a
+    * ts-ordered stream the latest stored touch IS the window max — if
+    * it falls outside the 7-day lookback, so does every earlier one.
+    * Purchases emit immediately (lag_us = -1 when unattributed) and
+    * are touch-transparent, exactly the batch window-max semantics
+    * (touch at the same microsecond as the conversion excluded). */
+  class AttributionProcessor
+      extends StatefulProcessor[Long, AttrIn, AttrHit] {
+    @transient private var last: ValueState[LastTouch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastTouch](
+        "touch", Encoders.product[LastTouch], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[AttrIn],
+        timerValues: TimerValues): Iterator[AttrHit] = {
+      val week = 7L * 86400000000L
+      var t = Option(last.get())
+      val out = Vector.newBuilder[AttrHit]
+      rows.toArray.sortBy(r => (r.tsus, r.event_id)).foreach { r =>
+        r.event_type match {
+          case "click" | "view" =>
+            t = Some(LastTouch(r.tsus, r.event_id, r.event_type))
+            last.update(t.get)
+          case "purchase" =>
+            t match {
+              case Some(tc)
+                  if tc.tsus >= r.tsus - week && tc.tsus <= r.tsus - 1 =>
+                out += AttrHit(r.event_id, user, tc.event_type, r.cents,
+                  r.tsus - tc.tsus)
+              case _ =>
+                out += AttrHit(r.event_id, user, "unattributed", r.cents,
+                  -1L)
+            }
+          case _ => ()
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def attributionStreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[AttrHit] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "event_type", "tsus", "event_id", "cents")
+      .as[AttrIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay through
+    * [[attributionStreamTws]] — the producer behind the w23 parity
+    * row: OpLake dumps the per-conversion attributions and batch
+    * `w23AttributionDetail` (the window-max derivation) must
+    * hash-match them. */
+  def attributionReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as tsus",
+        "event_id", "cast(floor(value * 100 + 0.5) as bigint) as cents")
+      .as[(Long, String, Long, Long, Long)]
+      .collect().sortBy(e => (e._3, e._4))
+    val mem = MemoryStream[(Long, String, Long, Long, Long)]
+    val name = s"attr_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = attributionStreamTws(mem.toDS()
+        .toDF("user_id", "event_type", "tsus", "event_id", "cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[AttrHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
