@@ -1552,6 +1552,100 @@ object SparkEntry {
         |  SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
         |    FROM nodes WHERE n NOT IN (SELECT n FROM best))
         |SELECT dist, n_nodes FROM hist WHERE n_nodes > 0""",
+    // e20: the pruned range search must EQUAL exact brute force — the
+    // oracle is the e3-style all-pairs SQL restricted to the query set
+    "e20_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT x.vec_id AS query_id, y.vec_id AS cand_id
+        |FROM e x JOIN e y
+        |  ON x.vec_id < 50 AND x.vec_id <> y.vec_id
+        |WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |    i -> CAST(x.embedding[i] AS DOUBLE)
+        |      * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm)
+        |  >= 0.4""",
+    // g6: RA link prediction re-derived directly — same hub cap, same
+    // per-term integer floor division, total-order top-30
+    "g6_resource_alloc" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |    FROM lineitem),
+        |pd AS (SELECT p, count(*) AS pdeg FROM ps GROUP BY 1
+        |    HAVING count(*) <= 64),
+        |pr AS (SELECT a.sup AS s_a, b.sup AS s_b,
+        |    1000000 // pd.pdeg AS w
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+        |  JOIN pd ON pd.p = a.p)
+        |SELECT s_a, s_b, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(sum(w) AS BIGINT) AS ra_micro
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY ra_micro DESC, s_a, s_b LIMIT 30""",
+    // t54: novelty re-derived on shingle STRINGS (Spark dedups and
+    // first-sees 64-bit hashes — the t6/t7 hash-vs-string convention)
+    "t54_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh
+        |    GROUP BY 1),
+        |pd AS (SELECT s.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |      AS n_novel
+        |  FROM sh s JOIN fs f ON s.shingle = f.shingle GROUP BY 1)
+        |SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+        |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(sum(n_novel) * 1000000 // sum(n_shingles) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM pd GROUP BY 1""",
+    // j16: islands re-derived INDEPENDENTLY — head = no predecessor
+    // within L (NOT EXISTS), membership = head-count-below; Spark uses
+    // the lag/running-sum mechanics instead
+    "j16_interval_coverage" ->
+      """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) AS t
+        |    FROM events),
+        |heads AS (SELECT user_id, t FROM ev e WHERE NOT EXISTS (
+        |    SELECT 1 FROM ev p WHERE p.user_id = e.user_id
+        |      AND p.t < e.t AND p.t >= e.t - 1800000000)),
+        |isl AS (SELECT e.user_id, e.t,
+        |    (SELECT count(*) FROM heads h
+        |      WHERE h.user_id = e.user_id AND h.t <= e.t) AS island
+        |  FROM ev e),
+        |g AS (SELECT user_id, island, min(t) AS t0, max(t) AS t1
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(t1 - t0 + 1800000000) AS BIGINT) AS covered_us,
+        |  CAST(max(t1 - t0 + 1800000000) AS BIGINT) AS max_island_us
+        |FROM g GROUP BY 1""",
+    // m9: the m3 frame grid re-derived, keyframe = leading hex nibble
+    // in {0,8} — a pure string compare identical on both engines
+    "m9_keyframes" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |fr AS (SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+        |    md5(substring(text, CAST(t.i * 256 + 1 AS INTEGER), 64))
+        |      AS frame_hash
+        |  FROM m, LATERAL unnest(range(0,
+        |    greatest(0, CAST((n - 1) // 256 AS INTEGER)) + 1)) AS t(i))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN substring(frame_hash, 1, 1) IN ('0', '8')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+        |  CAST(coalesce(min(CASE WHEN substring(frame_hash, 1, 1)
+        |    IN ('0', '8') THEN frame_idx END), -1) AS INTEGER)
+        |    AS first_key,
+        |  CAST(coalesce(max(CASE WHEN substring(frame_hash, 1, 1)
+        |    IN ('0', '8') THEN frame_idx END), -1) AS INTEGER)
+        |    AS last_key,
+        |  CAST(sum(CASE WHEN substring(frame_hash, 1, 1) IN ('0', '8')
+        |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |    AS key_permille
+        |FROM fr GROUP BY 1""",
     // l3: the l1 Morton ladder + the natural-grain envelopes, same
     // probe, skip rates compared — all integer bucket math
     "l3_layout_ab" ->

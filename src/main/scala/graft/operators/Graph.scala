@@ -237,7 +237,40 @@ object Graph {
     reached.unionByName(unreached).filter(col("n_nodes") > 0)
   }
 
+  /** g6 — LINK PREDICTION by the Resource-Allocation index: supplier
+    * pairs scored by Σ_p 1/deg(p) over their shared parts — RA is the
+    * Zhou/Lü/Zhang weighting that discounts hub intermediaries (a
+    * shared rare part is strong evidence, a shared commodity part is
+    * weak), the standard upgrade over g3's raw co-occurrence count.
+    *
+    * Scale: pair generation is the same shared-neighbor self-join as
+    * g3, with fan-out per part C(deg,2) — bounded here by TPC-H's ≤4
+    * suppliers/part and, on open-world graphs, by the documented hub
+    * cap (deg ≤ 64: a hub's pairs carry ≤ 1/64 weight each, so the cap
+    * trims quadratic work that contributes almost nothing to scores —
+    * both engines apply the identical cut). Scores are fixed-point
+    * integer (micro-units, floor-divided per term) so Spark and DuckDB
+    * agree bit-for-bit with no float summation order anywhere. */
+  def g6ResourceAlloc(s: SparkSession, d: String): DataFrame = {
+    val ps = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct()
+    val pd = ps.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+      .filter(col("pdeg") <= 64)
+    val capped = ps.join(pd, Seq("p"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .select(col("a.sup").as("s_a"), col("b.sup").as("s_b"),
+        expr("1000000 div a.pdeg").as("w"))
+      .groupBy("s_a", "s_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("w")).as("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("s_a"), col("s_b"))
+      .limit(30)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g6_resource_alloc" -> g6ResourceAlloc _,
     "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)),
     "g2_components" -> g2Components _,
     "g3_cosupplier" -> g3CoSupplier _,

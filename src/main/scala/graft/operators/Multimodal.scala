@@ -264,7 +264,37 @@ object Multimodal {
       .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("keep_id"))
   }
 
+  /** m9 — CONTENT-DEFINED KEYFRAME SELECTION: over m3's frame grid,
+    * keep the frames whose content hash starts with a 0-mod-8 hex
+    * nibble (`'0'`/`'8'` — an expected 1/8 sample). Selecting on the
+    * CONTENT hash instead of a fixed stride is the video analog of
+    * content-defined chunking: insert or drop frames upstream and the
+    * same frames keep getting selected downstream of the edit, where a
+    * stride grid shifts everything — the property that makes keyframe
+    * fingerprints join across re-encodes of the same asset. Emits the
+    * per-asset keyframe census (count, span, integer per-mille rate).
+    *
+    * Scale: rides m3's one-pass payload scan — the selection predicate
+    * is a codegen'd string compare on the already-computed hash, the
+    * census one map-side-combining aggregate; no shuffle carries
+    * payload bytes, and assets with zero keyframes survive via the
+    * frame-side aggregate (no join at all). */
+  def m9Keyframes(s: SparkSession, d: String): DataFrame = {
+    val isKey = substring(col("frame_hash"), 1, 1).isin("0", "8")
+    m3FrameSample(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(isKey, 1L).otherwise(0L)).as("n_keyframes"),
+        min(when(isKey, col("frame_idx"))).as("first_key"),
+        max(when(isKey, col("frame_idx"))).as("last_key"))
+      .select(col("doc_id"), col("n_frames"), col("n_keyframes"),
+        coalesce(col("first_key"), lit(-1)).as("first_key"),
+        coalesce(col("last_key"), lit(-1)).as("last_key"),
+        expr("n_keyframes * 1000 div n_frames").as("key_permille"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_keyframes" -> m9Keyframes _,
     "m8_asset_clusters" -> m8AssetClusters _,
     "m7_segment_neardup" -> m7SegmentNearDup _,
     "m6_media_neardup" -> m6MediaNearDup _,

@@ -1867,7 +1867,45 @@ object Relational {
         Seq("l_returnflag"))
   }
 
+  /** j16 — INTERVAL COVERAGE (merge-overlaps): each event opens a
+    * fixed 30-minute activity interval; per user, overlapping/touching
+    * intervals merge into maximal islands and the report is islands,
+    * total covered time and longest island — the classic
+    * gaps-and-islands-over-intervals operator (uptime/SLA coverage,
+    * session coverage), distinct from w19's day-grain streaks.
+    *
+    * With fixed-length intervals the running-max-end test collapses to
+    * a LAG gap test (max end over prefix = prev start + L), so one
+    * sorted pass per user suffices: lag → head flag → running head sum
+    * = island id → two-level aggregate. All micros-integer arithmetic.
+    * The oracle re-derives islands INDEPENDENTLY (an island head has no
+    * predecessor within L — NOT EXISTS anti-join — and membership is
+    * head-count-below), so window mechanics are cross-checked, not
+    * echoed. Scale: both windows partition by user — no global sort;
+    * duplicate timestamps are collapsed first so tie order can't flip
+    * head flags on either engine. */
+  def j16IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val L = 1800L * 1000000L // 30 min in micros
+    val ev = events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val islands = ev
+      .withColumn("head",
+        when(col("t") - coalesce(lag(col("t"), 1).over(w),
+          lit(Long.MinValue / 2)) > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("head"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("t1") - col("t0") + lit(L)).as("covered_us"),
+        max(col("t1") - col("t0") + lit(L)).as("max_island_us"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j16_interval_coverage" -> j16IntervalCoverage _,
     "w24_rfm" -> w24Rfm _,
     "a29_mad" -> a29Mad _,
     "a28_trimmed_mean" -> a28TrimmedMean _,

@@ -883,7 +883,74 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** e20 — EXACT cosine radius search with provably-safe IVF cell
+    * pruning: every corpus vector within cosine ≥ τ of each query, with
+    * whole inverted lists skipped via the spherical triangle inequality
+    * θ(q,x) ≥ θ(q,c) − θ(x,c). A cell with max member angle α can hold
+    * a hit only if θ(q,c) ≤ acos(τ) + α, so cells failing that bound
+    * are provably empty of results and are never scanned — unlike the
+    * nprobe family (e5/e8), the answer here EQUALS brute force (the
+    * DuckDB oracle is the e3-style exact pair SQL), the pruning only
+    * cuts work. The ε cushion on the bound absorbs float slop in acos;
+    * it can only make pruning weaker, never drop a true hit.
+    *
+    * Scale: per-cell α is one partial-aggregated groupBy over the
+    * assignment relation (built once per index life, not per query);
+    * the query×cell prune is a broadcast of K rows; the exact scan
+    * shuffles only surviving (query, cell) probes into the inverted
+    * lists — the radius analog of e10's DPP-pruned serving path. */
+  def e20RangeSearch(s: SparkSession, d: String, k: Int = 16,
+      tau: Double = 0.4, nQueries: Int = 50): DataFrame =
+    rangeSearchOf(embeddings(s, d), k, tau, nQueries)
+
+  private[graft] def rangeSearchOf(emb: DataFrame, k: Int,
+      tau: Double, nQueries: Int): DataFrame = {
+    val centroids = centroidsOf(emb, k)
+    val assigned = assignToCentroids(emb, centroids)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    survivorCellsOf(emb, k, tau, nQueries)
+      .join(queries, Seq("query_id"))
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .filter(cosine(col("q"), col("embedding")) >= tau)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+  }
+
+  /** The (query, cell) pairs the range search scans — the pruning
+    * audit surface. On tightly-clustered corpora (every real embedding
+    * corpus the IVF family targets) this is far below queries × k; on
+    * isotropic random vectors the spherical bound degenerates toward
+    * no-pruning — the curse-of-dimensionality regime, where NO exact
+    * metric index can prune (the spec pins both regimes). */
+  private[graft] def survivorCellsOf(emb: DataFrame, k: Int,
+      tau: Double, nQueries: Int): DataFrame = {
+    val centroids = centroidsOf(emb, k)
+    // per-cell max member angle — the cell radius relation (built once
+    // per index life at scale, alongside the assignment itself)
+    val cellStats = assignToCentroids(emb, centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          cosine(col("embedding"), col("cv"))))).as("theta_xc"))
+      .groupBy("centroid_id")
+      .agg(max(col("theta_xc")).as("alpha_max"))
+    // keep (query, cell) iff the cell can possibly contain a hit
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          cosine(col("q"), col("cv"))))).as("theta_qc"))
+      .join(broadcast(cellStats), Seq("centroid_id"))
+      .filter(col("theta_qc") <=
+        lit(math.acos(tau) + 1e-9) + col("alpha_max"))
+      .select(col("query_id"), col("centroid_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_range_search" ->
+      ((s: SparkSession, d: String) => e20RangeSearch(s, d)),
     "e19_ivf_incremental" ->
       ((s: SparkSession, d: String) => e19IvfIncremental(s, d)),
     "e18_hybrid_rrf" -> e18HybridRrf _,

@@ -2170,7 +2170,47 @@ object TextOps {
         ((col("boff") + col("lprev")) < col("budget")).as("kept"))
   }
 
+  /** t54 — CORPUS NOVELTY CURVE: for each document, the fraction of its
+    * distinct word-3-grams never seen in any LOWER-doc_id document, then
+    * aggregated into 100-doc buckets — the marginal-information signal a
+    * curation pass uses to decide when additional crawl data stops
+    * adding content (novelty decays toward the inter-document
+    * duplication floor as the corpus grows; cf. the RefinedWeb/C4
+    * dedup-saturation analyses).
+    *
+    * Scale: shingles travel as 64-bit hashes, never strings; the
+    * first-occurrence relation is one partial-aggregated `min(doc_id)`
+    * groupBy on the hash, re-joined on the SAME hash key (one shuffle
+    * partitioning reused), and the per-doc→bucket rollup is a
+    * map-side-combining two-level aggregation. O(total distinct
+    * shingles) — the t1 exact-dedup shape applied to n-grams. */
+  def t54NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> xxhash64(toks[i], toks[i + 1], toks[i + 2])))
+            |ELSE array() END""".stripMargin)).as("h"))
+    val firstSeen = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firstSeen, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc
+      .groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .select(col("bucket"), col("n_docs"), col("n_shingles"),
+        col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t54_ngram_novelty" -> t54NgramNovelty _,
     "t53_token_budget" -> t53TokenBudget _,
     "t51_backoff_lm" -> t51BackoffLm _,
     "t50_bm25" -> t50Bm25 _,
