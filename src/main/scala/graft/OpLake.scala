@@ -96,6 +96,12 @@ object OpLake {
     // side recomputes the batch window-max detail, so the hash gate
     // IS stream≡batch attribution parity
     save(streaming.TwsOps.attributionReplay(s, d), "stream_attrib")
+    // the STREAMING interval-island assignments (16-byte per-user
+    // state across a ts-ordered 5-batch replay) — the j17 oracle
+    // aggregates these into the coverage census; the Spark side
+    // recomputes batch j16IntervalCoverage, so the hash gate IS
+    // stream≡batch island-merge parity (spanning batch boundaries)
+    save(streaming.TwsOps.intervalReplay(s, d), "stream_intervals")
     // a27's quantized decay table (pow computed once in Spark)
     save(operators.Relational.a27DecayWeights(s, d), "a27_decay")
   }

@@ -266,6 +266,16 @@ object SparkEntry {
     "w16_stream_retention" ->
       s"""SELECT cohort_day, day_offset, count(*) AS n_users
          |FROM ${oprel("stream_retention")} GROUP BY 1, 2""",
+    // j17: oracle = the streaming island assignments aggregated into
+    // the per-user coverage census; Spark side recomputes batch j16 —
+    // hash match = stream≡batch interval-merge parity
+    "j17_stream_intervals" ->
+      s"""WITH g AS (SELECT user_id, island, min(t) AS t0, max(t) AS t1
+         |  FROM ${oprel("stream_intervals")} GROUP BY 1, 2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+         |  CAST(sum(t1 - t0 + 1800000000) AS BIGINT) AS covered_us,
+         |  CAST(max(t1 - t0 + 1800000000) AS BIGINT) AS max_island_us
+         |FROM g GROUP BY 1""",
     "ts19_reject_stats" ->
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",

@@ -1906,6 +1906,9 @@ object Relational {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j16_interval_coverage" -> j16IntervalCoverage _,
+    // j17: the SPARK side is batch j16; the oracle aggregates the
+    // streaming replay's island assignments — hash match = parity
+    "j17_stream_intervals" -> j16IntervalCoverage _,
     "w24_rfm" -> w24Rfm _,
     "a29_mad" -> a29Mad _,
     "a28_trimmed_mean" -> a28TrimmedMean _,

@@ -968,6 +968,102 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming interval islands (j17 = streaming j16) -------------
+
+  case class IntIn(user_id: Long, tsus: Long)
+  case class IntState(lastT: Long, island: Long)
+  case class IntHit(user_id: Long, island: Long, t: Long)
+
+  /** j16's merge-overlapping-intervals as an online per-user state
+    * machine: 16 bytes of state (last event time, current island
+    * ordinal) suffice because with fixed-length L intervals the
+    * running-max-end collapses to the previous event time + L, so a
+    * new island opens exactly when the gap to the previous event
+    * exceeds L. Each event emits its (user, island, t) assignment;
+    * duplicate timestamps are skipped (they arrive adjacent per user
+    * in a ts-ordered replay — across batches too, since lastT
+    * persists), matching batch j16's up-front distinct. The oracle
+    * aggregates the emissions into the island census that batch j16
+    * must hash-match — stream ≡ batch island assignment, including
+    * islands that SPAN batch boundaries. */
+  class IntervalProcessor(intervalUs: Long)
+      extends StatefulProcessor[Long, IntIn, IntHit] {
+    @transient private var state: ValueState[IntState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IntState](
+        "island", Encoders.product[IntState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[IntIn],
+        timerValues: TimerValues): Iterator[IntHit] = {
+      var st = Option(state.get()).getOrElse(IntState(-1L, 0L))
+      val out = Vector.newBuilder[IntHit]
+      rows.toArray.sortBy(_.tsus).foreach { r =>
+        if (st.lastT < 0 || r.tsus != st.lastT) {
+          val island =
+            if (st.lastT < 0 || r.tsus - st.lastT > intervalUs)
+              st.island + 1
+            else st.island
+          out += IntHit(user, island, r.tsus)
+          st = IntState(r.tsus, island)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def intervalStreamTws(events: org.apache.spark.sql.DataFrame,
+      intervalUs: Long = 1800L * 1000000L): Dataset[IntHit] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "tsus")
+      .as[IntIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new IntervalProcessor(intervalUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay of the events dir
+    * through [[intervalStreamTws]] — the producer behind the j17
+    * parity row: OpLake dumps the per-event island assignments, the
+    * oracle aggregates them into the per-user coverage census, and
+    * batch `j16IntervalCoverage` must hash-match it. */
+  def intervalReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) as tsus")
+      .as[(Long, Long)]
+      .collect().sortBy(e => (e._2, e._1))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"interval_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = intervalStreamTws(mem.toDS().toDF("user_id", "tsus"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[IntHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
