@@ -1656,6 +1656,47 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a30: same two-pass suppression math, direct re-derivation
+    "a30_kanon_rollup" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CASE WHEN n >= 20 THEN event_type
+        |    ELSE 'suppressed' END AS event_type,
+        |  day, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM g GROUP BY 1, 2""",
+    // w25: the bounded-window lower median re-derived with DuckDB's
+    // quantile_disc window (same element — convention verified)
+    "w25_sliding_median" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CAST(count(cents) OVER w AS INTEGER) AS n_win,
+        |  quantile_disc(cents, 0.5) OVER w AS med_cents
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    // t56: datasheet re-derived directly; md5 hex identical on both
+    // engines, integer ppm floor division
+    "t56_datasheet" ->
+      """WITH b AS (SELECT lang, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    n_chars, md5(text) AS th FROM documents),
+        |sl AS (SELECT lang, source, count(*) AS n_docs,
+        |    sum(n_tokens) AS n_tokens, sum(n_chars) AS total_chars,
+        |    count(DISTINCT th) AS n_distinct FROM b GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+        |    AS dup_ppm,
+        |  CAST(n_docs * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM sl, t""",
     // l3: the l1 Morton ladder + the natural-grain envelopes, same
     // probe, skip rates compared — all integer bucket math
     "l3_layout_ab" ->

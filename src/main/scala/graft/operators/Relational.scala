@@ -1904,7 +1904,55 @@ object Relational {
         max(col("t1") - col("t0") + lit(L)).as("max_island_us"))
   }
 
+  /** a30 — K-ANONYMITY ROLLUP: the (event_type, day) report with every
+    * group smaller than k = 20 relabeled into one `suppressed` bucket
+    * before re-aggregation — the small-cell suppression every
+    * privacy-reviewed reporting pipeline applies before numbers leave
+    * the platform (k-anonymity on the grouping key; totals are
+    * conserved, identities of thin slices are not). Two partial-
+    * aggregated passes, no window, integer cents throughout. */
+  def a30KanonRollup(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val g = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    g.withColumn("event_type",
+        when(col("n") >= k, col("event_type")).otherwise(lit("suppressed")))
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("cents"))
+  }
+
+  /** w25 — SLIDING EXACT MEDIAN: per user, the median of the last 5
+    * purchase amounts at every purchase — the robust rolling statistic
+    * feeding spend-anomaly detection (a spike moves the mean, not the
+    * median). The window is BOUNDED (5 rows), so the per-row sort is
+    * O(5 log 5) inside codegen — the a8 newest-60 discipline, NOT a
+    * per-group full sort; lower-median convention keeps everything in
+    * integer cents (DuckDB's quantile_disc(0.5) window is the same
+    * element, verified convention). (t, event_id) ordering is total,
+    * so tie order can't flip window contents on either engine. */
+  def w25SlidingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id")).rowsBetween(-4, 0)
+    events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("t"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        sort_array(collect_list(col("cents")).over(w)).as("arr"))
+      .select(col("event_id"), col("user_id"),
+        size(col("arr")).as("n_win"),
+        // Column `/` coerces to double; `div` keeps the index integral
+        expr("element_at(arr, cast((size(arr) + 1) div 2 as int))")
+          .as("med_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a30_kanon_rollup" -> a30KanonRollup _,
+    "w25_sliding_median" -> w25SlidingMedian _,
     "j16_interval_coverage" -> j16IntervalCoverage _,
     // j17: the SPARK side is batch j16; the oracle aggregates the
     // streaming replay's island assignments — hash match = parity

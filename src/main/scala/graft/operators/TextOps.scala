@@ -2209,7 +2209,36 @@ object TextOps {
         expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
   }
 
+  /** t56 — DATASET DATASHEET: the per-(lang, source) release summary a
+    * corpus ships with — document/token/char volumes, exact-duplicate
+    * rate and corpus share (the "datasheets for datasets" reporting
+    * surface, produced by the engine instead of a side script so the
+    * numbers come from the same scan discipline as the pipeline).
+    *
+    * Scale: one pass + one two-level aggregate; the exact distinct is
+    * a count-distinct on the md5 content hash (16 bytes/doc in the
+    * shuffle, the t1 identity); the global total for shares is a
+    * 1-row broadcast, not a window over the corpus. Integer ppm. */
+  def t56Datasheet(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("lang"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      col("n_chars"), md5(col("text")).as("th"))
+    val slices = base.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("th")).as("n_distinct"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    slices.join(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_tokens"), col("total_chars"),
+        expr("(n_docs - n_distinct) * 1000000 div n_docs")
+          .as("dup_ppm"),
+        expr("n_docs * 1000000 div n_total").as("share_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,
     "t53_token_budget" -> t53TokenBudget _,
     "t51_backoff_lm" -> t51BackoffLm _,
