@@ -128,6 +128,21 @@ object Similarity {
     emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
 
+  /** The STANDARD-PATH assignment relation (full corpus against the
+    * fixed first-k centroids), memoized per (session, dir, k): e5, e8,
+    * e20 and the e15 eval that composes them all consume the identical
+    * corpus-wide assignment — one coarse-quantization pass per session
+    * instead of one per query (and e20 used to run it twice in a
+    * single plan: once for cell radii, once for the scan side). At
+    * cluster scale this relation IS the index build — computed once,
+    * persisted (e10), served many times. */
+  private val assignMemo = graft.SessionMemo.forDataFrames()
+  private[graft] def assignedRel(s: SparkSession, d: String,
+      k: Int = 16): DataFrame =
+    assignMemo(s, s"$d#assigned-k$k")(
+      assignToCentroids(embeddings(s, d),
+        centroidsOf(embeddings(s, d), k)).cache())
+
   /** Query-side probe selection shared by e5/e6/e8/e10: each query
     * vector ranks the (broadcast) centroid table and keeps its nprobe
     * closest lists. The window partitions by query — parallel across
@@ -158,12 +173,12 @@ object Similarity {
       : DataFrame = {
     val emb = embeddings(s, d)
     val centroids = centroidsOf(emb, k)
-    val assigned = assignToCentroids(emb, centroids)
+    val assigned = assignedRel(s, d, k)
     val probes = probesOf(emb, centroids, nprobe)
     // exact scoring only within probed inverted lists
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    probes.join(assigned, Seq("centroid_id"))
+    broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         cosine(col("q"), col("embedding")).as("cosine"))
@@ -352,7 +367,7 @@ object Similarity {
     val probes = probesOf(emb, centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    probes.join(assigned, Seq("centroid_id"))
+    broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         cosine(col("q"), col("embedding")).as("cosine"))
@@ -386,7 +401,7 @@ object Similarity {
     * inverted-list join, so the shuffle carries probed-list candidates
     * only, never the corpus product. */
   def e8IvfPqAnn(s: SparkSession, d: String): DataFrame =
-    ivfPqOf(embeddings(s, d))
+    ivfPqOf(embeddings(s, d), assignedOpt = Some(assignedRel(s, d)))
 
   /** `k`/`nprobe`/`m`/`ks` are the standard IVF-PQ tuning axes (list
     * count, probed lists, subspace count, codes per subspace); `dim` is
@@ -395,11 +410,13 @@ object Similarity {
     * thousands and ks to 256 (8-bit codes). */
   private[graft] def ivfPqOf(emb: DataFrame, k: Int = 16,
       nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5, assignedOpt: Option[DataFrame] = None)
+      : DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val centroids = centroidsOf(emb, k)
-    val assigned = assignToCentroids(emb, centroids)
+    val assigned =
+      assignedOpt.getOrElse(assignToCentroids(emb, centroids))
     def subspaces(vecCol: String): Column =
       slice(col(vecCol), col("j") * sub + 1, lit(sub))
     val js = explode(sequence(lit(0), lit(m - 1))).as("j")
@@ -434,7 +451,7 @@ object Similarity {
         l2sq(col("qj"), col("cb")).as("dt"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("cand_id"))
-    probes
+    broadcast(probes)
       .join(codes, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(dtab), Seq("query_id", "j", "code"))
@@ -451,7 +468,9 @@ object Similarity {
     * candidate set. */
   private[graft] def e14Candidates(s: SparkSession, d: String)
       : DataFrame =
-    ivfPqOf(embeddings(s, d), topK = 20).select("query_id", "cand_id")
+    ivfPqOf(embeddings(s, d), topK = 20,
+      assignedOpt = Some(assignedRel(s, d)))
+      .select("query_id", "cand_id")
 
   /** e14 — two-stage RETRIEVE-then-RERANK (the FAISS
     * IndexIVFPQ + IndexRefineFlat serving shape, and the standard
@@ -615,7 +634,9 @@ object Similarity {
       : DataFrame = {
     val pairs =
       if (fanout <= 1)
-        assigned.as("x").join(assigned.as("y"),
+        // corpus self-join: SHUFFLE_HASH-pinned so warm cache stats
+        // can never flip it to a (scale-fatal) corpus broadcast
+        assigned.as("x").join(assigned.as("y").hint("SHUFFLE_HASH"),
           col("x.centroid_id") === col("y.centroid_id") &&
             col("x.vec_id") < col("y.vec_id"))
       else {
@@ -787,7 +808,7 @@ object Similarity {
     val probes = probesOf(emb, centroids, 4)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    probes.join(assigned, Seq("centroid_id"))
+    broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         cosine(col("q"), col("embedding")).as("cosine"))
@@ -901,16 +922,19 @@ object Similarity {
     * lists — the radius analog of e10's DPP-pruned serving path. */
   def e20RangeSearch(s: SparkSession, d: String, k: Int = 16,
       tau: Double = 0.4, nQueries: Int = 50): DataFrame =
-    rangeSearchOf(embeddings(s, d), k, tau, nQueries)
+    rangeSearchOf(embeddings(s, d), k, tau, nQueries,
+      Some(assignedRel(s, d, k)))
 
   private[graft] def rangeSearchOf(emb: DataFrame, k: Int,
-      tau: Double, nQueries: Int): DataFrame = {
+      tau: Double, nQueries: Int,
+      assignedOpt: Option[DataFrame] = None): DataFrame = {
     val centroids = centroidsOf(emb, k)
-    val assigned = assignToCentroids(emb, centroids)
+    val assigned =
+      assignedOpt.getOrElse(assignToCentroids(emb, centroids))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    survivorCellsOf(emb, k, tau, nQueries)
-      .join(queries, Seq("query_id"))
+    broadcast(survivorCellsOf(emb, k, tau, nQueries, assignedOpt)
+        .join(queries, Seq("query_id")))
       .join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .filter(cosine(col("q"), col("embedding")) >= tau)
@@ -924,11 +948,13 @@ object Similarity {
     * no-pruning — the curse-of-dimensionality regime, where NO exact
     * metric index can prune (the spec pins both regimes). */
   private[graft] def survivorCellsOf(emb: DataFrame, k: Int,
-      tau: Double, nQueries: Int): DataFrame = {
+      tau: Double, nQueries: Int,
+      assignedOpt: Option[DataFrame] = None): DataFrame = {
     val centroids = centroidsOf(emb, k)
     // per-cell max member angle — the cell radius relation (built once
     // per index life at scale, alongside the assignment itself)
-    val cellStats = assignToCentroids(emb, centroids)
+    val cellStats = assignedOpt
+      .getOrElse(assignToCentroids(emb, centroids))
       .join(broadcast(centroids), Seq("centroid_id"))
       .select(col("centroid_id"),
         acos(least(lit(1.0), greatest(lit(-1.0),
