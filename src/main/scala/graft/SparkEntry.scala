@@ -1656,6 +1656,90 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a31: rank-weighted gini re-derived on the distinct-value grid;
+    // HUGEINT products mirror the Spark DECIMAL(38,0) path
+    "a31_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT c_mktsegment, cents FROM spend
+        |  JOIN customer ON c_custkey = o_custkey),
+        |vc AS (SELECT c_mktsegment, cents, count(*) AS cnt
+        |  FROM seg GROUP BY 1, 2),
+        |cum AS (SELECT *, coalesce(sum(cnt) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_prev FROM vc),
+        |tot AS (SELECT c_mktsegment, sum(cnt) AS n, sum(cnt * cents) AS s
+        |  FROM vc GROUP BY 1)
+        |SELECT c.c_mktsegment, CAST(t.n AS BIGINT) AS n_customers,
+        |  CAST(t.s AS BIGINT) AS total_cents,
+        |  CAST((sum(CAST(c.cents AS HUGEINT) *
+        |      (2 * c.cum_prev * c.cnt + c.cnt * (c.cnt + 1))) -
+        |    CAST(t.n + 1 AS HUGEINT) * t.s) * 1000000 //
+        |    (CAST(t.n AS HUGEINT) * t.s) AS BIGINT) AS gini_ppm
+        |FROM cum c JOIN tot t USING (c_mktsegment)
+        |GROUP BY 1, t.n, t.s""",
+    // a32: cross-multiplied KS cumsums on the distinct cents grid
+    "a32_ks_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |vc AS (SELECT cents,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS c1,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vc),
+        |d AS (SELECT cents,
+        |    abs(CAST(sum(c1) OVER w AS HUGEINT) * n2 -
+        |        CAST(sum(c2) OVER w AS HUGEINT) * n1) AS diff, n1, n2
+        |  FROM vc, tot
+        |  WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mx AS (SELECT max(diff) AS mdiff FROM d)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT)
+        |    AS n2,
+        |  CAST(max(diff) * 1000000 //
+        |    (CAST(max(n1) AS HUGEINT) * max(n2)) AS BIGINT) AS d_ppm,
+        |  CAST(min(cents) AS BIGINT) AS at_cents
+        |FROM d JOIN mx ON d.diff = mx.mdiff""",
+    // a33: division-free CUSUM peak, earliest-day tie-break
+    "a33_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS nd, sum(x) AS s
+        |  FROM daily GROUP BY 1),
+        |cu AS (SELECT event_type, day, nd,
+        |    sum(CAST(x AS HUGEINT) * nd - s) OVER (
+        |      PARTITION BY event_type ORDER BY day) AS cusum
+        |  FROM daily JOIN tot USING (event_type)),
+        |sel AS (SELECT event_type, day, nd, abs(cusum) AS a,
+        |    max(abs(cusum)) OVER (PARTITION BY event_type) AS mx
+        |  FROM cu)
+        |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_days,
+        |  CAST(max(mx) AS BIGINT) AS max_abs_cusum,
+        |  CAST(min(CASE WHEN a = mx THEN day END) AS BIGINT)
+        |    AS change_day
+        |FROM sel GROUP BY 1""",
+    // w26: weekly rollup + LAG; // truncates toward zero like div
+    "w26_wow_change" ->
+      """WITH wk AS (SELECT event_type,
+        |    epoch_us(ts) // 604800000000 AS week,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, week, n_events, cents,
+        |    lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev FROM wk)
+        |SELECT event_type, CAST(week AS BIGINT) AS week,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(cents AS BIGINT) AS cents,
+        |  CAST((CAST(cents AS HUGEINT) - prev) * 1000000 // prev
+        |    AS BIGINT) AS wow_ppm
+        |FROM lg WHERE prev IS NOT NULL""",
     // a30: same two-pass suppression math, direct re-derivation
     "a30_kanon_rollup" ->
       """WITH g AS (SELECT event_type,

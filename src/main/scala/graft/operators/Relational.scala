@@ -1950,7 +1950,145 @@ object Relational {
           .as("med_cents"))
   }
 
+  /** a31 — GINI CONCENTRATION: how concentrated is order revenue
+    * across the customers of each market segment — the inequality
+    * statistic behind "top 1% of users drive X% of revenue" dashboards
+    * and data-mix audits. Exact rational form on the distinct-value
+    * relation: with per-customer spend sorted ascending and ranks
+    * 1..n, G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S); a distinct value v with
+    * count c after p predecessors occupies ranks p+1..p+c whose sum is
+    * c·p + c(c+1)/2, so the rank-weighted sum never needs a row-scale
+    * sort (ties contribute identically — tie order cannot matter).
+    * Products run in DECIMAL(38,0) (DuckDB: HUGEINT) because
+    * 2·S1·10⁶ overflows BIGINT already at sf0.1 segment sizes; result
+    * reported in integer ppm. Scale: windows partition by segment over
+    * DISTINCT spend values only. */
+  def a31Gini(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .select(col("o_custkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), Seq("o_custkey"))
+    val vc = spend.groupBy("c_mktsegment", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vc.groupBy("c_mktsegment")
+      .agg(sum(col("cnt")).as("n"), sum(expr("cnt * cents")).as("s"))
+    vc.withColumn("cum_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(tot), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(max(col("n")).as("n_customers"), max(col("s")).as("total_cents"),
+        sum(expr("cast(cents as decimal(38,0)) * " +
+          "(2 * cum_prev * cnt + cnt * (cnt + 1))")).as("s1x2"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        expr("cast((s1x2 - cast(n_customers + 1 as decimal(38,0)) * " +
+          "total_cents) * 1000000 div " +
+          "(cast(n_customers as decimal(38,0)) * total_cents) as bigint)")
+          .as("gini_ppm"))
+  }
+
+  /** a32 — TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT: the distribution-
+    * distance gate every feature/data-mix monitor runs — here between
+    * `purchase` and `click` value distributions. Exact integer form:
+    * D = maxᵥ |F₁(v) − F₂(v)| = maxᵥ |cum₁(v)·n₂ − cum₂(v)·n₁| /
+    * (n₁·n₂), so the max runs over cross-multiplied BIGINT cumsums
+    * (DECIMAL(38,0)/HUGEINT products — n₁·n₂·10⁶ overflows BIGINT at
+    * warehouse row counts) and only the final report divides to ppm.
+    * Also reports the value where the max is first attained (the
+    * drift location). Scale: one window over the DISTINCT cents grid
+    * (bounded by the price granularity, not row count). */
+  def a32KsDrift(s: SparkSession, d: String): DataFrame = {
+    val vc = events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c2"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val diffs = vc
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("cents"),
+        expr("abs(cast(cum1 as decimal(38,0)) * n2 - " +
+          "cast(cum2 as decimal(38,0)) * n1)").as("diff"),
+        col("n1"), col("n2"))
+    val mx = diffs.agg(max(col("diff")).as("diff"))
+    diffs.join(broadcast(mx), Seq("diff"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        expr("cast(max(diff) * 1000000 div " +
+          "(cast(max(n1) as decimal(38,0)) * max(n2)) as bigint)")
+          .as("d_ppm"),
+        min(col("cents")).as("at_cents"))
+  }
+
+  /** a33 — CUSUM CHANGEPOINT: per event type, the day where the
+    * cumulative deviation of daily revenue from its mean peaks — the
+    * classic single-changepoint locator (Page's CUSUM at the argmax).
+    * Division-free: deviations are scaled by the day count
+    * (dev_d = x_d·D − S, so Σdev = 0 exactly) and accumulated in
+    * DECIMAL(38,0); ties resolve to the EARLIEST day via a struct
+    * argmax. Scale: the series is per-type-per-day — time-bounded, not
+    * data-bounded — and the window partitions by type. */
+  def a33Cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cusum",
+        sum(expr("cast(x as decimal(38,0)) * nd - s")).over(w))
+      .select(col("event_type"), col("day"),
+        abs(col("cusum")).as("a"), col("nd"))
+      .groupBy("event_type")
+      .agg(max(col("nd")).as("n_days"),
+        max(struct(col("a"), (-col("day")).as("negday"))).as("m"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(m.a as bigint)").as("max_abs_cusum"),
+        expr("cast(-m.negday as bigint)").as("change_day"))
+  }
+
+  /** w26 — WEEK-OVER-WEEK CHANGE: the period-over-period growth
+    * report (revenue + volume per event type per week, change vs the
+    * previous week in integer ppm). First week of each type is
+    * dropped (no prior period). LAG over the per-type weekly rollup —
+    * the window input is pre-aggregated, so the sort is over weeks,
+    * not events; `div` truncation toward zero matches DuckDB `//`
+    * (verified, incl. negatives). */
+  def w26WowChange(s: SparkSession, d: String): DataFrame = {
+    val wk = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "week")
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    wk.withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("week"), col("n_events"),
+        col("cents"),
+        expr("cast((cast(cents as decimal(38,0)) - prev) * 1000000 " +
+          "div prev as bigint)").as("wow_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a31_gini" -> a31Gini _,
+    "a32_ks_drift" -> a32KsDrift _,
+    "a33_cusum" -> a33Cusum _,
+    "w26_wow_change" -> w26WowChange _,
     "a30_kanon_rollup" -> a30KanonRollup _,
     "w25_sliding_median" -> w25SlidingMedian _,
     "j16_interval_coverage" -> j16IntervalCoverage _,
