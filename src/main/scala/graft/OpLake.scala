@@ -102,6 +102,11 @@ object OpLake {
     // recomputes batch j16IntervalCoverage, so the hash gate IS
     // stream≡batch island-merge parity (spanning batch boundaries)
     save(streaming.TwsOps.intervalReplay(s, d), "stream_intervals")
+    // the STREAMING EWMA emissions (8-byte last-smoothed-value state
+    // across a day-ordered 5-batch replay) — the a35 oracle reads
+    // these verbatim; the Spark side recomputes batch a34Ewma, so the
+    // hash gate IS stream≡batch recurrence parity across seams
+    save(streaming.TwsOps.ewmaReplay(s, d), "stream_ewma")
     // a27's quantized decay table (pow computed once in Spark)
     save(operators.Relational.a27DecayWeights(s, d), "a27_decay")
   }

@@ -1656,6 +1656,73 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a34: the EWMA recurrence re-derived via recursive CTE (row-at-a-
+    // time), vs Spark's higher-order aggregate fold — same truncating
+    // integer division on both engines
+    "a34_ewma" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |r(event_type, rn, day, x, ewma) AS (
+        |  SELECT event_type, rn, day, x, x FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.x,
+        |    (i.x + 3 * r.ewma) // 4
+        |  FROM r JOIN idx i ON i.event_type = r.event_type
+        |    AND i.rn = r.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(x AS BIGINT) AS cents, CAST(ewma AS BIGINT) AS ewma_cents
+        |FROM r""",
+    // a35: oracle = the transformWithState replay's emissions read
+    // verbatim; Spark side recomputes batch a34 — hash match proves
+    // stream ≡ batch across micro-batch seams
+    "a35_stream_ewma" ->
+      s"""SELECT event_type, CAST(day AS BIGINT) AS day,
+         |  CAST(cents AS BIGINT) AS cents,
+         |  CAST(ewma_cents AS BIGINT) AS ewma_cents
+         |FROM ${oprel("stream_ewma")}""",
+    // t57: clusters re-derived via recursive reachability, election
+    // re-derived as max-chars-then-min-id (explicit tie semantics)
+    "t57_survivorship" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  ed AS (SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |  reach(doc_id, comp) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.doc_a, r.comp FROM ed e
+        |    JOIN reach r ON e.doc_b = r.doc_id),
+        |  lab AS (SELECT doc_id, min(comp) AS comp FROM reach
+        |    GROUP BY doc_id),
+        |  j AS (SELECT l.comp, dd.doc_id, dd.n_chars FROM lab l
+        |    JOIN documents dd USING (doc_id)),
+        |  mx AS (SELECT comp, max(n_chars) AS mc FROM j GROUP BY 1)
+        |SELECT j.comp, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(CASE WHEN j.n_chars = mx.mc THEN j.doc_id END)
+        |    AS BIGINT) AS survivor_id,
+        |  CAST(max(j.n_chars) AS BIGINT) AS survivor_chars,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+        |  CAST(sum(j.n_chars) AS BIGINT) AS total_chars
+        |FROM j JOIN mx USING (comp) GROUP BY 1""",
     // a31: rank-weighted gini re-derived on the distinct-value grid;
     // HUGEINT products mirror the Spark DECIMAL(38,0) path
     "a31_gini" ->

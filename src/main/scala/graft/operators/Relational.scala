@@ -2084,7 +2084,43 @@ object Relational {
           "div prev as bigint)").as("wow_ppm"))
   }
 
+  /** a34 — EWMA SMOOTHING (rational α = 1/4): the exponentially
+    * weighted daily-revenue baseline behind burn-rate/anomaly monitors,
+    * as an EXACT integer recurrence s₁ = x₁, sₜ = (xₜ + 3·sₜ₋₁) div 4 —
+    * truncating division is identical in Spark `div`, Java `/` and
+    * DuckDB `//`, so batch, streaming (a35) and the oracle's recursive
+    * CTE all produce bit-identical series. A linear recurrence cannot
+    * be a window function; here the fold runs INSIDE codegen as a
+    * higher-order `aggregate` over the per-type day series — bounded
+    * by calendar days (the a8 newest-60 discipline), never by rows:
+    * the row-scale work is the partial-aggregated daily rollup. */
+  def a34Ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("ser"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(ser,
+          |  cast(array() as array<struct<day:bigint,x:bigint,ewma:bigint>>),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'day', e.day, 'x', e.x,
+          |    'ewma', if(size(acc) = 0, e.x,
+          |      (e.x + 3 * element_at(acc, -1).ewma) div 4))))"""
+          .stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.x").as("cents"), col("r.ewma").as("ewma_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a34_ewma" -> a34Ewma _,
+    // a35: the SPARK side is batch a34; the oracle replays the same
+    // recurrence online through transformWithState (OpLake dump) —
+    // hash match = stream ≡ batch EWMA, including across batch seams
+    "a35_stream_ewma" -> a34Ewma _,
     "a31_gini" -> a31Gini _,
     "a32_ks_drift" -> a32KsDrift _,
     "a33_cusum" -> a33Cusum _,

@@ -2237,7 +2237,34 @@ object TextOps {
         expr("n_docs * 1000000 div n_total").as("share_ppm"))
   }
 
+  /** t57 — DEDUP SURVIVORSHIP: the canonicalization stage that follows
+    * clustering — per t17 duplicate cluster, elect ONE survivor
+    * (longest doc wins, ties to the smallest doc_id — the CCNet-style
+    * keep-the-longest rule) and account for what the merge drops.
+    * Composes the already-verified t17 component relation with a
+    * struct-argmax aggregate, so the added cost over t17 is one
+    * broadcast-sized dimension join plus a per-cluster aggregate;
+    * singleton clusters ride through (n_dropped = 0). The oracle
+    * re-derives clusters via recursive-SQL reachability AND the
+    * election independently (max-then-min, not arg_max, so tie
+    * semantics are explicit). */
+  def t57Survivorship(s: SparkSession, d: String): DataFrame = {
+    val comp = t17DupComponents(s, d)
+    comp.join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid")))
+          .as("m"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("comp"), col("n_members"),
+        expr("cast(-m.negid as bigint)").as("survivor_id"),
+        expr("m.n_chars").as("survivor_chars"),
+        (col("n_members") - 1).as("n_dropped"), col("total_chars"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,
     "t53_token_budget" -> t53TokenBudget _,

@@ -1064,6 +1064,99 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming EWMA (a35 = streaming a34) -------------------------
+
+  case class EwmaIn(event_type: String, day: Long, x: Long)
+  case class EwmaState(ewma: Long)
+  case class EwmaHit(event_type: String, day: Long, cents: Long,
+    ewma_cents: Long)
+
+  /** a34's rational-α EWMA recurrence as an online per-key state
+    * machine: 8 bytes of state (the last smoothed value) regardless of
+    * series length. sₜ = (xₜ + 3·sₜ₋₁) / 4 in Java long division ≡
+    * Spark `div` ≡ DuckDB `//` (truncation toward zero), so the
+    * emitted series is bit-identical to the batch fold — including
+    * across batch seams, since the state persists. Rows within a
+    * micro-batch are day-sorted per key (a day-ordered feed delivers
+    * them adjacent anyway). */
+  class EwmaProcessor extends StatefulProcessor[String, EwmaIn, EwmaHit] {
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[EwmaIn],
+        timerValues: TimerValues): Iterator[EwmaHit] = {
+      var st = Option(state.get())
+      val out = Vector.newBuilder[EwmaHit]
+      rows.toArray.sortBy(_.day).foreach { r =>
+        val e = st match {
+          case Some(p) => (r.x + 3 * p.ewma) / 4
+          case None => r.x
+        }
+        out += EwmaHit(key, r.day, r.x, e)
+        st = Some(EwmaState(e))
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
+  def ewmaStreamTws(daily: org.apache.spark.sql.DataFrame)
+      : Dataset[EwmaHit] = {
+    import daily.sparkSession.implicits._
+    daily.selectExpr("event_type", "day", "x")
+      .as[EwmaIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic day-ordered multi-batch replay of the per-type
+    * daily revenue rollup through [[ewmaStreamTws]] — the producer
+    * behind the a35 parity row: OpLake dumps the per-day smoothed
+    * values, the oracle reads them verbatim, and batch `a34Ewma` must
+    * hash-match — stream ≡ batch EWMA with state spanning seams. */
+  def ewmaReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val daily = graft.Tables.events(s, d)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 as day",
+        "cast(floor(value * 100 + 0.5) as bigint) as cents")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum("cents").as("x"))
+      .as[(String, Long, Long)]
+      .collect().sortBy(e => (e._2, e._1))
+    val mem = MemoryStream[(String, Long, Long)]
+    val name = s"ewma_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = ewmaStreamTws(mem.toDS().toDF("event_type", "day", "x"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        daily.grouped(math.max(1, daily.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[EwmaHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._
