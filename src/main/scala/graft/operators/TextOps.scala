@@ -2163,7 +2163,10 @@ object TextOps {
     bucketed
       .withColumn("lprev",
         coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
-      .join(bOff, Seq("bkt"))
+      // bOff is bucket-grid-bounded (a few thousand rows at ANY corpus
+      // size) — pin broadcast so a warmed cache statistic can't flip
+      // the strategy between cold and warm plans (the t13 lesson)
+      .join(broadcast(bOff), Seq("bkt"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("score"), col("n_tokens"),
         (col("boff") + col("lprev")).as("sel_offset"),
