@@ -1656,6 +1656,47 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // s11: skyline re-derived as the naive all-pairs NOT EXISTS —
+    // the independent-algorithm check for the grid reduction
+    "s11_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |      AS price_cents FROM part)
+        |SELECT a.p_partkey, a.p_size, a.price_cents
+        |FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""",
+    // g7: the same peel unrolled a fixed 10 rounds (g1 pattern) —
+    // Spark proves fixpoint within its cap, so extra rounds are no-ops
+    "g7_kcore" -> {
+      // MATERIALIZED: each round references its predecessor 3× —
+      // inlined CTEs would expand the base scan 3^10 times
+      def peel(cur: String, prev: String) =
+        s"""$cur AS MATERIALIZED (SELECT e.s_a, e.s_b FROM $prev e
+           |  WHERE e.s_a IN (SELECT s_a FROM $prev
+           |      GROUP BY 1 HAVING count(*) >= 3)
+           |    AND e.s_b IN (SELECT s_a FROM $prev
+           |      GROUP BY 1 HAVING count(*) >= 3))"""
+      s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+         |    l_suppkey AS sup FROM lineitem),
+         |pr AS MATERIALIZED (SELECT a.sup AS s_a, b.sup AS s_b
+         |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |a0 AS MATERIALIZED (SELECT s_a, s_b FROM pr
+         |  UNION ALL SELECT s_b, s_a FROM pr),
+         |${peel("a1", "a0")},
+         |${peel("a2", "a1")},
+         |${peel("a3", "a2")},
+         |${peel("a4", "a3")},
+         |${peel("a5", "a4")},
+         |${peel("a6", "a5")},
+         |${peel("a7", "a6")},
+         |${peel("a8", "a7")},
+         |${peel("a9", "a8")},
+         |${peel("a10", "a9")}
+         |SELECT s_a AS supplier, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM a10 GROUP BY 1"""
+    },
     // a34: the EWMA recurrence re-derived via recursive CTE (row-at-a-
     // time), vs Spark's higher-order aggregate fold — same truncating
     // integer division on both engines

@@ -285,7 +285,57 @@ object Graph {
       .limit(30)
   }
 
+  /** g7 — K-CORE EXTRACTION: the densest-community backbone of the
+    * strong co-supplier graph — iteratively peel nodes whose degree
+    * drops below k until fixpoint; what survives is the 3-core, the
+    * standard "remove the long tail, keep the mutually-dense cluster"
+    * graph-curation primitive. Peeling is the canonical DISTRIBUTED
+    * decomposition shape: each round is one degree aggregate + two
+    * SHUFFLE_HASH anti-joins on the edge relation (pinned — the drop
+    * set is node-scaled, never broadcastable at 100 TB), with the
+    * componentsOf eager-localCheckpoint discipline so round-r plans
+    * don't nest round-r−1. Rounds are diameter-ish-bounded (degree
+    * peeling converges in a handful of rounds on co-occurrence
+    * graphs); a silent cap would return a WRONG core, so the loop
+    * throws loudly at maxIters. The oracle unrolls the same peel a
+    * fixed 10 rounds (the g1 unroll pattern) — since Spark proves
+    * fixpoint within its cap, the extra oracle rounds are no-ops and
+    * the results must match exactly. */
+  def g7Kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(coPairs(s, d).filter(col("n_shared") >= 2)
+      .select(col("s_a"), col("s_b")), k = 3)
+
+  private[graft] def kcoreOf(pairs: DataFrame, k: Int,
+      maxIters: Int = 10): DataFrame = {
+    var alive = pairs
+      .unionByName(pairs.select(col("s_b").as("s_a"), col("s_a").as("s_b")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val drop = alive.groupBy("s_a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("s_a").as("gone"))
+      if (drop.isEmpty) done = true
+      else {
+        alive = alive
+          .join(drop.hint("SHUFFLE_HASH"),
+            col("s_a") === col("gone"), "left_anti")
+          .join(drop.hint("SHUFFLE_HASH"),
+            col("s_b") === col("gone"), "left_anti")
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"g7 k-core: peeling not at fixpoint after $maxIters rounds — " +
+          "raise maxIters")
+    alive.groupBy("s_a").agg(count(lit(1)).as("core_deg"))
+      .select(col("s_a").as("supplier"), col("core_deg"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g7_kcore" -> g7Kcore _,
     "g6_resource_alloc" -> g6ResourceAlloc _,
     "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)),
     "g2_components" -> g2Components _,

@@ -2129,7 +2129,38 @@ object Relational {
         col("r.x").as("cents"), col("r.ewma").as("ewma_cents"))
   }
 
+  /** s11 — SKYLINE (Pareto frontier): parts no other part beats on
+    * BOTH axes — cheaper-or-equal price AND larger-or-equal size, with
+    * at least one strict — the classic preference-query operator
+    * (Börzsönyi et al.'s SKYLINE OF). A naive formulation is an
+    * all-pairs NOT EXISTS (the oracle runs exactly that, as the
+    * independent check); the engine instead reduces dominance to the
+    * SIZE GRID: with m(s) = min price at size s and best_gt(s) =
+    * min price at any size > s, a part (p, s) is on the skyline iff
+    * p = m(s) and p < best_gt(s) — equal-price/equal-size peers are
+    * mutually non-dominating and all survive. One partial-aggregated
+    * rollup to the grid (bounded by the size domain, ~50 values), a
+    * window over the GRID only, and one broadcast join back; nothing
+    * row-scaled ever sorts. Integer cents. */
+  def s11Skyline(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"), col("p_size"),
+      expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)")
+        .as("price_cents"))
+    val grid = p.groupBy("p_size").agg(min(col("price_cents")).as("m"))
+    val wgt = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grid
+      .withColumn("best_gt", min(col("m")).over(wgt))
+      .filter(col("best_gt").isNull || col("m") < col("best_gt"))
+      .select(col("p_size").as("f_size"), col("m"))
+    p.join(broadcast(frontier),
+        col("p_size") === col("f_size") &&
+          col("price_cents") === col("m"))
+      .select(col("p_partkey"), col("p_size"), col("price_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_skyline" -> s11Skyline _,
     "a34_ewma" -> a34Ewma _,
     // a35: the SPARK side is batch a34; the oracle replays the same
     // recurrence online through transformWithState (OpLake dump) —
