@@ -102,6 +102,10 @@ object OpLake {
     // recomputes batch j16IntervalCoverage, so the hash gate IS
     // stream≡batch island-merge parity (spanning batch boundaries)
     save(streaming.TwsOps.intervalReplay(s, d), "stream_intervals")
+    // the e21 per-vector assignment audit relation (fixed-point sims
+    // computed once in Spark's deterministic kernel) — the e21 oracle
+    // aggregates these; Spark recomputes the same aggregation
+    save(operators.Similarity.e21AssignRel(s, d), "e21_assign")
     // the STREAMING EWMA emissions (8-byte last-smoothed-value state
     // across a day-ordered 5-batch replay) — the a35 oracle reads
     // these verbatim; the Spark side recomputes batch a34Ewma, so the

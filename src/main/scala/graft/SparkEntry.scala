@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Changelog, Graph, Layout, Multimodal, Relational, Settings, Similarity, TextOps, TsQueries}
+import graft.operators.{Changelog, Graph, Layout, Multimodal, Relational, Settings, Similarity, TextOps, TsQueries, Validation}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ Similarity.all ++ TsQueries.all ++
       Settings.all ++ Multimodal.all ++ Graph.all ++ Changelog.all ++
-      Layout.all
+      Layout.all ++ Validation.all
 
   // ---- TS-family oracle plumbing -----------------------------------
   // Verify materializes the decoded TS layers (TsLake.ensureDumped) to a
@@ -1656,6 +1656,63 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // v1: every constraint re-counted directly in SQL
+    "v1_expectations" ->
+      """WITH lic AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS v_qty,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) AS v_disc,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS v_null,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS v_orphan
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |oc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS v_price,
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS v_ref
+        |  FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey),
+        |uq AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS v
+        |  FROM (SELECT o_orderkey, count(*) AS cnt FROM orders
+        |    GROUP BY 1)),
+        |rep AS (
+        |  SELECT 'lineitem.quantity_in_1_50' AS check_name,
+        |    n AS n_checked, v_qty AS n_violations FROM lic
+        |  UNION ALL SELECT 'lineitem.discount_in_0_0.1', n, v_disc
+        |    FROM lic
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null', n, v_null
+        |    FROM lic
+        |  UNION ALL SELECT 'lineitem.orderkey_in_orders', n, v_orphan
+        |    FROM lic
+        |  UNION ALL SELECT 'orders.totalprice_positive', n, v_price
+        |    FROM oc
+        |  UNION ALL SELECT 'orders.custkey_in_customer', n, v_ref
+        |    FROM oc
+        |  UNION ALL SELECT 'orders.orderkey_unique', n, v FROM uq)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM rep""",
+    // e21: list-health aggregation recomputed from the dumped
+    // fixed-point assignment relation (the e-family dump gate)
+    "e21_ood_audit" -> {
+      val a = oprel("e21_assign")
+      s"""WITH st AS (SELECT centroid_id, count(*) AS n_vecs,
+         |    sum(sim_fp) // count(*) AS mean_sim_fp
+         |  FROM $a GROUP BY 1)
+         |SELECT a.centroid_id, CAST(st.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(st.mean_sim_fp AS BIGINT) AS mean_sim_fp,
+         |  CAST(sum(CASE WHEN a.sim_fp < st.mean_sim_fp - 200000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+         |  CAST(min(a.sim_fp) AS BIGINT) AS worst_sim_fp
+         |FROM $a a JOIN st USING (centroid_id)
+         |GROUP BY 1, 2, 3"""
+    },
     // s11: skyline re-derived as the naive all-pairs NOT EXISTS —
     // the independent-algorithm check for the grid reduction
     "s11_skyline" ->

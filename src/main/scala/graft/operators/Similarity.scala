@@ -143,6 +143,45 @@ object Similarity {
       assignToCentroids(embeddings(s, d),
         centroidsOf(embeddings(s, d), k)).cache())
 
+  /** The e21 per-vector audit relation: each corpus vector with its
+    * assigned list and the fixed-point similarity to that list's
+    * centroid (floor(cos·10⁶) — computed ONCE in Spark's
+    * deterministic sequential-fold kernel, dumped by OpLake so the
+    * oracle aggregates the identical values; the e-family
+    * dump-and-recompute gate). Rides the memoized [[assignedRel]] —
+    * no extra corpus pass beyond one broadcast centroid join. */
+  private[graft] def e21AssignRel(s: SparkSession, d: String)
+      : DataFrame =
+    assignedRel(s, d)
+      .join(broadcast(centroidsOf(embeddings(s, d), 16)),
+        Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        floor(cosine(col("embedding"), col("cv")) * lit(1e6))
+          .as("sim_fp"))
+
+  /** e21 — EMBEDDING OOD AUDIT: per inverted list, how healthy is the
+    * cluster — member count, mean similarity to the centroid, how many
+    * members sit far below the list mean (> 0.2 under it) and the
+    * worst member. This is the curation pass that catches garbage
+    * embeddings / mis-clustered shards before an index ships
+    * (SemDeDup's quality-side complement). Fixed-point integers
+    * end-to-end; the list stats are broadcast back into the corpus
+    * scan, so the only corpus-scale exchange is the one partial-
+    * aggregated rollup per pass. */
+  def e21OodAudit(s: SparkSession, d: String): DataFrame = {
+    val rel = e21AssignRel(s, d)
+    val stats = rel.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sim_fp")).as("ssum"))
+      .select(col("centroid_id"), col("n_vecs"),
+        expr("ssum div n_vecs").as("mean_sim_fp"))
+    rel.join(broadcast(stats), Seq("centroid_id"))
+      .groupBy("centroid_id", "n_vecs", "mean_sim_fp")
+      .agg(
+        sum(when(col("sim_fp") < col("mean_sim_fp") - 200000L, 1L)
+          .otherwise(0L)).as("n_ood"),
+        min(col("sim_fp")).as("worst_sim_fp"))
+  }
+
   /** Query-side probe selection shared by e5/e6/e8/e10: each query
     * vector ranks the (broadcast) centroid table and keeps its nprobe
     * closest lists. The window partitions by query — parallel across
@@ -975,6 +1014,7 @@ object Similarity {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_ood_audit" -> e21OodAudit _,
     "e20_range_search" ->
       ((s: SparkSession, d: String) => e20RangeSearch(s, d)),
     "e19_ivf_incremental" ->
