@@ -1656,6 +1656,34 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a36: sessions re-derived (w8 oracle CTEs), then a DIRECT single
+    // sweep window vs Spark's two-level prefix sum — the hash match
+    // proves two-level ≡ direct; same end-before-start tie rule
+    "a36_peak_concurrency" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (SELECT user_id, session_id, min(ts) AS t0,
+        |    max(ts) AS t1 FROM s GROUP BY 1, 2),
+        |deltas AS (SELECT epoch_us(t0) AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT epoch_us(t1), -1 FROM sess),
+        |g AS (SELECT t, delta, sum(delta) AS d FROM deltas
+        |  GROUP BY 1, 2),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS running FROM g),
+        |sel AS (SELECT t, running, max(running) OVER () AS mr FROM r)
+        |SELECT CAST(max(mr) AS BIGINT) AS peak_concurrency,
+        |  CAST(min(CASE WHEN running = mr THEN t END) AS BIGINT)
+        |    AS at_us,
+        |  CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions
+        |FROM sel""",
     // v1: every constraint re-counted directly in SQL
     "v1_expectations" ->
       """WITH lic AS (SELECT count(*) AS n,

@@ -2159,7 +2159,50 @@ object Relational {
       .select(col("p_partkey"), col("p_size"), col("price_cents"))
   }
 
+  /** a36 — PEAK CONCURRENCY (sweep line): the maximum number of
+    * simultaneously-open sessions and the first instant it is reached
+    * — the capacity-planning number behind "how many concurrent users
+    * must we serve". Classic interval sweep: +1 at session start, −1
+    * at session end, running sum, max. Ends sort BEFORE starts at the
+    * same microsecond (delta ascending), so back-to-back sessions
+    * never double-count — the tie rule is encoded in the sort key and
+    * mirrored verbatim in the oracle.
+    *
+    * Scale: deltas collapse to the distinct (t, delta) grid first
+    * (multiplicity-weighted), then the running sum is TWO-LEVEL — a
+    * per-hour-chunk local window plus an hour-offset relation
+    * (time-bounded, broadcast) — the k5/l2 partitioned prefix-sum
+    * discipline, so no window ever holds the row-scale sweep in one
+    * task; the final peak is a struct-argmax aggregate. */
+  def a36PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = w8SessionAgg(s, d)
+      .select(expr("unix_micros(session_start)").as("t0"),
+        expr("unix_micros(session_end)").as("t1"))
+    val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+    val deltas = sess.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("t1").as("t"), lit(-1L).as("delta")))
+      .groupBy("t", "delta")
+      .agg((sum(col("delta"))).as("d"))
+      .withColumn("hb", expr("t div 3600000000"))
+    val wloc = Window.partitionBy("hb").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val woff = Window.orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hoff = deltas.groupBy("hb").agg(sum(col("d")).as("hsum"))
+      .withColumn("hoff", coalesce(sum(col("hsum")).over(woff), lit(0L)))
+      .select("hb", "hoff")
+    deltas
+      .withColumn("lsum", sum(col("d")).over(wloc))
+      .join(broadcast(hoff), Seq("hb"))
+      .select((col("hoff") + col("lsum")).as("running"), col("t"))
+      .agg(max(struct(col("running"), (-col("t")).as("negt"))).as("m"))
+      .crossJoin(broadcast(nSess))
+      .select(expr("m.running").as("peak_concurrency"),
+        expr("cast(-m.negt as bigint)").as("at_us"), col("n_sessions"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a36_peak_concurrency" -> a36PeakConcurrency _,
     "s11_skyline" -> s11Skyline _,
     "a34_ewma" -> a34Ewma _,
     // a35: the SPARK side is batch a34; the oracle replays the same
