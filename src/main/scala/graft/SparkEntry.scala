@@ -1656,6 +1656,46 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // w28: the MAU-accounting ledger re-derived directly
+    "w28_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT week, CASE WHEN prev IS NULL THEN 'new'
+        |      WHEN prev = week - 1 THEN 'retained'
+        |      ELSE 'resurrected' END AS cls
+        |  FROM (SELECT week, lag(week) OVER (
+        |      PARTITION BY user_id ORDER BY week) AS prev FROM uw)),
+        |wk AS (SELECT week,
+        |    sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+        |      AS n_retained,
+        |    sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS n_resurrected,
+        |    count(*) AS n_active
+        |  FROM c GROUP BY 1)
+        |SELECT a.week, CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(a.n_new AS BIGINT) AS n_new,
+        |  CAST(a.n_retained AS BIGINT) AS n_retained,
+        |  CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(b.n_active, 0) - a.n_retained AS BIGINT)
+        |    AS n_churned
+        |FROM wk a LEFT JOIN wk b ON b.week = a.week - 1""",
+    // a37: digit census + the same nine Benford ppm literals
+    "a37_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(
+        |      o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit FROM orders),
+        |t AS (SELECT count(*) AS n FROM d),
+        |b(digit, benford_ppm) AS (VALUES (1, 301029), (2, 176091),
+        |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+        |  (8, 51152), (9, 45757))
+        |SELECT d.digit, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) * 1000000 // t.n AS BIGINT) AS share_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(count(*) * 1000000 // t.n - b.benford_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM d JOIN b USING (digit) CROSS JOIN t
+        |GROUP BY 1, t.n, b.benford_ppm""",
     // a36: sessions re-derived (w8 oracle CTEs), then a DIRECT single
     // sweep window vs Spark's two-level prefix sum — the hash match
     // proves two-level ≡ direct; same end-before-start tie rule

@@ -2201,7 +2201,77 @@ object Relational {
         expr("cast(-m.negt as bigint)").as("at_us"), col("n_sessions"))
   }
 
+  /** w28 — GROWTH ACCOUNTING: the weekly new / retained /
+    * resurrected / churned user ledger (the standard MAU-accounting
+    * identity: actives(w) = new + retained + resurrected;
+    * churned(w) = actives(w−1) − retained(w)). Classification is a
+    * LAG over each user's DISTINCT active weeks — the window input is
+    * per-user weeks, already deduplicated and partial-aggregated, so
+    * the row-scale event table is touched exactly once; the weekly
+    * rollup is map-side combining. Churn is the previous week's
+    * active count minus this week's retained — derived by a 1-week
+    * self-shift join on the (calendar-bounded) weekly report, not a
+    * second event pass. */
+  def w28GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val classed = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .select(col("week"),
+        when(col("prev").isNull, lit("new"))
+          .when(col("prev") === col("week") - 1, lit("retained"))
+          .otherwise(lit("resurrected")).as("cls"))
+    val weekly = classed.groupBy("week")
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    weekly.join(
+        weekly.select((col("week") + 1).as("week"),
+          col("n_active").as("prev_active")),
+        Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
+  /** a37 — BENFORD FIRST-DIGIT AUDIT: the fraud-screening classic —
+    * the distribution of leading digits of order totals vs Benford's
+    * law, deviation in ppm. The first digit is the leading character
+    * of the integer-cents decimal string (cents > 0, so no sign or
+    * leading-zero cases); the Benford reference shares are the
+    * nine literal constants floor(log₁₀(1+1/d)·10⁶) — identical
+    * literals on both engines, so nothing floating ever computes.
+    * One scan, one 9-row aggregate. */
+  def a37Benford(s: SparkSession, d: String): DataFrame = {
+    val benford = typedLit(Map(
+      1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L))
+    val digits = orders(s, d)
+      .select(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+      .select(expr(
+        "cast(substring(cast(cents as string), 1, 1) as int)")
+        .as("digit"))
+    val tot = digits.agg(count(lit(1)).as("n"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"),
+        expr("n_orders * 1000000 div n").as("share_ppm"),
+        benford(col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("share_ppm") - col("benford_ppm")))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w28_growth_accounting" -> w28GrowthAccounting _,
+    "a37_benford" -> a37Benford _,
     "a36_peak_concurrency" -> a36PeakConcurrency _,
     "s11_skyline" -> s11Skyline _,
     "a34_ewma" -> a34Ewma _,
