@@ -1656,6 +1656,29 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // w29: sessionize (w8 CTEs) → ordered string_agg path → census
+    "w29_top_paths" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts, event_id,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |r AS (SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |pc AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+        |rk AS (SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+        |    CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |      AS INTEGER) AS rnk FROM pc)
+        |SELECT path, n_sessions, rnk FROM rk WHERE rnk <= 10""",
     // w28: the MAU-accounting ledger re-derived directly
     "w28_growth_accounting" ->
       """WITH uw AS (SELECT DISTINCT user_id,

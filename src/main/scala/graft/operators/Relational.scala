@@ -2269,7 +2269,45 @@ object Relational {
         abs(col("share_ppm") - col("benford_ppm")))
   }
 
+  /** w29 — TOP SESSION PATHS: the product-analytics path report —
+    * the 10 most common ordered event-type sequences over the first 5
+    * events of each w8 session (w20's transition matrix is the
+    * 1st-order projection of this; the path census is the full
+    * k-gram). The per-session sequence is BOUNDED (5 events) before
+    * anything aggregates: row_number within session → filter rn ≤ 5 →
+    * collect the ≤5 (rn, type) structs → sort_array (tie-free: rn is
+    * unique in-session) → join to a path string. Ranking is a count
+    * rollup + top-k with a deterministic path tie-break. At 100 TB
+    * nothing holds more than 5 rows per session, and the path-count
+    * relation is vocabulary-bounded (|event_types|⁵ worst case, far
+    * smaller in practice). */
+  def w29TopPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag(col("ts"), 1).over(wu))
+    val sess = events(s, d)
+      .withColumn("new_sess",
+        when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id", "session_id")
+      .agg(expr(
+        """array_join(transform(
+          |  sort_array(collect_list(struct(rn, event_type))),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rnk") <= 10)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w29_top_paths" -> w29TopPaths _,
     "w28_growth_accounting" -> w28GrowthAccounting _,
     "a37_benford" -> a37Benford _,
     "a36_peak_concurrency" -> a36PeakConcurrency _,
