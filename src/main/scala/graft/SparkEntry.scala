@@ -1656,6 +1656,33 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // j18: the oracle runs the ACTUAL point-in-interval join against
+    // the non-purchase SCD2 versions (independent algorithm vs the
+    // engine's merge-and-forward-fill)
+    "j18_temporal_lookup" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |      OR prev <> event_type THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS version FROM s),
+        |g AS (SELECT user_id, event_type AS attr_value, version,
+        |    min(epoch_us(ts)) AS valid_from_us
+        |  FROM c GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id, attr_value,
+        |    CAST(version AS INT) AS version, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY version) AS valid_to_us
+        |  FROM g),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.t, v.attr_value, v.version
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.valid_from_us <= p.t
+        |  AND (v.valid_to_us IS NULL OR p.t < v.valid_to_us)""",
     // w29: sessionize (w8 CTEs) → ordered string_agg path → census
     "w29_top_paths" ->
       """WITH f AS (SELECT user_id, ts, event_id, event_type,

@@ -29,9 +29,12 @@ object Changelog {
     * same value collapse), so the output is the canonical
     * slowly-changing-dimension table a MERGE-based warehouse
     * maintains incrementally. */
-  def j10Scd2(s: SparkSession, d: String): DataFrame = {
+  def j10Scd2(s: SparkSession, d: String): DataFrame =
+    scd2Of(ordered(s, d))
+
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val runs = ordered(s, d)
+    val runs = ev
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .withColumn("chg",
         when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
@@ -79,7 +82,45 @@ object Changelog {
         col("n_ops"), col("n_deletes"))
   }
 
+  /** j18 — TEMPORAL DIMENSION LOOKUP: join each purchase fact to the
+    * SCD2 profile version (built from the user's NON-purchase events,
+    * [[scd2Of]]) valid at the purchase instant — the lakehouse
+    * "dimension as of event time" pattern that follows every SCD2
+    * build. Not a point-in-interval join at all on the engine side:
+    * version starts and facts merge into ONE per-user ordered stream
+    * (version rows sort before facts at the same microsecond —
+    * valid_from is inclusive) and a forward-fill window resolves the
+    * lookup in a single pass, no interval explosion, no range-join
+    * fan-out. Facts before the first version keep NULLs (left-join
+    * semantics). The oracle runs the actual point-in-interval LEFT
+    * JOIN on [valid_from, valid_to) — an independent algorithm, so
+    * the hash match proves merge-fill ≡ interval join (including the
+    * same-instant boundary and the exclusive upper bound). */
+  def j18TemporalLookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Of(ordered(s, d)
+        .filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("valid_from_us").as("t"),
+        lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+        col("attr_value"), col("version"))
+    val facts = ordered(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast("string").as("attr_value"),
+        lit(null).cast("int").as("version"))
+    val w = Window.partitionBy("user_id").orderBy("t", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("attr_at",
+        last(col("attr_value"), ignoreNulls = true).over(w))
+      .withColumn("ver_at",
+        last(col("version"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("t"),
+        col("attr_at").as("attr_value"), col("ver_at").as("version"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j18_temporal_lookup" -> j18TemporalLookup _,
     "j10_scd2" -> j10Scd2 _,
     "j11_cdc_merge" -> j11CdcMerge _,
     // j12: the SPARK side is batch j11; the oracle side is the

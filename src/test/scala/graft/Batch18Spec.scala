@@ -38,4 +38,38 @@ class Batch18Spec extends SparkSuite {
       .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
     assert(got.toSeq == expect, s"got ${got.toSeq}\nexp $expect")
   }
+
+  test("j18 temporal lookup: equals the brute-force interval scan") {
+    val out = operators.Changelog.j18TemporalLookup(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("attr_value")),
+          Option(r.get(r.fieldIndex("version"))))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    var checked = 0
+    byUser.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val dims = ordered.filter(_._4 != "purchase")
+      // runs of equal consecutive event_type = versions
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Int)] // (start, attr, version)
+      var ver = 0
+      dims.foreach { r =>
+        if (runs.isEmpty || runs.last._2 != r._4) {
+          ver += 1; runs += ((r._2, r._4, ver))
+        }
+      }
+      ordered.filter(_._4 == "purchase").foreach { f =>
+        val at = runs.takeWhile(_._1 <= f._2).lastOption
+        val (gAttr, gVer) = out(f._3)
+        assert(gAttr == at.map(_._2), s"event ${f._3}")
+        assert(gVer.map(_.asInstanceOf[Int]) == at.map(_._3))
+        checked += 1
+      }
+    }
+    assert(checked > 0 && checked == out.size)
+  }
 }
