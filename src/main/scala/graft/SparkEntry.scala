@@ -1656,6 +1656,41 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // e22: exact different-label top-5 recomputed in SQL (id-only
+    // output, cand_id tie-break — the e1 float discipline)
+    "e22_hard_negatives" -> {
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    label AS ql FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cl
+         |  FROM embeddings),
+         |sims AS (SELECT query_id, cand_id,
+         |    ${cosSql("qv", "cv")} AS cosine
+         |  FROM q CROSS JOIN c WHERE ql <> cl)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id)
+         |    AS INTEGER) AS rnk
+         |  FROM sims) WHERE rnk <= 5"""
+    },
+    // w30: the LTV triangle re-derived directly
+    "w30_ltv_triangle" ->
+      """WITH p AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (SELECT user_id, min(week) AS cw FROM p GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS n_users FROM ch GROUP BY 1),
+        |tri AS (SELECT ch.cw, p.week - ch.cw AS age,
+        |    count(DISTINCT p.user_id) AS n_buyers, sum(p.cents) AS cents
+        |  FROM p JOIN ch USING (user_id) GROUP BY 1, 2)
+        |SELECT tri.cw AS cohort_week, tri.age,
+        |  CAST(sz.n_users AS BIGINT) AS n_users,
+        |  CAST(tri.n_buyers AS BIGINT) AS n_buyers,
+        |  CAST(tri.cents AS BIGINT) AS cents,
+        |  CAST(sum(tri.cents) OVER (PARTITION BY tri.cw
+        |    ORDER BY tri.age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_cents
+        |FROM tri JOIN sz USING (cw)""",
     // j18: the oracle runs the ACTUAL point-in-interval join against
     // the non-purchase SCD2 versions (independent algorithm vs the
     // engine's merge-and-forward-fill)

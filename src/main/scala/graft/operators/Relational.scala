@@ -2306,7 +2306,35 @@ object Relational {
       .filter(col("rnk") <= 10)
   }
 
+  /** w30 — LTV COHORT TRIANGLE: the customer-lifetime-value staple —
+    * users cohorted by FIRST purchase week, revenue laid out by cohort
+    * age (weeks since first purchase), cumulative per cohort. The
+    * cohort assignment is one min-aggregate joined back on user (the
+    * fact table is scanned once); the triangle is a (cohort × age)
+    * rollup — calendar² rows at any corpus size — and the cumulative
+    * runs over AGE within a cohort, a bounded window. Integer cents;
+    * per-cohort sizing broadcast from the same min-aggregate. */
+  def w30LtvTriangle(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val cohort = p.groupBy("user_id").agg(min(col("week")).as("cw"))
+    val sized = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val tri = p.join(cohort, Seq("user_id"))
+      .groupBy(col("cw"), (col("week") - col("cw")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("cw").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.join(broadcast(sized), Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("age"), col("n_users"),
+        col("n_buyers"), col("cents"),
+        sum(col("cents")).over(w).as("cum_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w30_ltv_triangle" -> w30LtvTriangle _,
     "w29_top_paths" -> w29TopPaths _,
     "w28_growth_accounting" -> w28GrowthAccounting _,
     "a37_benford" -> a37Benford _,

@@ -64,6 +64,34 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** e22 — HARD-NEGATIVE MINING: per query, the top-5 most similar
+    * vectors with a DIFFERENT label — the contrastive-training staple
+    * (negatives that are hard precisely because they look like
+    * positives). Same scale shape as e1: the bounded query set
+    * broadcasts INTO the corpus scan (corpus never self-joins), the
+    * label inequality prunes in the same codegen'd stage as the
+    * cosine, and per-query ranking windows partition by query. At
+    * index scale this composes with the IVF path exactly as e1 → e5
+    * does; the brute form is the recall baseline. Ties break on
+    * cand_id — id-only output, so no float crosses the oracle. */
+  def e22HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("q_label"))
+    val sims = emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("label").as("c_label"))
+      .join(broadcast(queries), col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q"), col("c")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   /** The (vec_id, bucket) assignment — the engine-specific layer of e2.
     * Verify dumps it to parquet ([[graft.OpLake]]); the oracle re-derives
     * same-bucket pairs + exact cosine from the dump in SQL. */
@@ -1014,6 +1042,7 @@ object Similarity {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_hard_negatives" -> e22HardNegatives _,
     "e21_ood_audit" -> e21OodAudit _,
     "e20_range_search" ->
       ((s: SparkSession, d: String) => e20RangeSearch(s, d)),
