@@ -1656,6 +1656,27 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // v2: the same five rules re-evaluated per row; DuckDB builds the
+    // sorted reason list with list_sort + list_filter
+    "v2_quarantine" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  list_sort(list_transform(list_filter([
+        |    {'name': 'quantity_out_of_range',
+        |     'bad': l.l_quantity < 1 OR l.l_quantity > 50},
+        |    {'name': 'discount_out_of_range',
+        |     'bad': l.l_discount < 0 OR l.l_discount > 0.1},
+        |    {'name': 'shipdate_null', 'bad': l.l_shipdate IS NULL},
+        |    {'name': 'orphan_orderkey', 'bad': o.o_orderkey IS NULL},
+        |    {'name': 'review_high_discount',
+        |     'bad': l.l_discount >= 0.09}],
+        |    x -> x.bad), x -> x.name)) AS reasons
+        |FROM lineitem l LEFT JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE len(list_filter([
+        |    l.l_quantity < 1 OR l.l_quantity > 50,
+        |    l.l_discount < 0 OR l.l_discount > 0.1,
+        |    l.l_shipdate IS NULL, o.o_orderkey IS NULL,
+        |    l.l_discount >= 0.09], x -> x)) > 0""",
     // e22: exact different-label top-5 recomputed in SQL (id-only
     // output, cand_id tie-break — the e1 float discipline)
     "e22_hard_negatives" -> {

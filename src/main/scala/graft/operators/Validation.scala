@@ -66,6 +66,40 @@ object Validation {
       .withColumn("passed", col("n_violations") === 0)
   }
 
+  /** v2 — QUARANTINE ROWS: the write side of v1 — the offending rows
+    * themselves, each with the sorted list of the checks it failed,
+    * ready to divert to a quarantine table while the clean partition
+    * promotes. Same single-scan discipline: every check is a boolean
+    * column computed in one pass over the fact + its reference left
+    * join; the reason array is a codegen'd filter over a literal
+    * array of (name, flag) structs; only flagged rows survive the
+    * final filter. Hard constraints never fire on clean data (the
+    * spec's clean-path assertion); the soft `review_high_discount`
+    * rule keeps the quarantine exercised on real data, and the
+    * planted-violation path pins the hard reasons. */
+  def v2Quarantine(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    li.join(o.select(col("o_orderkey").as("l_orderkey"),
+        lit(1).as("ok")), Seq("l_orderkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(
+          """sort_array(transform(filter(array(
+            |  named_struct('name', 'quantity_out_of_range',
+            |    'bad', l_quantity < 1 or l_quantity > 50),
+            |  named_struct('name', 'discount_out_of_range',
+            |    'bad', l_discount < 0 or l_discount > 0.1),
+            |  named_struct('name', 'shipdate_null',
+            |    'bad', l_shipdate is null),
+            |  named_struct('name', 'orphan_orderkey',
+            |    'bad', ok is null),
+            |  named_struct('name', 'review_high_discount',
+            |    'bad', l_discount >= 0.09)), x -> x.bad), x -> x.name))"""
+            .stripMargin).as("reasons"))
+      .filter(size(col("reasons")) > 0)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v1_expectations" -> v1Expectations _)
+    "v1_expectations" -> v1Expectations _,
+    "v2_quarantine" -> v2Quarantine _)
 }

@@ -62,4 +62,36 @@ class Batch15Spec extends SparkSuite {
         sims.count(_ < mean - 200000L).toLong)
     }
   }
+
+  test("v2 quarantine: clean data only trips the soft review rule") {
+    val out = Validation.v2Quarantine(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("reasons")).toSeq ==
+        Seq("review_high_discount"))
+    }
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") >= 0.09).count()
+    assert(out.length.toLong == expect)
+  }
+
+  test("v2 quarantine: planted rows carry sorted hard reasons") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_v2").toString
+    val li = Tables.lineitem(spark, sf)
+    val bad = li.limit(1)
+      .withColumn("l_orderkey", lit(-1L))
+      .withColumn("l_quantity", lit(99.0))
+      .withColumn("l_discount", lit(0.0))
+    li.unionByName(bad).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/lineitem.parquet")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    val rows = Validation.v2Quarantine(spark, tmp).collect()
+      .filter(_.getAs[Long]("l_orderkey") == -1L)
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](rows.head.fieldIndex("reasons"))
+      .toSeq == Seq("orphan_orderkey", "quantity_out_of_range"))
+  }
 }
