@@ -349,6 +349,21 @@ object Graph {
     * the per-iteration shape (one rank-vector exchange against the
     * stationary edge partitioning) must stay identical. */
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // disjoint replicas of the strong co-supplier graph: each replica
+    // peels independently, so the stress 3-core must be exactly
+    // stressReps copies of the base core (closed-form check in the
+    // Profile log: rows = reps × base rows) while per-round work
+    // scales linearly
+    "z24_g7_20x" -> ((s: SparkSession, d: String) => {
+      val base = coPairs(s, d).filter(col("n_shared") >= 2)
+        .select(col("s_a"), col("s_b"))
+      val reps = (0 until TextOps.stressReps)
+        .map(i => base.select(
+          (col("s_a") + lit(i * 1000000L)).as("s_a"),
+          (col("s_b") + lit(i * 1000000L)).as("s_b")))
+        .reduce(_ unionByName _)
+      kcoreOf(reps, k = 3)
+    }),
     "z23_g1_20x" -> ((s: SparkSession, d: String) => {
       val reps = (0 until TextOps.stressReps)
         .map(i => graft.Tables.lineitem(s, d)
