@@ -1656,6 +1656,55 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a38: the full grid from the marginals, same floor-then-square
+    // fixed-point contract
+    "a38_chi2_cells" ->
+      """WITH cells AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cells),
+        |grid AS (SELECT rt.event_type, ct.dow, rt.r, ct.c
+        |  FROM rt CROSS JOIN ct)
+        |SELECT g.event_type, g.dow,
+        |  CAST(coalesce(cells.o, 0) AS BIGINT) AS o,
+        |  CAST(CAST(g.r AS HUGEINT) * g.c // n.n AS BIGINT) AS e_floor,
+        |  CAST(CAST(coalesce(cells.o, 0)
+        |      - CAST(g.r AS HUGEINT) * g.c // n.n AS HUGEINT)
+        |    * (coalesce(cells.o, 0)
+        |      - CAST(g.r AS HUGEINT) * g.c // n.n) * 1000000
+        |    // greatest(CAST(g.r AS HUGEINT) * g.c // n.n, 1)
+        |    AS BIGINT) AS contrib_ppm
+        |FROM grid g LEFT JOIN cells
+        |  ON g.event_type = cells.event_type AND g.dow = cells.dow
+        |CROSS JOIN n""",
+    // w31: the trailing-28-day distinct via bounded fan-out on both
+    // engines — same algorithm, independent execution
+    "w31_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |m AS (SELECT DISTINCT user_id, day + t.i AS day
+        |  FROM ud, unnest(range(0, 28)) AS t(i)),
+        |mau AS (SELECT day, count(*) AS mau FROM m GROUP BY 1)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(mau.mau AS BIGINT) AS mau,
+        |  CAST(d.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN mau USING (day)""",
+    // m10: CAS accounting re-derived from documents directly
+    "m10_cas_savings" ->
+      """WITH g AS (SELECT source AS format, md5(text) AS h,
+        |    octet_length(encode(text)) AS n_bytes, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT format, CAST(sum(cnt) AS BIGINT) AS n_assets,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(cnt * CAST(n_bytes AS BIGINT)) AS BIGINT)
+        |    AS bytes_total,
+        |  CAST(sum((cnt - 1) * CAST(n_bytes AS BIGINT)) AS BIGINT)
+        |    AS bytes_saved,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS dup_assets
+        |FROM g GROUP BY 1""",
     // v2: the same five rules re-evaluated per row; DuckDB builds the
     // sorted reason list with list_sort + list_filter
     "v2_quarantine" ->

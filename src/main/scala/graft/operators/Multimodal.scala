@@ -293,7 +293,26 @@ object Multimodal {
         expr("n_keyframes * 1000 div n_frames").as("key_permille"))
   }
 
+  /** m10 — CONTENT-ADDRESSABLE STORAGE SAVINGS: what a CAS layer
+    * (dedup-by-content-hash, the media-lake storage idiom) would save
+    * per format — asset/unique-payload counts and the byte delta. One
+    * payload pass for the hash (the m1 fingerprint discipline), then
+    * a two-level aggregate on the 16-byte hash; payload bytes never
+    * shuffle (the hash and n_bytes do). */
+  def m10CasSavings(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .groupBy(col("format"), md5(col("media")).as("h"), col("n_bytes"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("format")
+      .agg(sum(col("cnt")).as("n_assets"),
+        count(lit(1)).as("n_unique"),
+        sum(expr("cnt * cast(n_bytes as bigint)")).as("bytes_total"),
+        sum(expr("(cnt - 1) * cast(n_bytes as bigint)"))
+          .as("bytes_saved"))
+      .withColumn("dup_assets", col("n_assets") - col("n_unique"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_cas_savings" -> m10CasSavings _,
     "m9_keyframes" -> m9Keyframes _,
     "m8_asset_clusters" -> m8AssetClusters _,
     "m7_segment_neardup" -> m7SegmentNearDup _,

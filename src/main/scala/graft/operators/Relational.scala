@@ -2333,7 +2333,62 @@ object Relational {
         sum(col("cents")).over(w).as("cum_cents"))
   }
 
+  /** a38 — CHI-SQUARE INDEPENDENCE CELLS: the event_type × day-of-week
+    * contingency audit ("is activity mix independent of weekday?") in
+    * declared fixed-point form: per cell, the floored expectation
+    * E⌊ = R·C div N and the contribution (O − E⌊)²·10⁶ div max(E⌊,1).
+    * The floor-then-square order is part of the operator contract, so
+    * both engines compute identical integers at ANY scale; products
+    * run DECIMAL(38,0) ↔ HUGEINT (R·C is 10²⁴ at warehouse counts).
+    * The FULL grid materializes (row-marginal × column-marginal cross
+    * of two tiny broadcast relations) so zero cells contribute their
+    * E⌊ — the classic mistake of dropping empty cells is structurally
+    * impossible. */
+  def a38Chi2(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    broadcast(rt).crossJoin(broadcast(ct))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        expr("cast(r as decimal(38,0)) * c div n").as("e_floor"))
+      .withColumn("contrib_ppm",
+        expr("cast(o - e_floor as decimal(38,0)) * (o - e_floor) " +
+          "* 1000000 div greatest(e_floor, 1)"))
+  }
+
+  /** w31 — STICKINESS (DAU/MAU): the engagement ratio per active day —
+    * daily actives over trailing-28-day actives, integer ppm. The
+    * sliding COUNT DISTINCT is exact without any window: each row of
+    * the deduplicated (user, day) relation fans out to the ≤28 MAU
+    * days it supports (a bounded explode — user-days are already far
+    * smaller than events), re-deduplicated and rolled up per day.
+    * Reported only for days with activity (inner join with DAU). */
+  def w31Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 27)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a38_chi2_cells" -> a38Chi2 _,
+    "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,
     "w29_top_paths" -> w29TopPaths _,
     "w28_growth_accounting" -> w28GrowthAccounting _,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Relational}
+
+/** Round-6 batch 23: a38 chi-square cells, w31 stickiness, m10 CAS
+  * savings. */
+class Batch20Spec extends SparkSuite {
+
+  test("a38 chi2: full grid, marginal identities, brute contribution") {
+    val out = Relational.a38Chi2(spark, sf).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    assert(out.length == types.length * 7)
+    val obs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = obs.length.toLong
+    val rt = obs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = obs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val oMap = obs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("dow"))
+      val o = oMap.getOrElse(key, 0L)
+      val ef = (BigInt(rt(key._1)) * ct(key._2) / n).toLong
+      assert(r.getAs[Long]("o") == o)
+      assert(r.getAs[Long]("e_floor") == ef)
+      val contrib =
+        (BigInt(o - ef) * (o - ef) * 1000000 / math.max(ef, 1L)).toLong
+      assert(r.getAs[Long]("contrib_ppm") == contrib)
+    }
+    // marginals: sum of o per row = row total
+    types.foreach { t =>
+      assert(out.filter(_.getAs[String]("event_type") == t)
+        .map(_.getAs[Long]("o")).sum == rt(t))
+    }
+  }
+
+  test("w31 stickiness: DAU <= MAU, brute-force window check") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct
+    val out = Relational.w31Stickiness(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("stickiness_ppm"))).toMap
+    assert(out.keySet == days.toSet)
+    days.foreach { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val mau = ud.filter(u => u._2 <= d && u._2 > d - 28)
+        .map(_._1).distinct.length.toLong
+      val (gd, gm, gp) = out(d)
+      assert(gd == dau && gm == mau, s"day $d: ($gd,$gm) vs ($dau,$mau)")
+      assert(gp == dau * 1000000L / mau)
+      assert(dau <= mau)
+    }
+  }
+
+  test("m10 cas savings: per-format byte accounting conserves") {
+    val out = Multimodal.m10CasSavings(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    out.foreach { r =>
+      val fmt = r.getAs[String]("format")
+      val mine = docs.filter(_._1 == fmt)
+      val uniq = mine.map(_._2).distinct
+      assert(r.getAs[Long]("n_assets") == mine.length.toLong)
+      assert(r.getAs[Long]("n_unique") == uniq.length.toLong)
+      assert(r.getAs[Long]("dup_assets") ==
+        (mine.length - uniq.length).toLong)
+      val total = mine.map(_._2.getBytes("UTF-8").length.toLong).sum
+      assert(r.getAs[Long]("bytes_total") == total)
+      val kept = uniq.map(_.getBytes("UTF-8").length.toLong).sum
+      assert(r.getAs[Long]("bytes_saved") == total - kept)
+    }
+  }
+}
