@@ -244,6 +244,22 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    // ts20: lag + identical integer ms-bucketing over the dumped
+    // packet layer; same discontinuity exclusion as spanSecondsOf
+    "ts20_pcr_jitter" -> {
+      s"""WITH p AS (SELECT pid, seq, pcr FROM ${tsrel("packets")}
+         |  WHERE pcr IS NOT NULL),
+         |d AS (SELECT pid,
+         |    pcr - lag(pcr) OVER (PARTITION BY pid ORDER BY seq)
+         |      AS delta FROM p)
+         |SELECT pid, delta // 27000 AS bucket_ms,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(delta) AS BIGINT) AS min_ticks,
+         |  CAST(max(delta) AS BIGINT) AS max_ticks
+         |FROM d WHERE delta IS NOT NULL AND delta > 0
+         |  AND delta <= 27000000
+         |GROUP BY 1, 2"""
+    },
     // t25: the ORACLE side is the pair set the STREAMING near-dup
     // operator emitted during Verify's deterministic replay (dumped);
     // the Spark side recomputes the batch banding — the hash match is
@@ -1656,6 +1672,26 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a39: direct row_number order statistics + clamp-sum in HUGEINT
+    "a39_winsorized_mean" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |tot AS (SELECT l_returnflag, count(*) AS n FROM li GROUP BY 1),
+        |rk AS (SELECT l_returnflag, cents, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cents) AS rn FROM li),
+        |b AS (SELECT r.l_returnflag,
+        |    min(CASE WHEN rn = n // 20 + 1 THEN cents END) AS v_lo,
+        |    min(CASE WHEN rn = n - n // 20 THEN cents END) AS v_hi
+        |  FROM rk r JOIN tot USING (l_returnflag) GROUP BY 1)
+        |SELECT li.l_returnflag, CAST(max(t.n) AS BIGINT) AS n,
+        |  CAST(max(b.v_lo) AS BIGINT) AS lo_cents,
+        |  CAST(max(b.v_hi) AS BIGINT) AS hi_cents,
+        |  CAST(CAST(sum(greatest(least(li.cents, b.v_hi), b.v_lo))
+        |    AS HUGEINT) * 1000000 // max(t.n) AS BIGINT)
+        |    AS winsor_mean_micros
+        |FROM li JOIN b USING (l_returnflag)
+        |JOIN tot t USING (l_returnflag) GROUP BY 1""",
     // a38: the full grid from the marginals, same floor-then-square
     // fixed-point contract
     "a38_chi2_cells" ->

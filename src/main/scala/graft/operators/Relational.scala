@@ -2386,7 +2386,58 @@ object Relational {
         expr("dau * 1000000 div mau").as("stickiness_ppm"))
   }
 
+  /** a39 — WINSORIZED MEAN (5%): a28's trimmed mean DROPS the tails;
+    * winsorizing CLAMPS them to the 5%/95% order statistics instead —
+    * the robust-mean variant that keeps n constant. Both boundary
+    * values come from ONE a15-style bucket probe (the two candidate
+    * ranks k+1 = n div 20 + 1 and n − n div 20 ride the same
+    * histogram + single-bucket row_number pass), then one clamp-sum
+    * scan with the 3-row bounds broadcast. Sum runs DECIMAL(38,0)
+    * before the ·10⁶ scaling — BIGINT overflows past sf1. */
+  def a39WinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val width = 100000L
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    val hist = li
+      .groupBy(col("l_returnflag"), expr(s"cents div $width").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy("l_returnflag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .withColumn("k1", expr("n div 20 + 1"))
+      .withColumn("k2", expr("n - n div 20"))
+      .withColumn("below", col("cum") - col("c"))
+      .filter((col("k1") > col("below") && col("k1") <= col("cum")) ||
+        (col("k2") > col("below") && col("k2") <= col("cum")))
+      .select(col("l_returnflag"), col("bkt"), col("below"), col("n"),
+        col("k1"), col("k2"))
+    val wloc = Window.partitionBy("l_returnflag", "bkt").orderBy("cents")
+    val bounds = li.withColumn("bkt", expr(s"cents div $width"))
+      .join(broadcast(cand), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(wloc) + col("below"))
+      .filter(col("rn") === col("k1") || col("rn") === col("k2"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === col("k1"), col("cents"))).as("lo_cents"),
+        min(when(col("rn") === col("k2"), col("cents"))).as("hi_cents"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"), max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(expr("cast(greatest(least(cents, hi_cents), lo_cents) " +
+          "as decimal(38,0))")).as("wsum"))
+      .select(col("l_returnflag"), col("n"), col("lo_cents"),
+        col("hi_cents"),
+        expr("cast(wsum * 1000000 div n as bigint)")
+          .as("winsor_mean_micros"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a39_winsorized_mean" -> a39WinsorizedMean _,
     "a38_chi2_cells" -> a38Chi2 _,
     "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,

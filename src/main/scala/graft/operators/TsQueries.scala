@@ -438,7 +438,32 @@ object TsQueries {
       .groupBy("reason").agg(count(lit(1)).as("n"))
   }
 
+  /** ts20 — PCR JITTER HISTOGRAM: per PCR PID, the distribution of
+    * consecutive-PCR intervals in millisecond buckets (plus the exact
+    * tick extremes per bucket) — the DVB PCR-accuracy health check a
+    * mux operator watches (nominal interval ≤ 40 ms; a drifting or
+    * bimodal histogram means an upstream remux is mis-pacing).
+    * Discontinuity deltas (> 1 s or ≤ 0, the spanSecondsOf rule) are
+    * excluded. The window partitions by PID over the PCR-carrying
+    * subset only; the histogram is a map-side-combining rollup on the
+    * (pid, ms-bucket) grid. Oracle: lag + the same integer bucketing
+    * over the dumped packet layer. */
+  def ts20PcrJitter(s: SparkSession, d: String): DataFrame = {
+    val wd = Window.partitionBy("pid").orderBy("seq")
+    pkts(s).toDF()
+      .filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
+      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
+      .filter(col("delta").isNotNull && col("delta") > 0 &&
+        col("delta") <= 27000000L)
+      .withColumn("bucket_ms", expr("delta div 27000"))
+      .groupBy("pid", "bucket_ms")
+      .agg(count(lit(1)).as("n"), min(col("delta")).as("min_ticks"),
+        max(col("delta")).as("max_ticks"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts20_pcr_jitter" -> ts20PcrJitter _,
     "ts19_reject_stats" -> ts19RejectStats _,
     "ts16_cbr_plan" -> ts16CbrPlan _,
     "ts18_fill_forward" -> ts18FillForward _,

@@ -79,4 +79,53 @@ class Batch20Spec extends SparkSuite {
       assert(r.getAs[Long]("bytes_saved") == total - kept)
     }
   }
+
+  test("a39 winsorized mean: matches the brute-force clamp") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val out = Relational.a39WinsorizedMean(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("lo_cents"),
+          r.getAs[Long]("hi_cents"),
+          r.getAs[Long]("winsor_mean_micros"))).toMap
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length
+      val k = n / 20
+      val lo = xs(k)          // rank k+1, 1-indexed
+      val hi = xs(n - k - 1)  // rank n-k
+      val wsum = xs.map(x => math.max(lo, math.min(hi, x)))
+        .map(BigInt(_)).sum
+      val (gn, glo, ghi, gm) = out(flag)
+      assert(gn == n.toLong && glo == lo && ghi == hi)
+      assert(gm == (wsum * 1000000 / n).toLong, flag)
+    }
+  }
+
+  test("ts20 pcr jitter: buckets partition the sane deltas exactly") {
+    graft.ts.TsLake.ensureDumped(spark)
+    val out = graft.operators.TsQueries.ts20PcrJitter(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val pcrs = graft.ts.TsLake.packets(spark).toDF()
+      .filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val deltas = pcrs.groupBy(_._1).toSeq.flatMap { case (pid, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq.sliding(2).collect {
+        case Seq(a, b) if b - a > 0 && b - a <= 27000000L =>
+          (pid, b - a)
+      }
+    }
+    assert(out.map(_.getAs[Long]("n")).sum == deltas.length.toLong)
+    out.foreach { r =>
+      val inBucket = deltas.filter(dd => dd._1 == r.getAs[Int]("pid") &&
+        dd._2 / 27000L == r.getAs[Long]("bucket_ms")).map(_._2)
+      assert(inBucket.length.toLong == r.getAs[Long]("n"))
+      assert(inBucket.min == r.getAs[Long]("min_ticks"))
+      assert(inBucket.max == r.getAs[Long]("max_ticks"))
+    }
+  }
 }
