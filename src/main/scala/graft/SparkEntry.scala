@@ -1672,6 +1672,37 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a40: same scaled-deviation rational form, direct in HUGEINT
+    "a40_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS nd, sum(x) AS ssum
+        |  FROM daily GROUP BY 1),
+        |dv AS (SELECT d.event_type, d.day, t.nd,
+        |    CAST(d.x AS HUGEINT) * t.nd - t.ssum AS dv
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |l AS (SELECT event_type, nd, dv, lead(dv) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS dv1 FROM dv)
+        |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_days,
+        |  CAST(sum(dv * dv1) * 1000000 // sum(dv * dv) AS BIGINT)
+        |    AS r1_ppm
+        |FROM l GROUP BY 1""",
+    // w32: direct global row_number median over the gap relation
+    "w32_purchase_gap" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT t - lag(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS gap FROM p),
+        |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+        |tot AS (SELECT count(*) AS n FROM gg),
+        |rk AS (SELECT gap, row_number() OVER (ORDER BY gap) AS rn
+        |  FROM gg)
+        |SELECT CAST(tot.n AS BIGINT) AS n_gaps,
+        |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+        |    AS median_gap_us
+        |FROM rk, tot GROUP BY tot.n""",
     // a39: direct row_number order statistics + clamp-sum in HUGEINT
     "a39_winsorized_mean" ->
       """WITH li AS (SELECT l_returnflag,

@@ -2436,7 +2436,55 @@ object Relational {
           .as("winsor_mean_micros"))
   }
 
+  /** a40 — LAG-1 AUTOCORRELATION of daily revenue per event type, the
+    * persistence statistic that separates trending series from noise
+    * (pairs with a33's changepoint and a34's smoother). Exact rational
+    * form on SCALED deviations d_t = x_t·D − S (so the mean never
+    * divides): r₁ = Σ d_t·d_{t+1} · 10⁶ div Σ d_t² over consecutive
+    * OBSERVED days (index-based, declared). Products in DECIMAL(38,0);
+    * one LEAD over the calendar-bounded daily series. */
+  def a40Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("ssum"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("nd"),
+        expr("cast(x as decimal(38,0)) * nd - ssum").as("dv"))
+      .withColumn("dv1", lead(col("dv"), 1).over(w))
+      .groupBy("event_type")
+      .agg(max(col("nd")).as("n_days"),
+        sum(expr("dv * dv")).as("den"),
+        sum(expr("dv * dv1")).as("num"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(num * 1000000 div den as bigint)").as("r1_ppm"))
+  }
+
+  /** w32 — MEDIAN PURCHASE GAP: the exact global median of the time
+    * between a user's consecutive purchases — the inter-purchase
+    * cadence anchor behind churn-risk thresholds. Per-user gaps come
+    * from one LAG; the global median reuses the a29 bucket-probe
+    * helper on HOUR buckets (the window sees the bounded hour grid,
+    * never the row-scale gap relation). */
+  def w32PurchaseGap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val gaps = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"))
+      .withColumn("gap_us", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(lit("all").as("g"), col("gap_us"))
+    lowerMedianBucketed(gaps, "g", "gap_us", 3600L * 1000000L)
+      .select(col("n").as("n_gaps"), col("med").as("median_gap_us"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a40_autocorr" -> a40Autocorr _,
+    "w32_purchase_gap" -> w32PurchaseGap _,
     "a39_winsorized_mean" -> a39WinsorizedMean _,
     "a38_chi2_cells" -> a38Chi2 _,
     "w31_stickiness" -> w31Stickiness _,

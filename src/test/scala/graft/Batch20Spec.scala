@@ -128,4 +128,46 @@ class Batch20Spec extends SparkSuite {
       assert(inBucket.max == r.getAs[Long]("max_ticks"))
     }
   }
+
+  test("a40 autocorr: matches the brute-force scaled-deviation form") {
+    val out = Relational.a40Autocorr(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("r1_ppm"))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((et, day), x) => (et, day, x) }
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val nd = xs.length.toLong
+      val s = xs.sum
+      val dv = xs.map(x => BigInt(x) * nd - s)
+      val den = dv.map(d => d * d).sum
+      val num = dv.zip(dv.tail).map { case (a, b) => a * b }.sum
+      val (gn, gr) = out(et)
+      assert(gn == nd)
+      assert(gr == (num * 1000000 / den).toLong, et)
+    }
+  }
+
+  test("w32 purchase gap: matches brute-force global lower median") {
+    val p = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = p.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.sorted
+    val row = Relational.w32PurchaseGap(spark, sf).collect().head
+    assert(row.getAs[Long]("n_gaps") == gaps.length.toLong)
+    assert(row.getAs[Long]("median_gap_us") ==
+      gaps((gaps.length + 1) / 2 - 1))
+  }
 }
