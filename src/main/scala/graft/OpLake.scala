@@ -102,6 +102,11 @@ object OpLake {
     // recomputes batch j16IntervalCoverage, so the hash gate IS
     // stream≡batch island-merge parity (spanning batch boundaries)
     save(streaming.TwsOps.intervalReplay(s, d), "stream_intervals")
+    // the STREAMING sliding-median emissions (≤5-value list state per
+    // user) — the w33 oracle reads these verbatim; the Spark side
+    // recomputes batch w25, so the hash gate IS the bounded-frame
+    // stream≡batch parity
+    save(streaming.TwsOps.medianReplay(s, d), "stream_median")
     // the e21 per-vector assignment audit relation (fixed-point sims
     // computed once in Spark's deterministic kernel) — the e21 oracle
     // aggregates these; Spark recomputes the same aggregation

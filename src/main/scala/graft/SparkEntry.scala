@@ -1672,6 +1672,12 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // w33: oracle = the streaming replay's emissions read verbatim;
+    // Spark recomputes batch w25 — stream ≡ batch bounded median
+    "w33_stream_median" ->
+      s"""SELECT event_id, user_id, CAST(n_win AS INTEGER) AS n_win,
+         |  CAST(med_cents AS BIGINT) AS med_cents
+         |FROM ${oprel("stream_median")}""",
     // a40: same scaled-deviation rational form, direct in HUGEINT
     "a40_autocorr" ->
       """WITH daily AS (SELECT event_type,

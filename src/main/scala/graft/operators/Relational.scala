@@ -2483,6 +2483,10 @@ object Relational {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // w33: the SPARK side is batch w25; the oracle reads the
+    // transformWithState replay's emissions — hash match = the
+    // bounded-frame rolling median survives micro-batch seams
+    "w33_stream_median" -> w25SlidingMedian _,
     "a40_autocorr" -> a40Autocorr _,
     "w32_purchase_gap" -> w32PurchaseGap _,
     "a39_winsorized_mean" -> a39WinsorizedMean _,

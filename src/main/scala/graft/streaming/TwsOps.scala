@@ -1157,6 +1157,97 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming sliding median (w33 = streaming w25) ---------------
+
+  case class MedIn(user_id: Long, tsus: Long, event_id: Long,
+    cents: Long)
+  case class MedState(win: Seq[Long])
+  case class MedHit(event_id: Long, user_id: Long, n_win: Int,
+    med_cents: Long)
+
+  /** w25's bounded rolling median as an online per-user machine: the
+    * state is the last ≤5 purchase amounts (40 bytes, the whole
+    * point — batch w25 re-sorts a 5-row frame per row; the stream
+    * keeps just the frame). Lower-median convention identical to the
+    * batch fold; a (t, event_id)-ordered feed keeps per-user rows
+    * adjacent, and rows within a micro-batch sort on the same total
+    * key, so emissions are bit-identical to batch w25 across seams. */
+  class MedianProcessor extends StatefulProcessor[Long, MedIn, MedHit] {
+    @transient private var state: ValueState[MedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MedState](
+        "win", Encoders.product[MedState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[MedIn],
+        timerValues: TimerValues): Iterator[MedHit] = {
+      var win = Option(state.get()).map(_.win).getOrElse(Seq.empty)
+      val out = Vector.newBuilder[MedHit]
+      rows.toArray.sortBy(r => (r.tsus, r.event_id)).foreach { r =>
+        win = (win :+ r.cents).takeRight(5)
+        val sortedW = win.sorted
+        out += MedHit(r.event_id, user, win.length,
+          sortedW((win.length + 1) / 2 - 1))
+      }
+      state.update(MedState(win))
+      out.result().iterator
+    }
+  }
+
+  def medianStreamTws(rows: org.apache.spark.sql.DataFrame)
+      : Dataset[MedHit] = {
+    import rows.sparkSession.implicits._
+    rows.selectExpr("user_id", "tsus", "event_id", "cents")
+      .as[MedIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new MedianProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay of the purchase feed
+    * through [[medianStreamTws]] — the producer behind the w33 parity
+    * row: OpLake dumps the emissions, the oracle reads them verbatim,
+    * batch `w25SlidingMedian` must hash-match. */
+  def medianReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val feed = graft.Tables.events(s, d)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase")
+      .selectExpr("user_id", "unix_micros(ts) as tsus", "event_id",
+        "cast(floor(value * 100 + 0.5) as bigint) as cents")
+      .as[(Long, Long, Long, Long)]
+      .collect().sortBy(e => (e._2, e._3))
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val name = s"median_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = medianStreamTws(
+        mem.toDS().toDF("user_id", "tsus", "event_id", "cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        feed.grouped(math.max(1, feed.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[MedHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   def sessionizeTws(events: org.apache.spark.sql.DataFrame, gapMs: Long)
       : Dataset[StreamingOps.ClosedSession] = {
     import events.sparkSession.implicits._

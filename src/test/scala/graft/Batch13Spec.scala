@@ -64,4 +64,16 @@ class Batch13Spec extends SparkSuite {
       assert(r.getAs[Long]("total_chars") == members.map(chars).sum)
     }
   }
+
+  test("w33 stream median: replay emissions equal batch w25") {
+    val stream = streaming.TwsOps.medianReplay(spark, sf, batches = 3)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Int]("n_win"), r.getAs[Long]("med_cents"))).toMap
+    val batch = Relational.w25SlidingMedian(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Int]("n_win"), r.getAs[Long]("med_cents"))).toMap
+    assert(stream == batch,
+      s"stream ${stream.size} rows vs batch ${batch.size}")
+  }
 }
