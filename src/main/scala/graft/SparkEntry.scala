@@ -89,7 +89,7 @@ object SparkEntry {
     * centroids in SQL (first 16 corpus vectors); e6 reads the TRAINED
     * model from the Verify dump and re-derives everything downstream. */
   private def ivfSql(centroidSrc: String,
-      candCond: String = "TRUE"): String =
+      candCond: String = "TRUE", nprobe: Int = 4): String =
     s"""WITH c AS ($centroidSrc),
        |  sims AS (SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
        |      ${cosSql("e.embedding", "c.cv")} AS sim
@@ -105,7 +105,7 @@ object SparkEntry {
        |        row_number() OVER (
        |          PARTITION BY vec_id ORDER BY sim DESC, centroid_id)
        |          AS rn
-       |      FROM sims WHERE vec_id < 10) WHERE rn <= 4),
+       |      FROM sims WHERE vec_id < 10) WHERE rn <= $nprobe),
        |  scored AS (SELECT p.query_id, a.vec_id AS cand_id,
        |      ${cosSql("p.q", "a.embedding")} AS cosine
        |    FROM probes p JOIN assigned a USING (centroid_id)
@@ -1672,6 +1672,25 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // e23: three instantiations of the parameterized IVF pipeline SQL
+    // left-joined to the exact CTE — same recall arithmetic in ppm
+    "e23_recall_curve" -> {
+      val cSrc = "SELECT vec_id AS centroid_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id < 16"
+      def leg(np: Int) =
+        s"""SELECT $np AS nprobe, count(*) AS n_exact,
+           |  sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS n_hit
+           |FROM exact e LEFT JOIN (${ivfSql(cSrc, nprobe = np)}) a
+           |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+      s"""WITH exact AS (SELECT query_id, cand_id FROM ($e1Sql) x),
+         |legs AS (${leg(1)} UNION ALL ${leg(2)} UNION ALL ${leg(4)})
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM legs"""
+    },
     // w33: oracle = the streaming replay's emissions read verbatim;
     // Spark recomputes batch w25 — stream ≡ batch bounded median
     "w33_stream_median" ->

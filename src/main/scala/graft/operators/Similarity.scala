@@ -1041,7 +1041,28 @@ object Similarity {
       .select(col("query_id"), col("centroid_id"))
   }
 
+  /** e23 — RECALL-vs-NPROBE CURVE: the index-tuning artifact — for
+    * nprobe ∈ {1, 2, 4}, recall@5 of the e5 IVF path against e1 exact
+    * ground truth, as ONE query (the dial as data: how much recall
+    * each extra probed list buys). All three probe settings share the
+    * session-memoized corpus assignment; only the tiny query-side
+    * probe selection re-ranks per setting, so the added cost over one
+    * e5 run is negligible. Integer ppm recall; id-only joins. */
+  def e23RecallCurve(s: SparkSession, d: String): DataFrame = {
+    val exact = e1CosineTopK(s, d).select(col("query_id"), col("cand_id"))
+    Seq(1, 2, 4).map { np =>
+      val approx = ivfAnn(s, d, 16, np)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+      exact.join(broadcast(approx), Seq("query_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_recall_curve" -> e23RecallCurve _,
     "e22_hard_negatives" -> e22HardNegatives _,
     "e21_ood_audit" -> e21OodAudit _,
     "e20_range_search" ->

@@ -73,4 +73,19 @@ class Batch19Spec extends SparkSuite {
       assert(cum == total)
     }
   }
+
+  test("e23 recall curve: monotone in nprobe, endpoint sanity") {
+    val out = Similarity.e23RecallCurve(spark, sf).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(out.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val recalls = out.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not decrease with nprobe: ${recalls.toSeq}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") > 0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / r.getAs[Long]("n_exact"))
+    }
+  }
 }
