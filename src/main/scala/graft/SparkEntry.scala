@@ -1672,6 +1672,22 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a41: direct row_number order statistics at the same ceil ranks
+    "a41_exact_percentiles" -> {
+      def pc(p: Int) =
+        s"""CAST(min(CASE WHEN rn = (n * $p + 99) // 100
+           |    THEN cents END) AS BIGINT) AS p${p}_cents"""
+      s"""WITH li AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |      AS cents FROM lineitem),
+         |tot AS (SELECT l_returnflag, count(*) AS n FROM li
+         |  GROUP BY 1),
+         |rk AS (SELECT l_returnflag, cents, row_number() OVER (
+         |    PARTITION BY l_returnflag ORDER BY cents) AS rn FROM li)
+         |SELECT r.l_returnflag, CAST(max(t.n) AS BIGINT) AS n,
+         |  ${pc(25)}, ${pc(50)}, ${pc(75)}, ${pc(95)}, ${pc(99)}
+         |FROM rk r JOIN tot t USING (l_returnflag) GROUP BY 1"""
+    },
     // e23: three instantiations of the parameterized IVF pipeline SQL
     // left-joined to the exact CTE — same recall arithmetic in ppm
     "e23_recall_curve" -> {

@@ -2482,7 +2482,51 @@ object Relational {
       .select(col("n").as("n_gaps"), col("med").as("median_gap_us"))
   }
 
+  /** a41 — EXACT PERCENTILE VECTOR: p25/p50/p75/p95/p99 per group in
+    * ONE bucket-probe pass — the generalization proving the a15/a29/
+    * a39 order-statistic engine scales in the NUMBER of ranks, not
+    * just rows: all five candidate ranks ride the same histogram +
+    * single-bucket row_number probe, and the report pivots by rank
+    * match. Convention: percentile_disc lower bound — rank
+    * kₚ = ⌈p·n/100⌉, declared identically in the oracle. */
+  def a41ExactPercentiles(s: SparkSession, d: String): DataFrame = {
+    val width = 100000L
+    val ps = Seq(25, 50, 75, 95, 99)
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    val hist = li
+      .groupBy(col("l_returnflag"), expr(s"cents div $width").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy("l_returnflag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withK = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .withColumn("below", col("cum") - col("c"))
+    val kCols = ps.map(p =>
+      expr(s"(n * $p + 99) div 100").as(s"k$p"))
+    val cand = withK.select(
+        Seq(col("l_returnflag"), col("bkt"), col("below"), col("n"),
+          col("cum")) ++ kCols: _*)
+      .filter(ps.map(p =>
+        col(s"k$p") > col("below") && col(s"k$p") <= col("cum"))
+        .reduce(_ || _))
+      .drop("cum")
+    val wloc = Window.partitionBy("l_returnflag", "bkt").orderBy("cents")
+    li.withColumn("bkt", expr(s"cents div $width"))
+      .join(broadcast(cand), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(wloc) + col("below"))
+      .filter(ps.map(p => col("rn") === col(s"k$p")).reduce(_ || _))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        ps.map(p => min(when(col("rn") === col(s"k$p"), col("cents")))
+          .as(s"p${p}_cents")): _*)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a41_exact_percentiles" -> a41ExactPercentiles _,
     // w33: the SPARK side is batch w25; the oracle reads the
     // transformWithState replay's emissions — hash match = the
     // bounded-frame rolling median survives micro-batch seams

@@ -170,4 +170,24 @@ class Batch20Spec extends SparkSuite {
     assert(row.getAs[Long]("median_gap_us") ==
       gaps((gaps.length + 1) / 2 - 1))
   }
+
+  test("a41 exact percentiles: all five ranks match brute force") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val out = Relational.a41ExactPercentiles(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      val r = out(flag)
+      assert(r.getAs[Long]("n") == n)
+      Seq(25, 50, 75, 95, 99).foreach { p =>
+        val k = (n * p + 99) / 100
+        assert(r.getAs[Long](s"p${p}_cents") == xs((k - 1).toInt),
+          s"$flag p$p")
+      }
+    }
+  }
 }
