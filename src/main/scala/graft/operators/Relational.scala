@@ -2175,12 +2175,19 @@ object Relational {
     * discipline, so no window ever holds the row-scale sweep in one
     * task; the final peak is a struct-argmax aggregate. */
   def a36PeakConcurrency(s: SparkSession, d: String): DataFrame = {
-    val sess = w8SessionAgg(s, d)
-      .select(expr("unix_micros(session_start)").as("t0"),
-        expr("unix_micros(session_end)").as("t1"))
-    val nSess = sess.agg(count(lit(1)).as("n_sessions"))
-    val deltas = sess.select(col("t0").as("t"), lit(1L).as("delta"))
-      .unionByName(sess.select(col("t1").as("t"), lit(-1L).as("delta")))
+    // one session pass: each session EXPLODES into its two sweep
+    // deltas (a union would re-derive the w8 session subtree per
+    // side, and a separate count a third time — the explode + the
+    // fold of n_sessions into the final aggregate keep the plan at
+    // two session derivations total: the sweep chain and the
+    // hour-offset relation)
+    val deltas = w8SessionAgg(s, d)
+      .select(explode(array(
+        struct(expr("unix_micros(session_start)").as("t"),
+          lit(1L).as("delta")),
+        struct(expr("unix_micros(session_end)").as("t"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
       .groupBy("t", "delta")
       .agg((sum(col("delta"))).as("d"))
       .withColumn("hb", expr("t div 3600000000"))
@@ -2194,9 +2201,10 @@ object Relational {
     deltas
       .withColumn("lsum", sum(col("d")).over(wloc))
       .join(broadcast(hoff), Seq("hb"))
-      .select((col("hoff") + col("lsum")).as("running"), col("t"))
-      .agg(max(struct(col("running"), (-col("t")).as("negt"))).as("m"))
-      .crossJoin(broadcast(nSess))
+      .select((col("hoff") + col("lsum")).as("running"), col("t"),
+        col("delta"), col("d"))
+      .agg(max(struct(col("running"), (-col("t")).as("negt"))).as("m"),
+        sum(when(col("delta") === 1L, col("d"))).as("n_sessions"))
       .select(expr("m.running").as("peak_concurrency"),
         expr("cast(-m.negt as bigint)").as("at_us"), col("n_sessions"))
   }
