@@ -2353,15 +2353,20 @@ object Relational {
     * E⌊ — the classic mistake of dropping empty cells is structurally
     * impossible. */
   def a38Chi2(s: SparkSession, d: String): DataFrame = {
+    // the cell grid is |types|·7 rows — cache it so its FOUR
+    // consumers (row/column marginals, the total, the grid join)
+    // share one event scan; broadcast pinned so the cached statistics
+    // can't flip the outer-join strategy (the t13 lesson)
     val cells = events(s, d)
       .select(col("event_type"),
         expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
       .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      .cache()
     val rt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
     val ct = cells.groupBy("dow").agg(sum(col("o")).as("c"))
     val n = cells.agg(sum(col("o")).as("n"))
     broadcast(rt).crossJoin(broadcast(ct))
-      .join(cells, Seq("event_type", "dow"), "left")
+      .join(broadcast(cells), Seq("event_type", "dow"), "left")
       .crossJoin(broadcast(n))
       .select(col("event_type"), col("dow"),
         coalesce(col("o"), lit(0L)).as("o"),
@@ -2379,17 +2384,24 @@ object Relational {
     * smaller than events), re-deduplicated and rolled up per day.
     * Reported only for days with activity (inner join with DAU). */
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
-    val ud = events(s, d)
+    // one user-day derivation for BOTH counters: the explode keeps the
+    // origin day, the (user, report-day) rollup remembers whether any
+    // contribution was the i = 0 one (the user was active THAT day),
+    // and the final rollup reads dau and mau off the same relation —
+    // a dau/mau branch pair would re-derive the event-table distinct
+    // twice (plan-audit fix, same class as a36's union)
+    events(s, d)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val mau = ud
-      .select(col("user_id"),
+      .select(col("user_id"), col("day").as("d0"),
         explode(expr("sequence(day, day + 27)")).as("day"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("mau"))
-    dau.join(mau, Seq("day"))
+      .groupBy("user_id", "day")
+      .agg(max(when(col("d0") === col("day"), 1L).otherwise(0L))
+        .as("act"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("mau"), sum(col("act")).as("dau"))
+      .filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("mau"),
         expr("dau * 1000000 div mau").as("stickiness_ppm"))
   }
