@@ -2027,16 +2027,20 @@ object Relational {
     val w = Window.orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vc.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val diffs = vc
-      .withColumn("cum1", sum(col("c1")).over(w))
+    // the max rides a second window over the SAME bounded grid (a
+    // separate aggregate-then-join consumed the grid derivation
+    // twice — plan-audit fix, one derivation end to end)
+    val wall = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    vc.withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("cents"),
         expr("abs(cast(cum1 as decimal(38,0)) * n2 - " +
           "cast(cum2 as decimal(38,0)) * n1)").as("diff"),
         col("n1"), col("n2"))
-    val mx = diffs.agg(max(col("diff")).as("diff"))
-    diffs.join(broadcast(mx), Seq("diff"))
+      .withColumn("mx", max(col("diff")).over(wall))
+      .filter(col("diff") === col("mx"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         expr("cast(max(diff) * 1000000 div " +
           "(cast(max(n1) as decimal(38,0)) * max(n2)) as bigint)")
@@ -2323,16 +2327,23 @@ object Relational {
     * runs over AGE within a cohort, a bounded window. Integer cents;
     * per-cohort sizing broadcast from the same min-aggregate. */
   def w30LtvTriangle(s: SparkSession, d: String): DataFrame = {
-    val p = events(s, d).filter(col("event_type") === "purchase")
+    // ONE fact scan: the cohort week is a whole-partition min window
+    // (no separate cohort aggregate + join re-scanning the facts),
+    // and the cohort SIZE is the triangle's own age-0 buyer count —
+    // every cohort member's first purchase is at age 0 by definition.
+    // The calendar²-bounded triangle is cached for its two consumers.
+    val tri = events(s, d).filter(col("event_type") === "purchase")
       .select(col("user_id"),
         expr("unix_micros(ts) div 604800000000").as("week"),
         expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-    val cohort = p.groupBy("user_id").agg(min(col("week")).as("cw"))
-    val sized = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
-    val tri = p.join(cohort, Seq("user_id"))
+      .withColumn("cw",
+        min(col("week")).over(Window.partitionBy("user_id")))
       .groupBy(col("cw"), (col("week") - col("cw")).as("age"))
       .agg(countDistinct(col("user_id")).as("n_buyers"),
         sum(col("cents")).as("cents"))
+      .cache()
+    val sized = tri.filter(col("age") === 0)
+      .select(col("cw"), col("n_buyers").as("n_users"))
     val w = Window.partitionBy("cw").orderBy("age")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tri.join(broadcast(sized), Seq("cw"))
