@@ -1672,6 +1672,43 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // w34: same conditional-min firsts + hour bucketing
+    "w34_conversion_lag" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS fv,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY 1)
+        |SELECT (fp - fv) // 3600000000 AS lag_hours,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+        |GROUP BY 1""",
+    // s13: the identical deterministic snapshot-B transform + a
+    // direct FULL OUTER diff
+    "s13_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents_a
+        |  FROM orders),
+        |b0 AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0
+        |    THEN cents + cents // 100 ELSE cents END AS cents_b
+        |  FROM b0)
+        |SELECT
+        |  CAST(sum(CASE WHEN cents_a IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN cents_b IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN cents_a IS NOT NULL
+        |    AND cents_b IS NOT NULL AND cents_a <> cents_b
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN cents_a = cents_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged,
+        |  CAST(sum(coalesce(cents_b, 0) - coalesce(cents_a, 0))
+        |    AS BIGINT) AS delta_cents
+        |FROM a FULL OUTER JOIN b USING (o_orderkey)""",
     // a41: direct row_number order statistics at the same ceil ranks
     "a41_exact_percentiles" -> {
       def pc(p: Int) =

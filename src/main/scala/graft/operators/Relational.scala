@@ -2556,7 +2556,69 @@ object Relational {
           .as(s"p${p}_cents")): _*)
   }
 
+  /** w34 — CONVERSION LAG HISTOGRAM: time from a user's FIRST view to
+    * their FIRST purchase, bucketed by hour — the funnel-latency
+    * distribution behind "how long does conversion take". ONE event
+    * scan: both firsts are conditional mins in the same per-user
+    * aggregate; users lacking either event, or whose first purchase
+    * precedes their first view, drop out (declared); the histogram is
+    * a map-side-combining rollup on the bounded hour-bucket grid. */
+  def w34ConversionLag(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t")))
+          .as("first_view"),
+        min(when(col("event_type") === "purchase", col("t")))
+          .as("first_purchase"))
+      .filter(col("first_view").isNotNull &&
+        col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select(expr("(first_purchase - first_view) div 3600000000")
+        .as("lag_hours"))
+      .groupBy("lag_hours")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** s13 — SNAPSHOT DIFF: the table-regression report every pipeline
+    * promotion gate runs — keyed symmetric diff of two table versions
+    * into added / removed / changed / unchanged counts plus the money
+    * delta. Snapshot B is a DETERMINISTIC transform of orders (keys
+    * ≡ 0 mod 101 deleted; values of keys ≡ 0 mod 97 bumped 1%; both
+    * engines derive the identical B — the t15 planted-data
+    * discipline). One full-outer join on the key, one aggregate; at
+    * scale this is the two-sided hash join a real diff runs, counts
+    * partial-aggregated. */
+  def s13SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).select(col("o_orderkey"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .as("cents_a"))
+    val b = orders(s, d)
+      .filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("cents"))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0,
+          expr("cents + cents div 100")).otherwise(col("cents"))
+          .as("cents_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .agg(
+        sum(when(col("cents_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cents_b").isNull, 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("cents_a").isNotNull && col("cents_b").isNotNull &&
+          col("cents_a") =!= col("cents_b"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("cents_a") === col("cents_b"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(coalesce(col("cents_b"), lit(0L)) -
+          coalesce(col("cents_a"), lit(0L))).as("delta_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w34_conversion_lag" -> w34ConversionLag _,
+    "s13_snapshot_diff" -> s13SnapshotDiff _,
     "a41_exact_percentiles" -> a41ExactPercentiles _,
     // w33: the SPARK side is batch w25; the oracle reads the
     // transformWithState replay's emissions — hash match = the

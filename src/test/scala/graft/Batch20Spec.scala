@@ -190,4 +190,46 @@ class Batch20Spec extends SparkSuite {
       }
     }
   }
+
+  test("w34 conversion lag: matches brute-force first-to-first") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (fv, fp) match {
+        case (Some(v), Some(pp)) if pp >= v =>
+          Some((pp - v) / 3600000000L)
+        case _ => None
+      }
+    }
+    val expect = lags.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = Relational.w34ConversionLag(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_hours") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got == expect, s"${got.size} buckets vs ${expect.size}")
+  }
+
+  test("s13 snapshot diff: counts partition the key universe") {
+    val row = Relational.s13SnapshotDiff(spark, sf).collect().head
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val removed = keys.count(_._1 % 101 == 0).toLong
+    val changed = keys.count(k => k._1 % 101 != 0 && k._1 % 97 == 0 &&
+      k._2 / 100 > 0).toLong
+    assert(row.getAs[Long]("n_added") == 0L)
+    assert(row.getAs[Long]("n_removed") == removed)
+    assert(row.getAs[Long]("n_changed") == changed)
+    assert(row.getAs[Long]("n_unchanged") ==
+      keys.length - removed - changed)
+    val delta = keys.filter(k => k._1 % 101 != 0 && k._1 % 97 == 0)
+      .map(k => k._2 / 100).sum -
+      keys.filter(_._1 % 101 == 0).map(_._2).sum
+    assert(row.getAs[Long]("delta_cents") == delta)
+  }
 }
