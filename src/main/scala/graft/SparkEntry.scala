@@ -1672,6 +1672,20 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // a42: same per-(user, week) boolean fold + weekly rollup
+    "a42_abandonment" ->
+      """WITH uw AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS week,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS viewed,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchased
+        |  FROM events GROUP BY 1, 2)
+        |SELECT week, CAST(count(*) AS BIGINT) AS n_viewers,
+        |  CAST(sum(purchased) AS BIGINT) AS n_converters,
+        |  CAST((count(*) - sum(purchased)) * 1000000 // count(*)
+        |    AS BIGINT) AS abandonment_ppm
+        |FROM uw WHERE viewed = 1 GROUP BY 1""",
     // w34: same conditional-min firsts + hour bucketing
     "w34_conversion_lag" ->
       """WITH f AS (SELECT user_id,

@@ -2616,7 +2616,31 @@ object Relational {
           coalesce(col("cents_a"), lit(0L))).as("delta_cents"))
   }
 
+  /** a42 — WEEKLY ABANDONMENT: per week, viewers who did not purchase
+    * that week — w34's complement closing the funnel family (reach →
+    * convert → lag → abandon). One event scan: per (user, week) the
+    * two booleans fold in a single aggregate, the weekly rollup
+    * counts them, all ratios integer ppm. */
+  def a42Abandonment(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_type"))
+      .groupBy("user_id", "week")
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("viewed"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+      .filter(col("viewed") === 1L)
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(col("purchased")).as("n_converters"))
+      .select(col("week"), col("n_viewers"), col("n_converters"),
+        expr("(n_viewers - n_converters) * 1000000 div n_viewers")
+          .as("abandonment_ppm"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a42_abandonment" -> a42Abandonment _,
     "w34_conversion_lag" -> w34ConversionLag _,
     "s13_snapshot_diff" -> s13SnapshotDiff _,
     "a41_exact_percentiles" -> a41ExactPercentiles _,

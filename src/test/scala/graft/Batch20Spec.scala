@@ -232,4 +232,29 @@ class Batch20Spec extends SparkSuite {
       keys.filter(_._1 % 101 == 0).map(_._2).sum
     assert(row.getAs[Long]("delta_cents") == delta)
   }
+
+  test("a42 abandonment: viewer accounting matches brute force") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = ev.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((_, w), rows) =>
+        (w, rows.exists(_._3 == "view"), rows.exists(_._3 == "purchase"))
+      }
+      .filter(_._2)
+      .groupBy(_._1).view.mapValues { g =>
+        (g.size.toLong, g.count(_._3).toLong)
+      }.toMap
+    val out = Relational.a42Abandonment(spark, sf).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val (nv, nc) = expect(r.getAs[Long]("week"))
+      assert(r.getAs[Long]("n_viewers") == nv)
+      assert(r.getAs[Long]("n_converters") == nc)
+      assert(r.getAs[Long]("abandonment_ppm") ==
+        (nv - nc) * 1000000L / nv)
+    }
+  }
 }
