@@ -244,6 +244,19 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    // ts21: identical lag + guarded integer avg over the section dump
+    "ts21_psi_cadence" -> {
+      s"""WITH g AS (SELECT pid, table_id,
+         |    first_seq - lag(first_seq) OVER (
+         |      PARTITION BY pid, table_id ORDER BY first_seq) AS gap
+         |  FROM ${tsrel("sections")})
+         |SELECT pid, table_id, CAST(count(*) AS BIGINT) AS n_sections,
+         |  CAST(min(gap) AS BIGINT) AS min_gap,
+         |  CAST(max(gap) AS BIGINT) AS max_gap,
+         |  CAST(CASE WHEN count(gap) = 0 THEN NULL
+         |    ELSE sum(gap) // count(gap) END AS BIGINT) AS avg_gap
+         |FROM g GROUP BY 1, 2"""
+    },
     // ts20: lag + identical integer ms-bucketing over the dumped
     // packet layer; same discontinuity exclusion as spanSecondsOf
     "ts20_pcr_jitter" -> {
@@ -1672,6 +1685,16 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // s14: per-brand all-pairs NOT EXISTS — independent algorithm
+    "s14_grouped_skyline" ->
+      """WITH p AS (SELECT p_brand, p_partkey, p_size,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |      AS price_cents FROM part)
+        |SELECT a.p_brand, a.p_partkey, a.p_size, a.price_cents
+        |FROM p a WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""",
     // a42: same per-(user, week) boolean fold + weekly rollup
     "a42_abandonment" ->
       """WITH uw AS (SELECT user_id,

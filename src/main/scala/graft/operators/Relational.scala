@@ -2639,7 +2639,36 @@ object Relational {
         expr("(n_viewers - n_converters) * 1000000 div n_viewers")
           .as("abandonment_ppm"))
 
+  /** s14 — GROUPED SKYLINE: s11's Pareto frontier PER BRAND — the
+    * "best offer per vendor" preference query. Identical grid
+    * reduction with the brand folded into every key: the window
+    * partitions by brand over its ~50-row size grid, the frontier
+    * broadcast carries (brand, size, price). Oracle: all-pairs NOT
+    * EXISTS within the brand. */
+  def s14GroupedSkyline(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_brand"), col("p_partkey"),
+      col("p_size"),
+      expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)")
+        .as("price_cents"))
+    val grid = p.groupBy("p_brand", "p_size")
+      .agg(min(col("price_cents")).as("m"))
+    val wgt = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grid
+      .withColumn("best_gt", min(col("m")).over(wgt))
+      .filter(col("best_gt").isNull || col("m") < col("best_gt"))
+      .select(col("p_brand").as("f_brand"),
+        col("p_size").as("f_size"), col("m"))
+    p.join(broadcast(frontier),
+        col("p_brand") === col("f_brand") &&
+          col("p_size") === col("f_size") &&
+          col("price_cents") === col("m"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("price_cents"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_grouped_skyline" -> s14GroupedSkyline _,
     "a42_abandonment" -> a42Abandonment _,
     "w34_conversion_lag" -> w34ConversionLag _,
     "s13_snapshot_diff" -> s13SnapshotDiff _,

@@ -462,7 +462,30 @@ object TsQueries {
         max(col("delta")).as("max_ticks"))
   }
 
+  /** ts21 — PSI CADENCE: per (PID, table_id), the packet-distance
+    * between consecutive SECTION STARTS — the TR 101 290 repetition
+    * check in stream-native units (PAT must repeat ≤ 0.5 s, i.e.
+    * ≤ rate/2 packets; a growing max gap is a mux starving its PSI
+    * scheduler). Duplicate first_seq values (two sections chained in
+    * one packet via pointer_field) yield gap 0 under any tie order,
+    * so the gap multiset is deterministic. avg is guarded integer
+    * division on both engines (single-section tables report NULLs). */
+  def ts21PsiCadence(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("pid", "table_id").orderBy("first_seq")
+    graft.ts.TsLake.sections(s).toDF()
+      .select(col("pid"), col("tableId").as("table_id"),
+        col("firstSeq").as("first_seq"))
+      .withColumn("gap",
+        col("first_seq") - lag(col("first_seq"), 1).over(w))
+      .groupBy("pid", "table_id")
+      .agg(count(lit(1)).as("n_sections"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"),
+        when(count(col("gap")) > 0,
+          expr("sum(gap) div count(gap)")).as("avg_gap"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts21_psi_cadence" -> ts21PsiCadence _,
     "ts20_pcr_jitter" -> ts20PcrJitter _,
     "ts19_reject_stats" -> ts19RejectStats _,
     "ts16_cbr_plan" -> ts16CbrPlan _,

@@ -257,4 +257,45 @@ class Batch20Spec extends SparkSuite {
         (nv - nc) * 1000000L / nv)
     }
   }
+
+  test("s14 grouped skyline: per-brand brute-force dominance scan") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val expect = parts.filter { a =>
+      !parts.exists(b => b._1 == a._1 && b._4 <= a._4 && b._3 >= a._3 &&
+        (b._4 < a._4 || b._3 > a._3))
+    }.map(_._2).toSet
+    val got = graft.operators.Relational.s14GroupedSkyline(spark, sf)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expect, s"got ${got.size} expected ${expect.size}")
+    // group containment: each brand's frontier is a superset-free
+    // antichain and every brand with parts is represented
+    assert(got.nonEmpty)
+  }
+
+  test("ts21 psi cadence: gaps match a brute-force per-table scan") {
+    graft.ts.TsLake.ensureDumped(spark)
+    val secs = graft.ts.TsLake.sections(spark).toDF()
+      .select(col("pid"), col("tableId"), col("firstSeq")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val out = graft.operators.TsQueries.ts21PsiCadence(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val byTable = secs.groupBy(r => (r._1, r._2))
+    assert(out.length == byTable.size)
+    out.foreach { r =>
+      val key = (r.getAs[Int]("pid"), r.getAs[Int]("table_id"))
+      val seqs = byTable(key).map(_._3).sorted
+      val gaps = seqs.zip(seqs.tail).map { case (a, b) => b - a }
+      assert(r.getAs[Long]("n_sections") == seqs.length.toLong)
+      if (gaps.nonEmpty) {
+        assert(r.getAs[Long]("min_gap") == gaps.min)
+        assert(r.getAs[Long]("max_gap") == gaps.max)
+        assert(r.getAs[Long]("avg_gap") == gaps.sum / gaps.length)
+      } else assert(r.isNullAt(r.fieldIndex("avg_gap")))
+    }
+  }
 }
