@@ -2667,6 +2667,55 @@ object Relational {
         col("price_cents"))
   }
 
+  /** Scale-stress probes (Profile-only, the z-family convention). */
+  def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 20 disjoint user-space replicas with IDENTICAL timestamps: every
+    // replica's sessions align in time, so the stress peak must be
+    // exactly stressReps × the base peak at the SAME instant — a
+    // closed-form check that the two-level prefix sum scales in data
+    // while the hour-offset relation stays time-bounded
+    "z25_a36_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until TextOps.stressReps)
+        .map(i => events(s, d).select(
+          (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("ts"), col("event_id")))
+        .reduce(_ unionByName _)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w))
+      val sess = reps
+        .withColumn("new_sess",
+          when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+      val deltas = sess
+        .select(explode(array(
+          struct(expr("unix_micros(session_start)").as("t"),
+            lit(1L).as("delta")),
+          struct(expr("unix_micros(session_end)").as("t"),
+            lit(-1L).as("delta")))).as("e"))
+        .select(col("e.t").as("t"), col("e.delta").as("delta"))
+        .groupBy("t", "delta").agg(sum(col("delta")).as("d"))
+        .withColumn("hb", expr("t div 3600000000"))
+      val wloc = Window.partitionBy("hb").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val woff = Window.orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hoff = deltas.groupBy("hb").agg(sum(col("d")).as("hsum"))
+        .withColumn("hoff",
+          coalesce(sum(col("hsum")).over(woff), lit(0L)))
+        .select("hb", "hoff")
+      deltas.withColumn("lsum", sum(col("d")).over(wloc))
+        .join(broadcast(hoff), Seq("hb"))
+        .select((col("hoff") + col("lsum")).as("running"), col("t"))
+        .agg(max(struct(col("running"), (-col("t")).as("negt"))).as("m"))
+        .select(expr("m.running").as("peak_concurrency"),
+          expr("cast(-m.negt as bigint)").as("at_us"))
+    }))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_grouped_skyline" -> s14GroupedSkyline _,
     "a42_abandonment" -> a42Abandonment _,

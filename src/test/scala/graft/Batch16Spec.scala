@@ -29,4 +29,14 @@ class Batch16Spec extends SparkSuite {
     assert(row.getAs[Long]("n_sessions") == sess.length.toLong)
     assert(peak >= 1L && peak <= sess.length.toLong)
   }
+
+  test("z25 stress: 20 aligned replicas multiply the peak exactly") {
+    val base = Relational.a36PeakConcurrency(spark, sf).collect().head
+    val stress = Relational.diag("z25_a36_20x")(spark, sf)
+      .collect().head
+    assert(stress.getAs[Long]("peak_concurrency") ==
+      graft.operators.TextOps.stressReps *
+        base.getAs[Long]("peak_concurrency"))
+    assert(stress.getAs[Long]("at_us") == base.getAs[Long]("at_us"))
+  }
 }
