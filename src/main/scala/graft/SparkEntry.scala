@@ -1762,6 +1762,19 @@ object SparkEntry {
          |  ${pc(25)}, ${pc(50)}, ${pc(75)}, ${pc(95)}, ${pc(99)}
          |FROM rk r JOIN tot t USING (l_returnflag) GROUP BY 1"""
     },
+    // e24: the list census re-aggregated from the dumped assignment
+    "e24_list_balance" -> {
+      s"""WITH sz AS (SELECT centroid_id, count(*) AS sz
+         |  FROM ${oprel("e21_assign")} GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(min(sz) AS BIGINT) AS min_size,
+         |  CAST(max(sz) AS BIGINT) AS max_size,
+         |  CAST(sum(sz) AS BIGINT) AS n_vectors,
+         |  CAST(sum(sz) // count(*) AS BIGINT) AS avg_size,
+         |  CAST(max(sz) * 1000000 // (sum(sz) // count(*)) AS BIGINT)
+         |    AS imbalance_ppm
+         |FROM sz"""
+    },
     // e23: three instantiations of the parameterized IVF pipeline SQL
     // left-joined to the exact CTE — same recall arithmetic in ppm
     "e23_recall_curve" -> {

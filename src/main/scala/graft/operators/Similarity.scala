@@ -1061,7 +1061,24 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** e24 — INVERTED-LIST BALANCE: the shard-skew report for the IVF
+    * index — list count, min/max/avg size and the imbalance factor
+    * (max·10⁶ div avg), the number that predicts the straggler list a
+    * skewed probe pays for. One k-row aggregate over the memoized
+    * assignment's list census; integer ppm. */
+  def e24ListBalance(s: SparkSession, d: String): DataFrame =
+    assignedRel(s, d)
+      .groupBy("centroid_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_lists"), min(col("sz")).as("min_size"),
+        max(col("sz")).as("max_size"), sum(col("sz")).as("n_vectors"))
+      .select(col("n_lists"), col("min_size"), col("max_size"),
+        col("n_vectors"),
+        expr("n_vectors div n_lists").as("avg_size"),
+        expr("max_size * 1000000 div (n_vectors div n_lists)")
+          .as("imbalance_ppm"))
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_list_balance" -> e24ListBalance _,
     "e23_recall_curve" -> e23RecallCurve _,
     "e22_hard_negatives" -> e22HardNegatives _,
     "e21_ood_audit" -> e21OodAudit _,

@@ -88,4 +88,17 @@ class Batch19Spec extends SparkSuite {
         r.getAs[Long]("n_hit") * 1000000L / r.getAs[Long]("n_exact"))
     }
   }
+
+  test("e24 list balance: census conserves and bounds hold") {
+    val row = Similarity.e24ListBalance(spark, sf).collect().head
+    val n = Tables.embeddings(spark, sf).count()
+    assert(row.getAs[Long]("n_vectors") == n)
+    assert(row.getAs[Long]("n_lists") <= 16L)
+    assert(row.getAs[Long]("min_size") <= row.getAs[Long]("avg_size"))
+    assert(row.getAs[Long]("avg_size") <= row.getAs[Long]("max_size"))
+    assert(row.getAs[Long]("imbalance_ppm") >= 1000000L)
+    assert(row.getAs[Long]("imbalance_ppm") ==
+      row.getAs[Long]("max_size") * 1000000L /
+        (n / row.getAs[Long]("n_lists")))
+  }
 }
