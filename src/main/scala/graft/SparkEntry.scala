@@ -1685,6 +1685,68 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
         |    AS key_permille
         |FROM fr GROUP BY 1""",
+    // t58: the t4 classifier CTE scored against the lang column
+    "t58_langid_eval" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pred AS (SELECT doc_id, CASE
+        |  WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |    > 0 THEN 'zh'
+        |  WHEN length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g'))
+        |    > 0 THEN 'ru'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en'))) > 0 THEN 'es'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est'))) > 0 THEN 'fr'
+        |  ELSE 'und' END AS pred_lang
+        |FROM tok),
+        |cells AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        |  FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n_docs) AS n_lang FROM cells
+        |  GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+        |  c.lang = c.pred_lang AS correct,
+        |  CAST(c.n_docs * 1000000 // t.n_lang AS BIGINT) AS share_ppm
+        |FROM cells c JOIN tot t USING (lang)""",
+    // a43: same tie rule (median days dropped), direct windows over
+    // the calendar-bounded daily relation
+    "a43_runs_test" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM daily),
+        |med AS (SELECT x AS med FROM (SELECT x, row_number() OVER (
+        |    ORDER BY x, day) AS rn FROM daily), tot
+        |  WHERE rn = (n + 1) // 2),
+        |sg AS (SELECT day, x > med AS above FROM daily, med
+        |  WHERE x <> med),
+        |r AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY day)
+        |    IS NULL OR lag(above) OVER (ORDER BY day) <> above
+        |    THEN 1 ELSE 0 END AS rs FROM sg)
+        |SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above,
+        |  CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(sum(rs) AS BIGINT) AS n_runs,
+        |  CAST(1000 + 2000 * sum(CASE WHEN above THEN 1 ELSE 0 END)
+        |    * sum(CASE WHEN above THEN 0 ELSE 1 END) // count(*)
+        |    AS BIGINT) AS expected_runs_milli
+        |FROM r""",
     // s14: per-brand all-pairs NOT EXISTS — independent algorithm
     "s14_grouped_skyline" ->
       """WITH p AS (SELECT p_brand, p_partkey, p_size,

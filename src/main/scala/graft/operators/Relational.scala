@@ -2716,7 +2716,45 @@ object Relational {
           expr("cast(-m.negt as bigint)").as("at_us"))
     }))
 
+  /** a43 — WALD–WOLFOWITZ RUNS TEST: is daily total revenue a random
+    * sequence around its median, or does it trend/cycle — the
+    * distribution-free randomness screen. Days equal to the (lower)
+    * median are dropped (the standard tie rule, declared); the
+    * statistic is the observed run count vs the expected
+    * 1 + 2·na·nb/(na+nb), reported in milli-units so everything
+    * stays integer. The whole computation runs on the DAILY relation
+    * — calendar-bounded, so its global windows are ~hundreds of rows
+    * at ANY corpus size (documented boundedness, the a8 rule). */
+  def a43RunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("x"))
+    val wv = Window.orderBy("x", "day")
+    val tot = daily.agg(count(lit(1)).as("n"))
+    val med = daily
+      .withColumn("rn", row_number().over(wv))
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("x").as("med"))
+    val wd = Window.orderBy("day")
+    daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .withColumn("above", col("x") > col("med"))
+      .withColumn("run_start",
+        when(lag(col("above"), 1).over(wd).isNull ||
+          lag(col("above"), 1).over(wd) =!= col("above"), 1L)
+          .otherwise(0L))
+      .agg(sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"),
+        sum(col("run_start")).as("n_runs"))
+      .select(col("n_above"), col("n_below"), col("n_runs"),
+        expr("1000 + 2000 * n_above * n_below div (n_above + n_below)")
+          .as("expected_runs_milli"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a43_runs_test" -> a43RunsTest _,
     "s14_grouped_skyline" -> s14GroupedSkyline _,
     "a42_abandonment" -> a42Abandonment _,
     "w34_conversion_lag" -> w34ConversionLag _,

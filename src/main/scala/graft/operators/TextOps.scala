@@ -2266,7 +2266,26 @@ object TextOps {
         (col("n_members") - 1).as("n_dropped"), col("total_chars"))
   }
 
+  /** t58 — LANGUAGE-ID EVALUATION: t4's n-gram classifier scored
+    * against the corpus ground-truth `lang` column as a confusion
+    * matrix (true × predicted counts, per-true-language share in ppm,
+    * correctness flag) — the classifier-eval pass every curation
+    * heuristic needs before it gates data. One classify pass + one
+    * matrix rollup; the share window is the bounded language grid. */
+  def t58LangidEval(s: SparkSession, d: String): DataFrame = {
+    val cells = t4LangId(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    cells.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("lang") === col("pred_lang")).as("correct"),
+        expr("n_docs * 1000000 div n_lang").as("share_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t58_langid_eval" -> t58LangidEval _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

@@ -298,4 +298,42 @@ class Batch20Spec extends SparkSuite {
       } else assert(r.isNullAt(r.fieldIndex("avg_gap")))
     }
   }
+
+  test("t58 langid eval: matrix conserves, shares sum per language") {
+    val out = graft.operators.TextOps.t58LangidEval(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[String]("lang") == r.getAs[String]("pred_lang")))
+    }
+  }
+
+  test("a43 runs test: matches a brute-force run count") {
+    val daily = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5)
+        .toLong))
+      .groupBy(_._1).toSeq.map { case (d, rows) =>
+        (d, rows.map(_._2).sum)
+      }
+    val sortedVals = daily.sortBy(r => (r._2, r._1)).map(_._2)
+    val med = sortedVals((sortedVals.length + 1) / 2 - 1)
+    val signs = daily.sortBy(_._1).filter(_._2 != med)
+      .map(_._2 > med)
+    val nRuns = 1 + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val row = Relational.a43RunsTest(spark, sf).collect().head
+    assert(row.getAs[Long]("n_above") == signs.count(identity).toLong)
+    assert(row.getAs[Long]("n_below") == signs.count(!_).toLong)
+    assert(row.getAs[Long]("n_runs") == nRuns.toLong)
+    val na = signs.count(identity).toLong
+    val nb = signs.count(!_).toLong
+    assert(row.getAs[Long]("expected_runs_milli") ==
+      1000L + 2000L * na * nb / (na + nb))
+  }
 }
