@@ -1963,10 +1963,11 @@ object SparkEntry {
         |  CAST(sum(cnt) - count(*) AS BIGINT) AS dup_assets
         |FROM g GROUP BY 1""",
     // v2: the same five rules re-evaluated per row; DuckDB builds the
-    // sorted reason list with list_sort + list_filter
+    // sorted reason list with list_sort + list_filter and flattens it
+    // to the same comma-joined string contract as the engine
     "v2_quarantine" ->
       """SELECT l.l_orderkey, l.l_linenumber,
-        |  list_sort(list_transform(list_filter([
+        |  array_to_string(list_sort(list_transform(list_filter([
         |    {'name': 'quantity_out_of_range',
         |     'bad': l.l_quantity < 1 OR l.l_quantity > 50},
         |    {'name': 'discount_out_of_range',
@@ -1975,7 +1976,7 @@ object SparkEntry {
         |    {'name': 'orphan_orderkey', 'bad': o.o_orderkey IS NULL},
         |    {'name': 'review_high_discount',
         |     'bad': l.l_discount >= 0.09}],
-        |    x -> x.bad), x -> x.name)) AS reasons
+        |    x -> x.bad), x -> x.name)), ',') AS reasons
         |FROM lineitem l LEFT JOIN orders o
         |  ON l.l_orderkey = o.o_orderkey
         |WHERE len(list_filter([
@@ -2570,9 +2571,10 @@ object SparkEntry {
          |j AS (SELECT user_id, cents, anchor - day AS age
          |  FROM ev CROSS JOIN a)
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(sum(w.w) AS DECIMAL(38,9)) AS decayed_count,
-         |  CAST(sum(w.w * CAST(cents AS DECIMAL(12,0))) AS DECIMAL(38,9))
-         |    AS decayed_cents
+         |  CAST(CAST(sum(w.w) AS DECIMAL(38,9)) AS DOUBLE)
+         |    AS decayed_count,
+         |  CAST(CAST(sum(w.w * CAST(cents AS DECIMAL(12,0)))
+         |    AS DECIMAL(38,9)) AS DOUBLE) AS decayed_cents
          |FROM j JOIN w ON j.age = w.age
          |GROUP BY user_id""",
     // s10: same distinct-value cumulative-rank decile formula — each

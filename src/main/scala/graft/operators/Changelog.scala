@@ -107,7 +107,14 @@ object Changelog {
         lit(1).as("kind"), col("event_id"),
         lit(null).cast("string").as("attr_value"),
         lit(null).cast("int").as("version"))
-    val w = Window.partitionBy("user_id").orderBy("t", "kind")
+    // version joins the sort key so two SCD2 versions sharing the
+    // same valid_from microsecond order deterministically (newest
+    // LAST → last(..ignoreNulls) resolves facts to the newest, which
+    // is exactly what the oracle's empty-[t,t)-interval exclusion
+    // does for the superseded version); facts carry a NULL version,
+    // already sorted after dims by `kind`
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("version").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dim.unionByName(facts)
       .withColumn("attr_at",

@@ -323,8 +323,12 @@ object Graph {
           .join(drop.hint("SHUFFLE_HASH"),
             col("s_b") === col("gone"), "left_anti")
           .localCheckpoint(true)
+        // only ACTUAL peels count toward the cap — the final
+        // fixpoint-confirming round is free, so maxIters=10 matches
+        // the oracle's 10-round unroll exactly (a graph converging in
+        // precisely 10 peels completes instead of aborting)
+        iter += 1
       }
-      iter += 1
     }
     if (!done)
       throw new IllegalStateException(

@@ -1654,7 +1654,11 @@ object Relational {
     * anchor — the freshness-weighted counter behind trending/decay
     * scoring. The decay table joins broadcast; every sum is exact
     * decimal arithmetic over the pre-quantized weights, so results
-    * are partitioning-independent and bit-stable cross-engine. */
+    * are partitioning-independent and bit-stable cross-engine. The
+    * OUTPUT contract is DOUBLE (one final cast of the exact decimal
+    * sum): the only rounding step is the last one, identical in both
+    * engines, and — unlike a nano-unit BIGINT — it cannot overflow
+    * at 100-TB per-user magnitudes. */
   def a27DecayedEngagement(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"),
       expr("unix_micros(ts) div 86400000000").as("day"),
@@ -1666,12 +1670,13 @@ object Relational {
       .join(broadcast(a27DecayWeights(s, d)), Seq("age"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(col("w")).cast(DecimalType(38, 9)).as("decayed_count"),
+        sum(col("w")).cast("double").as("decayed_count"),
         // cents fits DECIMAL(12,0); keeping the product's precision at
         // 18+12+1 = 31 ≤ 38 stops Spark's precision-loss rule from
-        // shaving the scale to 8 (which broke the bit-exact oracle)
+        // shaving the scale to 8 (which broke the bit-exact oracle);
+        // the double cast happens AFTER the exact sum, never per-row
         sum(col("w") * col("cents").cast(DecimalType(12, 0)))
-          .cast(DecimalType(38, 9)).as("decayed_cents"))
+          .cast("double").as("decayed_cents"))
   }
 
   /** s10 — EQUI-DEPTH HISTOGRAM (the CBO statistics companion of
@@ -1995,8 +2000,16 @@ object Relational {
       .join(broadcast(tot), Seq("c_mktsegment"))
       .groupBy("c_mktsegment")
       .agg(max(col("n")).as("n_customers"), max(col("s")).as("total_cents"),
+        // the rank term runs ENTIRELY in decimal(38,0) — the BIGINT
+        // subterm 2·cum_prev·cnt alone would overflow on very large /
+        // heavily tied segments, while the oracle's HUGEINT never
+        // does; widening before the first multiply keeps both engines
+        // exact at any segment size
         sum(expr("cast(cents as decimal(38,0)) * " +
-          "(2 * cum_prev * cnt + cnt * (cnt + 1))")).as("s1x2"))
+          "(2 * cast(cum_prev as decimal(38,0)) * " +
+          "cast(cnt as decimal(38,0)) + " +
+          "cast(cnt as decimal(38,0)) * " +
+          "(cast(cnt as decimal(38,0)) + 1))")).as("s1x2"))
       .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
         expr("cast((s1x2 - cast(n_customers + 1 as decimal(38,0)) * " +
           "total_cents) * 1000000 div " +

@@ -1759,7 +1759,11 @@ object TextOps {
     * per-split distinct is the only corpus-scaled exchange, and the
     * pair join runs on the ≤3×-distinct-gram relation with per-split
     * totals broadcast. Counts are integers; jaccard is one int/int
-    * double division — identical across engines. */
+    * double division — identical across engines. CONVENTION (encoded
+    * identically on both engine and oracle sides): only split pairs
+    * with ≥1 overlapping trigram are EMITTED — a fully clean pair
+    * produces no row, not a zero row — so a future change to the
+    * split count must not assume 3-choose-2 output rows. */
   def t47SplitOverlap(s: SparkSession, d: String): DataFrame = {
     val split = t12HashSplit(s, d).select(col("doc_id"), col("split"))
     val sg = tokenTrigrams(documents(s, d))

@@ -83,8 +83,11 @@ object Validation {
     li.join(o.select(col("o_orderkey").as("l_orderkey"),
         lit(1).as("ok")), Seq("l_orderkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"),
+        // the sorted reason list flattens to one comma-joined STRING:
+        // a scalar output column every downstream (and the harness)
+        // can hash/sort, with the same information content
         expr(
-          """sort_array(transform(filter(array(
+          """array_join(sort_array(transform(filter(array(
             |  named_struct('name', 'quantity_out_of_range',
             |    'bad', l_quantity < 1 or l_quantity > 50),
             |  named_struct('name', 'discount_out_of_range',
@@ -94,9 +97,9 @@ object Validation {
             |  named_struct('name', 'orphan_orderkey',
             |    'bad', ok is null),
             |  named_struct('name', 'review_high_discount',
-            |    'bad', l_discount >= 0.09)), x -> x.bad), x -> x.name))"""
-            .stripMargin).as("reasons"))
-      .filter(size(col("reasons")) > 0)
+            |    'bad', l_discount >= 0.09)), x -> x.bad), x -> x.name)),
+            |  ',')""".stripMargin).as("reasons"))
+      .filter(length(col("reasons")) > 0)
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

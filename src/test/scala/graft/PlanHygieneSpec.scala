@@ -157,6 +157,38 @@ class PlanHygieneSpec extends SparkSuite {
       s"no DPP filter on list scan: ${listScan.get.partitionFilters}")
   }
 
+  test("output contract: every driver query emits only harness-" +
+    "hashable scalar columns") {
+    // The driver's correctness harness canonicalizes results via
+    // pandas sort+hash, which chokes on nested (array/struct/map) and
+    // decimal128 physical columns — exactly how a27 (decimal) and v2
+    // (list<string>) shipped value-correct but driver-red in round 6.
+    // This guard fails at AUTHORING time instead: every declared
+    // query's analyzed output schema must be built from the scalar
+    // types the harness hashes. Flatten (array_join / scaled integers
+    // / a final double cast) before returning.
+    import org.apache.spark.sql.types._
+    val allowed: DataType => Boolean = {
+      case IntegerType | LongType | DoubleType | StringType |
+        BooleanType | TimestampType | DateType => true
+      case _ => false
+    }
+    // the round-6 offenders' exact types must trip the guard — a
+    // deliberately decimal- or list-emitting query goes red here
+    assert(!allowed(DecimalType(38, 9)) &&
+      !allowed(ArrayType(StringType)) &&
+      !allowed(MapType(StringType, LongType)) && !allowed(BinaryType))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if !allowed(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-hashable output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("t11 composite: corpus-scaled join sides never broadcast") {
     val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
     // the LSH loser set scales with the corpus — the anti-join must be
