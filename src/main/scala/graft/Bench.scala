@@ -46,6 +46,9 @@ object Bench {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // stderr marker so log warnings (cache, WindowExec, ...) are
+        // attributable to the query that produced them
+        System.err.println(s"[bench] run $name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           errors += name

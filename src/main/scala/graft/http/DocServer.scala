@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[DocServer#refresh]] to drop the memo (the PUT/reconfigure analog).
   */
 final class DocServer private (
-    s: SparkSession, d: String, val server: HttpServer) {
+    s: SparkSession, d: String, val server: HttpServer,
+    live: Boolean = false) {
 
   import DocServer._
 
@@ -69,6 +70,18 @@ final class DocServer private (
     }
   }
 
+  /** Live program_processors document: one JSON doc per program from
+    * the streaming PSI register, version numbers included (a version
+    * bump must be VISIBLE in the document, not just in state). */
+  private def liveProgramsDoc(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.streaming.TableState.programsWithVersions(s, d)
+      .orderBy("program_number")
+      .select(to_json(struct(col("program_number"),
+        col("reference_pid"), col("pat_version"), col("pcr_pid"),
+        col("n_es"), col("pmt_version"))).as("doc"))
+  }
+
   private def envelope(code: Int, status: String, message: String): String =
     graft.operators.Relational.envelopeFmt.format(code, status, message)
 
@@ -91,7 +104,13 @@ final class DocServer private (
           body(ex, 200, doc("ts10")(
             graft.operators.TsQueries.ts10InstanceDoc(s, d).select("doc")))
         case ("GET", ProgramProcs(id)) if id == instanceId || id == "0" =>
-          body(ex, 200, doc("ts9[]")(
+          // live mode serves the STREAMING-maintained register (`d` is
+          // the register path): the memo is dropped by the compose
+          // query's onUpdate hook on every landed batch, so a GET one
+          // trigger after a version bump reads the new table — no
+          // manual refresh (the psi_thr 1 s convergence contract)
+          if (live) body(ex, 200, doc("live9[]")(liveProgramsDoc()))
+          else body(ex, 200, doc("ts9[]")(
             graft.operators.TsQueries.ts9ProgramProcDoc(s, d).select("doc")))
         case ("GET", EsProcs(id)) if id == instanceId || id == "0" =>
           body(ex, 200, doc("ts11[]")(
@@ -172,5 +191,26 @@ object DocServer {
     http.setExecutor(null) // serve on the dispatcher thread
     http.start()
     srv
+  }
+
+  /** Live mode: serve against STREAMING state. The completed-table
+    * stream composes into `registerPath` (R4/R5), and every landed
+    * batch drops the server's document memo via the compose hook — so
+    * a GET issued one trigger after a PAT/PMT version bump returns the
+    * rebuilt document without any manual `refresh()` call. Returns the
+    * server and the running compose query (caller stops both). */
+  def startLive(s: SparkSession,
+      tables: org.apache.spark.sql.Dataset[
+        graft.streaming.TableState.CompleteTable],
+      registerPath: String, port: Int = 0)
+      : (DocServer, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val srv = new DocServer(s, registerPath, http, live = true)
+    http.createContext("/", (ex: HttpExchange) => srv.handle(ex))
+    http.setExecutor(null)
+    http.start()
+    val q = graft.streaming.TableState.composeToRegister(
+      tables, registerPath, onUpdate = () => srv.refresh())
+    (srv, q)
   }
 }

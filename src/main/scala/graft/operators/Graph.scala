@@ -86,10 +86,16 @@ object Graph {
   def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame =
     pageRankOf(edgesOf(s, d), k)
 
-  private[graft] def pageRankOf(edges0: DataFrame, k: Int): DataFrame = {
-    val edges = edges0.repartition(col("src")).cache()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node").cache()
+  /** `pin` fixes how the stationary relations (edges, degrees) are
+    * materialized: `.cache()` (default — executor memory) or eager
+    * `.localCheckpoint(true)` (the cluster recipe from the header:
+    * lineage-cut blocks that survive plan growth without relying on
+    * the cache manager). The z27 probe measures the second path. */
+  private[graft] def pageRankOf(edges0: DataFrame, k: Int,
+      pin: DataFrame => DataFrame = _.cache()): DataFrame = {
+    val edges = pin(edges0.repartition(col("src")))
+    val deg = pin(edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node"))
     val n = deg.count() // the only driver-side value: |V|, a scalar
     val base = Scale / n
     val teleport = (15L * base) / 100L
@@ -369,16 +375,26 @@ object Graph {
       kcoreOf(reps, k = 3)
     }),
     "z23_g1_20x" -> ((s: SparkSession, d: String) => {
-      val reps = (0 until TextOps.stressReps)
-        .map(i => graft.Tables.lineitem(s, d)
-          .select((col("l_partkey") + lit(i * 1000000L)).as("p"),
-            (col("l_suppkey") + lit(i * 1000000L)).as("q")))
-        .reduce(_ unionByName _)
-      val e0 = reps
-        .select((col("p") * 2).as("src"), (col("q") * 2 + 1).as("dst"))
-        .distinct()
-      pageRankOf(
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-        5)
+      pageRankOf(stressEdges(s, d), 5)
+    }),
+    // the UNCACHED 100-TB-shape variant: identical 20× graph, but the
+    // stationary relations pin via eager localCheckpoint (lineage-cut
+    // blocks) instead of the cache manager — the per-iteration cluster
+    // recipe from the g1 header, measured instead of argued. Results
+    // must be bit-identical to z23 (same fixed-point arithmetic).
+    "z27_g1_20x_lineagecut" -> ((s: SparkSession, d: String) => {
+      pageRankOf(stressEdges(s, d), 5, pin = _.localCheckpoint(true))
     }))
+
+  private def stressEdges(s: SparkSession, d: String): DataFrame = {
+    val reps = (0 until TextOps.stressReps)
+      .map(i => graft.Tables.lineitem(s, d)
+        .select((col("l_partkey") + lit(i * 1000000L)).as("p"),
+          (col("l_suppkey") + lit(i * 1000000L)).as("q")))
+      .reduce(_ unionByName _)
+    val e0 = reps
+      .select((col("p") * 2).as("src"), (col("q") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
 }

@@ -699,8 +699,21 @@ object Similarity {
     * triple agg over thousands of rows is cheaper than any write. */
   private[graft] def semDedupOf(assigned: DataFrame, fanout: Int = 1)
       : DataFrame = {
-    val pairs =
-      if (fanout <= 1)
+    val pairs = semPairs(assigned, fanout)
+    val losers = pairs
+      .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.4)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "centroid_id")
+      .join(losers.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
+  }
+
+  /** The in-list pair-generation stage of [[semDedupOf]], exposed so
+    * the z26 hot-list skew probe can measure ITS task-load
+    * distribution directly (the stage salting exists to flatten). */
+  private[graft] def semPairs(assigned: DataFrame, fanout: Int)
+      : DataFrame = {
+    if (fanout <= 1)
         // corpus self-join: SHUFFLE_HASH-pinned so warm cache stats
         // can never flip it to a (scale-fatal) corpus broadcast
         assigned.as("x").join(assigned.as("y").hint("SHUFFLE_HASH"),
@@ -716,12 +729,6 @@ object Similarity {
             col("x.chunk") === col("y.chunk") &&
             col("x.vec_id") < col("y.vec_id"))
       }
-    val losers = pairs
-      .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.4)
-      .select(col("y.vec_id").as("vec_id"))
-      .distinct()
-    assigned.select("vec_id", "centroid_id")
-      .join(losers.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
   }
 
   /** e10: PERSISTED inverted-file index — the index-serving layout: the

@@ -50,9 +50,14 @@ object TableState {
     * idempotent upsert), and the programs-summary join runs over the
     * register — state composition OUTSIDE the stream, exactly like the
     * psi_thr register swap. Returns the query; read summaries from
-    * `registerPath` with `summarizeRegister`. */
+    * `registerPath` with `summarizeRegister`. `onUpdate` fires after
+    * every non-empty batch lands — the hook a serving layer uses to
+    * drop its document memo, so a GET one trigger after a version
+    * bump reads the new table (the reference's `psi_thr` ~1 s
+    * convergence contract, `mpeg2_sp.c:78-81`). */
   def composeToRegister(tables: Dataset[CompleteTable],
-      registerPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      registerPath: String, onUpdate: () => Unit = () => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     tables.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[CompleteTable], _: Long) =>
@@ -70,6 +75,7 @@ object TableState {
               concat_ws("_", col("pid"), col("tableId"),
                 col("tableIdExtension")))
           graft.sinks.Sinks.upsertByKey(latest, "table_key", registerPath)
+          onUpdate()
         }
         ()
       }
@@ -94,6 +100,32 @@ object TableState {
         .flatMap(s => graft.ts.PsiCodec.decodePmt(s).toSeq))
         .map(p => (p.programNumber, p.pcrPid, p.es.length.toLong))
     }.toDF("program_number", "pcr_pid", "n_es")
+    pats.filter(col("program_number") =!= 0)
+      .join(pmts, Seq("program_number"), "left")
+  }
+
+  /** [[summarizeRegister]] plus the PMT VERSION each program currently
+    * serves — the live-serving document shape: a version bump in the
+    * stream must be visible in the next GET, so the version is part of
+    * the document, not just the state key. */
+  def programsWithVersions(spark: org.apache.spark.sql.SparkSession,
+      registerPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val reg = spark.read.parquet(registerPath)
+      .select(col("pid"), col("tableId"), col("tableIdExtension"),
+        col("versionNumber"), col("sectionBytes"))
+      .as[(Int, Int, Int, Int, Seq[Array[Byte]])]
+    val pats = reg.filter(_._2 == 0).flatMap { case (pid, _, _, v, secs) =>
+      secs.flatMap(b => graft.ts.PsiCodec.decodeSection(pid, 0, b).toSeq
+        .flatMap(graft.ts.PsiCodec.decodePat))
+        .map(p => (p.programNumber, p.referencePid, v))
+    }.toDF("program_number", "reference_pid", "pat_version")
+    val pmts = reg.filter(_._2 == 2).flatMap { case (pid, _, _, v, secs) =>
+      secs.flatMap(b => graft.ts.PsiCodec.decodeSection(pid, 0, b).toSeq
+        .flatMap(s => graft.ts.PsiCodec.decodePmt(s).toSeq))
+        .map(p => (p.programNumber, p.pcrPid, p.es.length.toLong, v))
+    }.toDF("program_number", "pcr_pid", "n_es", "pmt_version")
     pats.filter(col("program_number") =!= 0)
       .join(pmts, Seq("program_number"), "left")
   }

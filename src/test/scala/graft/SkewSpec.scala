@@ -40,4 +40,26 @@ class SkewSpec extends SparkSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("z26 task-load census: totals conserved, variants labelled") {
+    // the probes themselves run under Profile with AQE off (COVERAGE
+    // row); here we pin their accounting invariant — the census must
+    // partition the measured relation's rows exactly
+    val (fact, dim) = Skew.hotFixture(spark, sf)
+    val joined = fact.join(dim.hint("SHUFFLE_HASH"), Seq("k"))
+    val row = Skew.taskLoad(joined, "t").collect().head
+    assert(row.getAs[String]("variant") == "t")
+    assert(row.getAs[Long]("total_rows") == joined.count())
+    assert(row.getAs[Long]("max_task_rows") <=
+      row.getAs[Long]("total_rows"))
+    assert(row.getAs[Long]("n_tasks") >= 1)
+  }
+
+  test("z27 lineage-cut pagerank is bit-identical to the cached run") {
+    import graft.operators.Graph
+    val cached = Graph.diag("z23_g1_20x")(spark, sf).collect()
+    val cut = Graph.diag("z27_g1_20x_lineagecut")(spark, sf).collect()
+    assert(cached.map(_.toString).toSeq == cut.map(_.toString).toSeq)
+    assert(cached.nonEmpty)
+  }
 }
