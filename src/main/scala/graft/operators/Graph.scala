@@ -84,16 +84,24 @@ object Graph {
     * hash(node) partitioning). The state carries (node, deg, r) so no
     * extra deg join is needed to form contributions. */
   def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame =
-    pageRankOf(edgesOf(s, d), k)
+    pageRankOf(edgesBySrc(s, d), k)
 
-  /** `pin` fixes how the stationary relations (edges, degrees) are
-    * materialized: `.cache()` (default — executor memory) or eager
-    * `.localCheckpoint(true)` (the cluster recipe from the header:
-    * lineage-cut blocks that survive plan growth without relying on
-    * the cache manager). The z27 probe measures the second path. */
-  private[graft] def pageRankOf(edges0: DataFrame, k: Int,
+  /** The src-partitioned, pinned edge backbone g1 and g5 both iterate
+    * over — one repartition + one cache entry per (session, dir)
+    * instead of each consumer re-pinning the identical plan. */
+  private[graft] def edgesBySrc(s: SparkSession, d: String): DataFrame =
+    memo(s, d + "#edges_src")(
+      edgesOf(s, d).repartition(col("src")).cache())
+
+  /** `edges` must arrive partitioned on src and pinned (cache or
+    * checkpoint) by the CALLER — g1/g5 share [[edgesBySrc]]; the z23/
+    * z27 probes pin their 20× graph themselves. `pin` fixes how the
+    * derived degree relation is materialized: `.cache()` (default)
+    * or eager `.localCheckpoint(true)` (the cluster recipe from the
+    * header: lineage-cut blocks that survive plan growth without the
+    * cache manager). The z27 probe measures the second path. */
+  private[graft] def pageRankOf(edges: DataFrame, k: Int,
       pin: DataFrame => DataFrame = _.cache()): DataFrame = {
-    val edges = pin(edges0.repartition(col("src")))
     val deg = pin(edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node"))
     val n = deg.count() // the only driver-side value: |V|, a scalar
@@ -240,7 +248,7 @@ object Graph {
     * same depth — independent algorithm, identical min-hop counts. */
   def g5BfsHops(s: SparkSession, d: String, rounds: Int = 4)
       : DataFrame = {
-    val edges = edgesOf(s, d).repartition(col("src")).cache()
+    val edges = edgesBySrc(s, d)
     val nodes = edges.select(col("src").as("node")).distinct().cache()
     var dist = nodes
       .filter(col("node") % 2 === 1 && expr("node div 2") < 5)
@@ -375,7 +383,7 @@ object Graph {
       kcoreOf(reps, k = 3)
     }),
     "z23_g1_20x" -> ((s: SparkSession, d: String) => {
-      pageRankOf(stressEdges(s, d), 5)
+      pageRankOf(stressEdges(s, d).repartition(col("src")).cache(), 5)
     }),
     // the UNCACHED 100-TB-shape variant: identical 20× graph, but the
     // stationary relations pin via eager localCheckpoint (lineage-cut
@@ -383,7 +391,9 @@ object Graph {
     // recipe from the g1 header, measured instead of argued. Results
     // must be bit-identical to z23 (same fixed-point arithmetic).
     "z27_g1_20x_lineagecut" -> ((s: SparkSession, d: String) => {
-      pageRankOf(stressEdges(s, d), 5, pin = _.localCheckpoint(true))
+      pageRankOf(
+        stressEdges(s, d).repartition(col("src")).localCheckpoint(true),
+        5, pin = _.localCheckpoint(true))
     }))
 
   private def stressEdges(s: SparkSession, d: String): DataFrame = {

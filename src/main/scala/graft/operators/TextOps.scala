@@ -238,8 +238,11 @@ object TextOps {
   private[operators] def shRelationOf(docs: DataFrame): DataFrame =
     shingleExplodedOf(docs).cache()
 
+  // memoized per (session, dir): seven queries (t7/t8/t13/t25/t32/
+  // t33 + the lsh pair build) read the same shingle relation — one
+  // cache entry, not one re-cache warning per consumer
   private def shRelation(s: SparkSession, d: String): DataFrame =
-    shRelationOf(documents(s, d))
+    lshMemo(s, d + "#sh")(shRelationOf(documents(s, d)))
 
   /** Verified LSH near-dup pair set, memoized per (session, dir): t7,
     * t10 and t11 all consume the same pairs — one banded join + verify
@@ -838,8 +841,12 @@ object TextOps {
     * over rows; near-dup cluster diameters are tiny in practice). The
     * oracle re-derives the closure independently via recursive SQL. */
   def t17DupComponents(s: SparkSession, d: String): DataFrame =
-    componentsOf(documents(s, d).select(col("doc_id")),
-      lshPairs(s, d).select(col("doc_a"), col("doc_b")))
+    // memoized: t57's survivorship census re-reads the same closure,
+    // and componentsOf pins its edge relation internally — one
+    // closure run + one cache lineage per (session, dir)
+    lshMemo(s, d + "#t17c")(
+      componentsOf(documents(s, d).select(col("doc_id")),
+        lshPairs(s, d).select(col("doc_a"), col("doc_b"))).cache())
 
   private[graft] def componentsOf(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {

@@ -342,20 +342,29 @@ object TsQueries {
     * independently). */
   private[graft] def mptsPackets(s: SparkSession): DataFrame =
     memoized(s, "mpts_pk") { graft.ts.Fixtures.mptsWithPcr(s).toDF() }
+  /** The MPTS fixture's PSI sections, assembled ONCE per session and
+    * shared by the PAT/PMT/SDT builders below — three separate
+    * psiSections calls each re-cached an identical packet plan (the
+    * bench log's duplicate-cache warnings traced here). */
+  private val secMemo =
+    new graft.SessionMemo[org.apache.spark.sql.Dataset[
+      graft.ts.PsiSection]](_.unpersist(blocking = false))
+  private def mptsSections(s: SparkSession)
+      : org.apache.spark.sql.Dataset[graft.ts.PsiSection] =
+    secMemo(s, "mpts_secs")(TsPipeline.psiSections(s,
+      graft.ts.Fixtures.mptsWithPcr(s), pin = false).cache())
+
   private[graft] def mptsPmt(s: SparkSession): DataFrame =
     memoized(s, "mpts_pmt") {
-      TsPipeline.pmtTable(s,
-        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+      TsPipeline.pmtTable(s, mptsSections(s))
     }
   private[graft] def mptsPat(s: SparkSession): DataFrame =
     memoized(s, "mpts_pat") {
-      TsPipeline.patTable(s,
-        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+      TsPipeline.patTable(s, mptsSections(s))
     }
   private[graft] def mptsSdt(s: SparkSession): DataFrame =
     memoized(s, "mpts_sdt") {
-      TsPipeline.sdtTable(s,
-        TsPipeline.psiSections(s, graft.ts.Fixtures.mptsWithPcr(s)))
+      TsPipeline.sdtTable(s, mptsSections(s))
     }
 
   /** §3.2's programs summary on the MULTI-program fixture WITH a real

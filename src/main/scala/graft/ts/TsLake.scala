@@ -31,7 +31,9 @@ object TsLake {
   private def rel(s: SparkSession) =
     cache(s, "lake") {
       val pk = TsPipeline.packets(s).cache()
-      val secs = TsPipeline.psiSections(s, pk).cache()
+      // pk is pinned on the line above — pin = false stops psiSections
+      // re-caching the identical plan (a no-op plus a warning)
+      val secs = TsPipeline.psiSections(s, pk, pin = false).cache()
       (pk, secs)
     }
 

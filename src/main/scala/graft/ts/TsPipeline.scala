@@ -149,13 +149,15 @@ object TsPipeline {
     * legitimate driver-side collect), then assemble {PAT, SDT, PMT PIDs}.
     * This replaces the reference's launch-processor-on-new-PID machinery
     * (`mpeg2_sp.c:1560-1603`) with a second distributed pass. */
-  def psiSections(spark: SparkSession, pkts0: Dataset[TsPacket])
-      : Dataset[PsiSection] = {
+  def psiSections(spark: SparkSession, pkts0: Dataset[TsPacket],
+      pin: Boolean = true): Dataset[PsiSection] = {
     import spark.implicits._
     // two passes (PAT discovery, then full PSI assembly) read the same
     // scan — cache it (PSI-scale data; for a 100 TB capture the PAT pass
-    // reads a pushed-down pid=0 slice instead)
-    val pkts = pkts0.cache()
+    // reads a pushed-down pid=0 slice instead). `pin = false` is for
+    // callers whose input is ALREADY session-pinned (re-caching an
+    // identical plan is a no-op plus a CacheManager warning).
+    val pkts = if (pin) pkts0.cache() else pkts0
     val patSecs = sections(pkts.filter(_.pid == 0))
     val pmtPids = patSecs
       .flatMap(PsiCodec.decodePat _)

@@ -121,13 +121,15 @@ class TextOpsSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
     // and on the real corpus: labels are canonical (comp <= doc_id,
     // and every comp is itself labeled comp — a valid forest root)
-    val real = TextOps.t17DupComponents(spark, sf).cache()
+    // t17's output is session-memoized and already cached — do NOT
+    // cache/unpersist it here (unpersisting would evict the memo's
+    // entry and flip the committed plan signature mid-suite)
+    val real = TextOps.t17DupComponents(spark, sf)
     assert(real.filter(col("comp") > col("doc_id")).count() == 0)
     val roots = real.select(col("comp").as("doc_id")).distinct()
     val bad = roots.join(real, Seq("doc_id"))
       .filter(col("comp") =!= col("doc_id")).count()
     assert(bad == 0)
-    real.unpersist()
   }
 
   test("t17 components: a chain deeper than the cap fails LOUDLY, and " +
