@@ -309,6 +309,33 @@ object SparkEntry {
       s"""SELECT reason, count(*) AS n FROM ${tsrel("reject_log")}
          |GROUP BY reason""",
     "e8_ivf_pq" -> ivfPqSql,
+    // e25: e8's encoder CTEs (same dot-composed L2, same tie rule),
+    // per-row micro-unit quantization BEFORE the integer sums
+    "e25_pq_distortion" ->
+      s"""WITH js AS (SELECT unnest(range(0, 8)) AS j),
+         |  cb AS (SELECT x.vec_id AS code, js.j,
+         |      list_slice(x.embedding, js.j * 8 + 1, js.j * 8 + 8) AS cbv
+         |    FROM embeddings x CROSS JOIN js WHERE x.vec_id < 16),
+         |  enc AS (SELECT vec_id, j, code, d2 FROM (
+         |      SELECT e.vec_id, cb.j, cb.code,
+         |        ${l2Sql(
+             "list_slice(e.embedding, cb.j * 8 + 1, cb.j * 8 + 8)",
+             "cb.cbv")} AS d2,
+         |        row_number() OVER (PARTITION BY e.vec_id, cb.j
+         |          ORDER BY ${l2Sql(
+             "list_slice(e.embedding, cb.j * 8 + 1, cb.j * 8 + 8)",
+             "cb.cbv")} ASC, cb.code ASC) AS rn
+         |      FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+         |  q AS (SELECT vec_id, j, code,
+         |      CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS err_micro
+         |    FROM enc)
+         |SELECT CAST(j AS INTEGER) AS j,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+         |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+         |  CAST(max(err_micro) AS BIGINT) AS max_err_micro,
+         |  CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro
+         |FROM q GROUP BY 1""",
     // e5's whole pipeline is deterministic (centroids = first 16 corpus
     // vectors) — assignment, probes and in-list scoring re-derived in SQL
     "e5_ivf_ann" -> ivfSql(
@@ -1936,6 +1963,100 @@ object SparkEntry {
         |FROM grid g LEFT JOIN cells
         |  ON g.event_type = cells.event_type AND g.dow = cells.dow
         |CROSS JOIN n""",
+    // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
+    // //), one final sqrt over identical inputs
+    "a44_cramers_v" ->
+      """WITH cells AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM cells),
+        |j AS (SELECT g.r, g.c, coalesce(cells.o, 0) AS o, nn.n
+        |  FROM (SELECT rt.event_type, ct.dow, rt.r, ct.c
+        |    FROM rt CROSS JOIN ct) g
+        |  LEFT JOIN cells ON g.event_type = cells.event_type
+        |    AND g.dow = cells.dow
+        |  CROSS JOIN nn),
+        |agg AS (SELECT max(n) AS n,
+        |    sum((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * 1000000 // (CAST(r AS HUGEINT) * c * n)) AS chi2_ppm
+        |  FROM j),
+        |lv AS (SELECT (SELECT count(*) FROM rt) AS rl,
+        |    (SELECT count(*) FROM ct) AS cl)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(rl AS BIGINT) AS r_levels,
+        |  CAST(cl AS BIGINT) AS c_levels,
+        |  CAST((rl - 1) * (cl - 1) AS BIGINT) AS dof,
+        |  CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+        |  sqrt(CAST(chi2_ppm AS DOUBLE) / 1e6
+        |    / CAST(n * least(rl - 1, cl - 1) AS DOUBLE)) AS cramers_v
+        |FROM agg CROSS JOIN lv""",
+    // w35: sessions re-derived (the a36 CTEs), then a DIRECT global
+    // sweep + duration-weighted rank vs Spark's two-level plan
+    "w35_concurrency_pctile" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |sess AS (SELECT user_id, session_id, min(ts) AS t0,
+        |    max(ts) AS t1 FROM s GROUP BY 1, 2),
+        |deltas AS (SELECT epoch_us(t0) AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT epoch_us(t1), -1 FROM sess),
+        |g AS (SELECT t, delta, sum(delta) AS d FROM deltas
+        |  GROUP BY 1, 2),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS running FROM g),
+        |rr AS (SELECT t, max(running) AS running FROM r GROUP BY 1),
+        |sp AS (SELECT running,
+        |    lead(t) OVER (ORDER BY t) - t AS dur_us FROM rr),
+        |sel AS (SELECT running, sum(dur_us) AS dur_us FROM sp
+        |  WHERE dur_us IS NOT NULL AND running > 0 GROUP BY 1),
+        |c AS (SELECT running, dur_us,
+        |    sum(dur_us) OVER (ORDER BY running
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(dur_us) OVER () AS total FROM sel)
+        |SELECT CAST(max(total) AS BIGINT) AS busy_us,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 50 THEN running END)
+        |    AS BIGINT) AS p50_concurrency,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 95 THEN running END)
+        |    AS BIGINT) AS p95_concurrency,
+        |  CAST(max(running) AS BIGINT) AS max_concurrency
+        |FROM c""",
+    // j19: both knowledge snapshots re-derived with ROW_NUMBER windows
+    // (independent algorithm vs the engine's struct-max aggregate)
+    "j19_bitemporal" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS v_us,
+        |    epoch_us(ts) + (event_id % 5) * 86400000000 AS tx_us
+        |  FROM events),
+        |a AS (SELECT max(v_us) AS t_cut FROM ev),
+        |nw AS (SELECT user_id, event_type AS attr_now,
+        |    v_us AS valid_us_now
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY v_us DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |att AS (SELECT user_id, event_type AS attr_at_t,
+        |    v_us AS valid_us_at_t
+        |  FROM (SELECT ev.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY v_us DESC, event_id DESC) AS rn
+        |    FROM ev CROSS JOIN a WHERE tx_us <= t_cut)
+        |  WHERE rn = 1),
+        |late AS (SELECT user_id,
+        |    sum(CASE WHEN tx_us > t_cut THEN 1 ELSE 0 END) AS n_late
+        |  FROM ev CROSS JOIN a GROUP BY 1)
+        |SELECT nw.user_id, att.attr_at_t, nw.attr_now,
+        |  att.attr_at_t IS DISTINCT FROM nw.attr_now AS restated,
+        |  CAST(late.n_late AS BIGINT) AS n_late,
+        |  att.valid_us_at_t, nw.valid_us_now
+        |FROM nw LEFT JOIN att ON nw.user_id = att.user_id
+        |JOIN late ON nw.user_id = late.user_id""",
     // w31: the trailing-28-day distinct via bounded fan-out on both
     // engines — same algorithm, independent execution
     "w31_stickiness" ->
@@ -1984,6 +2105,62 @@ object SparkEntry {
         |    l.l_discount < 0 OR l.l_discount > 0.1,
         |    l.l_shipdate IS NULL, o.o_orderkey IS NULL,
         |    l.l_discount >= 0.09], x -> x)) > 0""",
+    // v3: QI group sizes + k=10 verdict, integer shares
+    "v3_kanonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey,
+        |    count(*) AS group_n FROM customer GROUP BY 1, 2),
+        |t AS (SELECT sum(group_n) AS n_total FROM g)
+        |SELECT c_mktsegment, c_nationkey,
+        |  CAST(group_n AS BIGINT) AS group_n,
+        |  group_n >= 10 AS meets_k,
+        |  CAST(group_n * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t""",
+    // v4: every FK edge re-audited with independent LEFT JOINs
+    "v4_ref_integrity" ->
+      """SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  n_orphans = 0 AS intact FROM (
+        |SELECT 'lineitem.orderkey->orders' AS fk_edge, count(*) AS n_rows,
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS n_orphans
+        |FROM lineitem c LEFT JOIN
+        |  (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON c.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM lineitem c LEFT JOIN
+        |  (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON c.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM lineitem c LEFT JOIN
+        |  (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |  ON c.l_suppkey = p.k
+        |UNION ALL
+        |SELECT 'orders.custkey->customer', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM orders c LEFT JOIN
+        |  (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.o_custkey = p.k
+        |UNION ALL
+        |SELECT 'customer.nationkey->nation', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM customer c LEFT JOIN
+        |  (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |  ON c.c_nationkey = p.k
+        |UNION ALL
+        |SELECT 'supplier.nationkey->nation', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM supplier c LEFT JOIN
+        |  (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |  ON c.s_nationkey = p.k
+        |UNION ALL
+        |SELECT 'nation.regionkey->region', count(*),
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+        |FROM nation c LEFT JOIN
+        |  (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |  ON c.n_regionkey = p.k)""",
     // e22: exact different-label top-5 recomputed in SQL (id-only
     // output, cand_id tie-break — the e1 float discipline)
     "e22_hard_negatives" -> {
@@ -2459,6 +2636,39 @@ object SparkEntry {
         |  CAST(n_skipped AS BIGINT) AS n_skipped,
         |  CAST(n_skipped * 1000000 // n_buckets AS BIGINT) AS skip_ppm
         |FROM u""",
+    // l4: same Morton ladder, envelope-width accounting per layout
+    "l4_cluster_depth" ->
+      """WITH b0 AS (SELECT l_partkey, l_orderkey,
+        |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+        |  FROM lineitem),
+        |b1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+        |    (y0 | (y0 << 8)) & 16711935 AS y1 FROM b0),
+        |b2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM b1),
+        |b3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM b2),
+        |b4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM b3),
+        |dom AS (SELECT max(l_partkey) - min(l_partkey) + 1
+        |    AS key_domain FROM lineitem),
+        |z AS (SELECT l_partkey,
+        |    (x4 | (y4 << 1)) // 16384 AS bucket FROM b4),
+        |za AS (SELECT 'zorder' AS layout, count(*) AS n_buckets,
+        |    sum(xp - mp + 1) AS total_width
+        |  FROM (SELECT bucket, min(l_partkey) AS mp,
+        |      max(l_partkey) AS xp FROM z GROUP BY 1)),
+        |na AS (SELECT 'natural' AS layout, count(*) AS n_buckets,
+        |    sum(xp - mp + 1) AS total_width
+        |  FROM (SELECT l_orderkey // 2048 AS bucket,
+        |      min(l_partkey) AS mp, max(l_partkey) AS xp
+        |    FROM lineitem GROUP BY 1)),
+        |u AS (SELECT * FROM za UNION ALL SELECT * FROM na)
+        |SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(total_width AS BIGINT) AS total_width,
+        |  CAST(key_domain AS BIGINT) AS key_domain,
+        |  CAST(total_width * 1000 // key_domain AS BIGINT)
+        |    AS depth_milli
+        |FROM u CROSS JOIN dom""",
     // j15: nearest-asof re-derived INDEPENDENTLY as the tolerance-
     // bounded pair join + one global candidate ranking (abs distance,
     // backward-first, id desc) vs Spark's two window passes
@@ -3853,6 +4063,43 @@ object SparkEntry {
         |    SELECT e.doc_a, r.comp FROM ed e
         |    JOIN reach r ON e.doc_b = r.doc_id)
         |SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id""",
+    // t59: the t17 recursive closure re-derived, then the size census
+    "t59_cluster_census" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  ed AS (SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |  reach(doc_id, comp) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.doc_a, r.comp FROM ed e
+        |    JOIN reach r ON e.doc_b = r.doc_id),
+        |  lab AS (SELECT doc_id, min(comp) AS comp FROM reach
+        |    GROUP BY doc_id),
+        |  cs AS (SELECT comp, count(*) AS cluster_size FROM lab
+        |    GROUP BY 1),
+        |  tot AS (SELECT count(*) AS n_docs_total FROM lab)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  CAST(cluster_size * count(*) * 1000000 // n_docs_total
+        |    AS BIGINT) AS share_ppm
+        |FROM cs CROSS JOIN tot GROUP BY cluster_size, n_docs_total""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

@@ -126,7 +126,53 @@ object Changelog {
         col("attr_at").as("attr_value"), col("ver_at").as("version"))
   }
 
+  /** j19 — BITEMPORAL RESTATEMENT REPORT: the two-axis time query the
+    * SCD2/CDC family (valid time only) cannot answer — "what did the
+    * warehouse BELIEVE about each user at transaction time T, and
+    * what does it believe now that late records have landed?".
+    * Transaction time is the load time of each change: valid time
+    * plus a deterministic ingest delay ((event_id mod 5) days — the
+    * late-arrival simulation every bitemporal design doc draws), and
+    * T is the corpus max valid instant, so precisely the
+    * still-in-flight records are invisible at T. Per user: the
+    * attribute as-known-at-T vs as-known-now, the restatement flag,
+    * and the late-record count — the correction audit a bitemporal
+    * warehouse publishes after each backfill.
+    *
+    * Scale: ONE hash aggregate over the change stream (the lexical
+    * struct-max picks the latest version under each knowledge cutoff
+    * map-side, no window, no second scan); the anchor is a broadcast
+    * scalar. The oracle re-derives both snapshots with ROW_NUMBER
+    * windows — independent algorithm, same rows. */
+  def j19Bitemporal(s: SparkSession, d: String): DataFrame = {
+    val ev = ordered(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("v_us"))
+      .withColumn("tx_us",
+        col("v_us") + (col("event_id") % 5) * lit(86400000000L))
+    val anchor = ev.agg(max(col("v_us")).as("t_cut"))
+    ev.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        max(struct(col("v_us"), col("event_id"), col("event_type")))
+          .as("nw"),
+        max(when(col("tx_us") <= col("t_cut"),
+          struct(col("v_us"), col("event_id"), col("event_type"))))
+          .as("att"),
+        sum(when(col("tx_us") > col("t_cut"), 1L).otherwise(0L))
+          .as("n_late"))
+      .select(col("user_id"),
+        col("att.event_type").as("attr_at_t"),
+        col("nw.event_type").as("attr_now"),
+        (!(col("att.event_type") <=> col("nw.event_type")))
+          .as("restated"),
+        col("n_late"),
+        col("att.v_us").as("valid_us_at_t"),
+        col("nw.v_us").as("valid_us_now"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j19_bitemporal" -> j19Bitemporal _,
     "j18_temporal_lookup" -> j18TemporalLookup _,
     "j10_scd2" -> j10Scd2 _,
     "j11_cdc_merge" -> j11CdcMerge _,

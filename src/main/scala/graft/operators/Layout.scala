@@ -122,8 +122,38 @@ object Layout {
       .unionByName(audit(expr("l_orderkey div 2048"), "natural"))
   }
 
+  /** l4 — CLUSTERING-DEPTH METRIC: l3 scores one probe predicate;
+    * this scores the LAYOUT itself — the expected number of file
+    * envelopes a random partkey point-query must open, i.e.
+    * Σ envelope_width / key_domain (the overlap/clustering-depth
+    * statistic Iceberg/Delta print after OPTIMIZE to justify the
+    * rewrite). On the z-ordered grain the envelopes tile the domain
+    * almost disjointly (depth → small); on insert order every
+    * envelope spans most of the domain (depth → n_buckets). Pure
+    * integer width accounting, bit-exact across engines. */
+  def l4ClusterDepth(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"),
+        zval(col("l_partkey"), col("l_suppkey")).as("z"))
+    val dom = li.agg((max(col("l_partkey")) - min(col("l_partkey")) + 1)
+      .as("key_domain"))
+    def audit(bucket: Column, name: String) =
+      li.groupBy(bucket.as("bucket"))
+        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("max_p") - col("min_p") + 1).as("total_width"))
+        .crossJoin(broadcast(dom))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("total_width"), col("key_domain"),
+          expr("total_width * 1000 div key_domain")
+            .as("depth_milli"))
+    audit(expr("z div 16384"), "zorder")
+      .unionByName(audit(expr("l_orderkey div 2048"), "natural"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_zorder" -> l1Zorder _,
     "l2_compaction" -> l2Compaction _,
-    "l3_layout_ab" -> l3LayoutAb _)
+    "l3_layout_ab" -> l3LayoutAb _,
+    "l4_cluster_depth" -> l4ClusterDepth _)
 }

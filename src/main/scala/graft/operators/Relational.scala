@@ -2226,6 +2226,78 @@ object Relational {
         expr("cast(-m.negt as bigint)").as("at_us"), col("n_sessions"))
   }
 
+  /** w35 — TIME-WEIGHTED CONCURRENCY PERCENTILES: a36 reports the
+    * peak; capacity planning wants the DISTRIBUTION — "what
+    * concurrency level covers 50% / 95% of wall time". Between
+    * consecutive sweep boundaries the concurrency is constant, so the
+    * exact time-weighted percentile is a duration-weighted rank over
+    * the (concurrency value → total duration) relation. Everything is
+    * integer microseconds; the percentile picks are exact threshold
+    * comparisons (cum·100 ≥ q·total), no interpolation — bit-stable.
+    *
+    * Scale: the sweep chain is a36's two-level partitioned prefix sum
+    * (never a global row window). The boundary→next-boundary gap uses
+    * the same trick: LEAD inside each hour bucket, and the cross-
+    * bucket seam closes via the hour-grid relation (calendar-bounded,
+    * broadcast) carrying each bucket's first boundary. The final
+    * cumulative runs over the DISTINCT concurrency grid (≤ peak —
+    * value-bounded, the a8/a25 documented-boundedness rule). */
+  def w35ConcurrencyPctile(s: SparkSession, d: String): DataFrame = {
+    val deltas = w8SessionAgg(s, d)
+      .select(explode(array(
+        struct(expr("unix_micros(session_start)").as("t"),
+          lit(1L).as("delta")),
+        struct(expr("unix_micros(session_end)").as("t"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
+      .groupBy("t", "delta")
+      .agg((sum(col("delta"))).as("d"))
+      .withColumn("hb", expr("t div 3600000000"))
+    val wloc = Window.partitionBy("hb").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val woff = Window.orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourGrid = deltas.groupBy("hb")
+      .agg(sum(col("d")).as("hsum"), min(col("t")).as("first_t"))
+      .withColumn("hoff", coalesce(sum(col("hsum")).over(woff), lit(0L)))
+      .withColumn("next_first",
+        lead(col("first_t"), 1).over(Window.orderBy("hb")))
+      .select("hb", "hoff", "next_first")
+    // collapse the (t, delta) pair rows to one row per instant first:
+    // a start and an end at the same t must contribute ONE boundary
+    // with the net running value after both
+    val run = deltas
+      .withColumn("lsum", sum(col("d")).over(wloc))
+      .join(broadcast(hourGrid), Seq("hb"))
+      .groupBy("t", "hb", "next_first")
+      .agg(max(col("hoff") + col("lsum")).as("running0"))
+    val wseam = Window.partitionBy("hb").orderBy("t")
+    // span = boundary → next boundary (in-bucket LEAD, or the next
+    // non-empty bucket's first boundary at the seam); idle spans
+    // (running 0) drop — the report is the BUSY-time distribution
+    val spans = run
+      .withColumn("next_t",
+        coalesce(lead(col("t"), 1).over(wseam), col("next_first")))
+      .filter(col("next_t").isNotNull && col("running0") > 0)
+      .select(col("running0").as("running"),
+        (col("next_t") - col("t")).as("dur_us"))
+    val grid = spans.groupBy("running")
+      .agg(sum(col("dur_us")).as("dur_us"))
+    val wg = Window.orderBy("running")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum", sum(col("dur_us")).over(wg))
+      .withColumn("total", sum(col("dur_us")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(max(col("total")).as("busy_us"),
+        min(when(col("cum") * 100 >= col("total") * 50,
+          col("running"))).as("p50_concurrency"),
+        min(when(col("cum") * 100 >= col("total") * 95,
+          col("running"))).as("p95_concurrency"),
+        max(col("running")).as("max_concurrency"))
+  }
+
   /** w28 — GROWTH ACCOUNTING: the weekly new / retained /
     * resurrected / churned user ledger (the standard MAU-accounting
     * identity: actives(w) = new + retained + resurrected;
@@ -2398,6 +2470,49 @@ object Relational {
       .withColumn("contrib_ppm",
         expr("cast(o - e_floor as decimal(38,0)) * (o - e_floor) " +
           "* 1000000 div greatest(e_floor, 1)"))
+  }
+
+  /** a44 — CRAMÉR'S V effect size over a38's contingency grid (the
+    * association STRENGTH a chi-square p-value alone doesn't give —
+    * the standard report line of every feature-vs-feature dependence
+    * audit). The statistic sums per-cell exact-integer contributions:
+    * χ²·10⁶ = Σ floor((o·n − r·c)² · 10⁶ div (r·c·n)) — wide-decimal
+    * (HUGEINT on the oracle) products, truncating integer division on
+    * BOTH engines, so the sum is bit-stable; the only float op is the
+    * single final sqrt for V (one IEEE op over identical inputs —
+    * deterministic). Grid is |types|×7 — bounded at any corpus size;
+    * n·(o·n−r·c)² stays inside DECIMAL(38) through warehouse row
+    * counts (the 100 TB bound is ~10¹² rows → 10³⁰·10⁶ at the edge;
+    * beyond that, drop the ppm scale before the square). */
+  def a44CramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    broadcast(rt).crossJoin(broadcast(ct))
+      .join(broadcast(cells), Seq("event_type", "dow"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("r"), col("c"),
+        col("n"), coalesce(col("o"), lit(0L)).as("o"))
+      .agg(
+        max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("r_levels"),
+        countDistinct(col("dow")).as("c_levels"),
+        sum(expr("(cast(o as decimal(38,0)) * n - " +
+          "cast(r as decimal(38,0)) * c) * " +
+          "(cast(o as decimal(38,0)) * n - " +
+          "cast(r as decimal(38,0)) * c) " +
+          "* 1000000 div (cast(r as decimal(38,0)) * c * n)"))
+          .cast("long").as("chi2_ppm"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("chi2_ppm"),
+        sqrt(col("chi2_ppm").cast("double") / lit(1e6) /
+          (col("n") * least(col("r_levels") - 1, col("c_levels") - 1))
+            .cast("double")).as("cramers_v"))
   }
 
   /** w31 — STICKINESS (DAU/MAU): the engagement ratio per active day —
@@ -2781,6 +2896,8 @@ object Relational {
     "w32_purchase_gap" -> w32PurchaseGap _,
     "a39_winsorized_mean" -> a39WinsorizedMean _,
     "a38_chi2_cells" -> a38Chi2 _,
+    "a44_cramers_v" -> a44CramersV _,
+    "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,
     "w29_top_paths" -> w29TopPaths _,

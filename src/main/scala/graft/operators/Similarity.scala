@@ -1084,7 +1084,52 @@ object Similarity {
         expr("max_size * 1000000 div (n_vectors div n_lists)")
           .as("imbalance_ppm"))
 
+  /** e25 — PQ DISTORTION AUDIT: per-subspace reconstruction error of
+    * e8's product-quantization codes — the codebook-quality report an
+    * index build publishes (a subspace whose quantization error blows
+    * up, or whose codes collapse onto a few entries, degrades every
+    * e8 query silently; this is where you see it). The per-(vector,
+    * subspace) squared-L2 error is the SAME n2x + n2cb − 2·dot
+    * arithmetic as e8's encoder term-for-term (so the oracle's
+    * dot-composed L2 matches bitwise), quantized to integer
+    * micro-units per row BEFORE any sum — sums are then exact
+    * integers, order-independent. Codebooks broadcast; the corpus is
+    * touched once; output is m rows. */
+  def e25PqDistortion(s: SparkSession, d: String, m: Int = 8,
+      ks: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val emb = embeddings(s, d)
+    def subspaces(vecCol: String): Column =
+      slice(col(vecCol), col("j") * sub + 1, lit(sub))
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    val codebooks = emb.filter(col("vec_id") < ks)
+      .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
+      .select(col("code"), col("j"), subspaces("embedding").as("cb"))
+      .withColumn("n2cb", vec_dot(col("cb"), col("cb")))
+    emb.select(col("vec_id"), col("embedding"), js)
+      .select(col("vec_id"), col("j"), subspaces("embedding").as("xj"))
+      .withColumn("n2x", vec_dot(col("xj"), col("xj")))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("vec_id"), col("j"), col("code"),
+        (col("n2x") + col("n2cb") -
+          lit(2.0) * vec_dot(col("xj"), col("cb"))).as("d2"))
+      .groupBy("vec_id", "j")
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("j"), col("b.code").as("code"),
+        expr("cast(floor(b.d2 * 1000000 + 0.5) as bigint)")
+          .as("err_micro"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("codes_used"),
+        sum(col("err_micro")).as("sum_err_micro"),
+        max(col("err_micro")).as("max_err_micro"))
+      .withColumn("mean_err_micro", expr("sum_err_micro div n_vecs"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_pq_distortion" -> ((s: SparkSession, d: String) =>
+      e25PqDistortion(s, d)),
     "e24_list_balance" -> e24ListBalance _,
     "e23_recall_curve" -> e23RecallCurve _,
     "e22_hard_negatives" -> e22HardNegatives _,

@@ -2295,8 +2295,30 @@ object TextOps {
         expr("n_docs * 1000000 div n_lang").as("share_ppm"))
   }
 
+  /** t59 — DUP-CLUSTER SIZE CENSUS: the distribution report behind
+    * every dedup decision — how many clusters of each size t17's
+    * closure found, how many docs they hold, and each size class's
+    * corpus share. This is the number a curation team reads before
+    * picking keep-one-per-cluster vs downweighting (a corpus whose
+    * mass sits in a few huge clusters dedups very differently from
+    * long-tail pair dups). Rides the memoized t17 closure — zero new
+    * corpus passes; the rollups are cluster-scaled then size-scaled
+    * (both far below corpus scale). Integer-exact. */
+  def t59ClusterCensus(s: SparkSession, d: String): DataFrame = {
+    val cs = t17DupComponents(s, d)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    val tot = cs.agg(sum(col("cluster_size")).as("n_docs_total"))
+    cs.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        expr("cluster_size * n_clusters * 1000000 div n_docs_total")
+          .as("share_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t58_langid_eval" -> t58LangidEval _,
+    "t59_cluster_census" -> t59ClusterCensus _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

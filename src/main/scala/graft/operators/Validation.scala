@@ -102,7 +102,65 @@ object Validation {
       .filter(length(col("reasons")) > 0)
   }
 
+  /** v3 — K-ANONYMITY AUDIT over the quasi-identifier pair
+    * (mktsegment, nationkey): the privacy gate a training-data release
+    * runs before shipping user-derived rows — any QI group smaller
+    * than k re-identifies its members and must be suppressed or
+    * generalized. Output is one row per QI group with its size and
+    * the k=10 verdict, plus each group's share in ppm (integer-exact).
+    * Scale: a single map-side-combining aggregate whose output is
+    * bounded by QI-domain cardinality (|segments| × |nations|), never
+    * row-scaled — the audit costs one scan at any corpus size. */
+  def v3Kanonymity(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val c = customer(s, d)
+    val groups = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("group_n"))
+    val tot = groups.agg(sum(col("group_n")).as("n_total"))
+    groups.crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("group_n"),
+        (col("group_n") >= k).as("meets_k"),
+        expr("group_n * 1000000 div n_total").as("share_ppm"))
+  }
+
+  /** v4 — REFERENTIAL-INTEGRITY SWEEP of the full FK graph (the 7
+    * TPC-H-ish edges): per edge, child rows and orphan rows — the
+    * whole-warehouse integrity report v1 samples two edges of. Each
+    * edge is the v1 discipline: left join on the child's OWN key (the
+    * shuffle the child needs anyway), count nulls in one aggregate;
+    * dimension-side distincts are key-scaled. Edges union into one
+    * (fk_edge, n_rows, n_orphans, intact) relation a promote gate
+    * asserts on. Integer counting throughout — bit-exact oracle. */
+  def v4RefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey).as("ck"))
+        .join(parent.select(col(parentKey).as("ck")).distinct()
+          .withColumn("ok", lit(1)), Seq("ck"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    val li = lineitem(s, d)
+    edge("lineitem.orderkey->orders", li, "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+        part(s, d), "p_partkey"))
+      .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+        supplier(s, d), "s_suppkey"))
+      .unionByName(edge("orders.custkey->customer", orders(s, d),
+        "o_custkey", customer(s, d), "c_custkey"))
+      .unionByName(edge("customer.nationkey->nation", customer(s, d),
+        "c_nationkey", nation(s, d), "n_nationkey"))
+      .unionByName(edge("supplier.nationkey->nation", supplier(s, d),
+        "s_nationkey", nation(s, d), "n_nationkey"))
+      .unionByName(edge("nation.regionkey->region", nation(s, d),
+        "n_regionkey", region(s, d), "r_regionkey"))
+      .withColumn("intact", col("n_orphans") === 0)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_expectations" -> v1Expectations _,
-    "v2_quarantine" -> v2Quarantine _)
+    "v2_quarantine" -> v2Quarantine _,
+    "v3_kanonymity" -> ((s: SparkSession, d: String) =>
+      v3Kanonymity(s, d)),
+    "v4_ref_integrity" -> v4RefIntegrity _)
 }

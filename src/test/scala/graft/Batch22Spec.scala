@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, Similarity, TextOps}
+
+/** Round-7 batch 2: t59 cluster census, l4 clustering depth, e25 PQ
+  * distortion. */
+class Batch22Spec extends SparkSuite {
+
+  test("t59 census: accounts for every doc, matches the t17 closure") {
+    val out = TextOps.t59ClusterCensus(spark, sf).collect()
+    assert(out.nonEmpty)
+    val labels = TextOps.t17DupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = labels.groupBy(_._2).map(_._2.length.toLong)
+    val total = labels.length.toLong
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_clusters") ==
+        sizes.count(_ == sz).toLong)
+      assert(r.getAs[Long]("n_docs") == sz * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_docs") * 1000000L / total)
+    }
+    // the corpus has genuine dup clusters (size >= 2)
+    assert(out.exists(_.getAs[Long]("cluster_size") >= 2L))
+  }
+
+  test("l4 depth: z-order envelopes are tighter than insert order") {
+    val out = Layout.l4ClusterDepth(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(out.keySet == Set("zorder", "natural"))
+    val z = out("zorder"); val n = out("natural")
+    // per-bucket NORMALIZED width (depth / buckets) is the fair
+    // comparison — bucket counts differ between the layouts
+    val zw = z.getAs[Long]("depth_milli").toDouble /
+      z.getAs[Long]("n_buckets")
+    val nw = n.getAs[Long]("depth_milli").toDouble /
+      n.getAs[Long]("n_buckets")
+    assert(zw < nw,
+      s"z-order per-bucket depth $zw should beat natural $nw")
+    out.values.foreach { r =>
+      // every bucket envelope is at least 1 wide; total width >= domain
+      assert(r.getAs[Long]("total_width") >= r.getAs[Long]("n_buckets"))
+      assert(r.getAs[Long]("depth_milli") ==
+        r.getAs[Long]("total_width") * 1000L /
+          r.getAs[Long]("key_domain"))
+    }
+  }
+
+  test("e25 distortion: one row per subspace, bounded codes, exact " +
+    "mean identity") {
+    val out = Similarity.e25PqDistortion(spark, sf).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Int]("j")).sorted.toSeq == (0 until 8))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == nVecs)
+      val used = r.getAs[Long]("codes_used")
+      assert(used >= 1L && used <= 16L)
+      assert(r.getAs[Long]("mean_err_micro") ==
+        r.getAs[Long]("sum_err_micro") / nVecs)
+      assert(r.getAs[Long]("max_err_micro") >=
+        r.getAs[Long]("mean_err_micro"))
+      // codebook entries quantize THEMSELVES with zero error, so the
+      // min error in any subspace is 0 -> mean strictly below max
+      assert(r.getAs[Long]("sum_err_micro") >= 0L)
+    }
+  }
+}
