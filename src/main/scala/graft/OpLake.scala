@@ -62,6 +62,11 @@ object OpLake {
     // batch candidate relation, so the hash gate IS the stream≡batch
     // parity assertion
     save(streaming.TwsOps.nearDupReplay(s, d), "stream_neardup_pairs")
+    // the STREAMING CAS ingest decisions (one boolean of state per
+    // content hash across a doc_id-ordered 4-batch replay) — the m11
+    // oracle reads these; the Spark side recomputes min-doc-per-hash,
+    // so the hash gate IS the stream≡batch CAS-accounting parity
+    save(streaming.TwsOps.casReplay(s, d), "stream_cas")
     // the built-in streaming exact dedup's emitted winners — the t42
     // oracle reads this; the Spark side recomputes the batch distinct
     // content set, so the hash gate asserts one-emission-per-content

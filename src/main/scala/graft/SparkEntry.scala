@@ -279,6 +279,12 @@ object SparkEntry {
     // the stream≡batch parity proof
     "t25_stream_neardup" ->
       s"SELECT doc_a, doc_b FROM ${oprel("stream_neardup_pairs")}",
+    // m11: oracle = the streaming CAS replay's per-asset decisions;
+    // Spark recomputes min-doc-per-hash — hash match = stream≡batch
+    // CAS-accounting parity
+    "m11_stream_cas" ->
+      s"""SELECT doc_id, format, stored, bytes_written
+         |FROM ${oprel("stream_cas")}""",
     // t29: oracle = the streaming packer's replay emissions; Spark side
     // recomputes batch t26Pack — hash match = stream≡batch parity
     "t29_stream_pack" ->

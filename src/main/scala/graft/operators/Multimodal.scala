@@ -317,7 +317,31 @@ object Multimodal {
           .as("bytes_saved"))
       .withColumn("dup_assets", col("n_assets") - col("n_unique"))
 
+  /** m11 — the STREAM≡BATCH parity row for the CAS layer (the
+    * eleventh parity row; the m-family's first): batch recompute of
+    * the per-asset store/dedup-hit decision — an asset is STORED iff
+    * it is the min doc_id of its content hash (first arrival in the
+    * replay's doc_id order). The oracle reads the streaming
+    * [[graft.streaming.TwsOps.casReplay]] emissions verbatim, so the
+    * hash gate proves the cross-batch boolean-per-hash state replays
+    * this batch derivation exactly — m10's savings accounting holds
+    * under continuous ingest, not just batch rebuild. The window
+    * partitions on the 16-byte hash (the shuffle m10 pays anyway). */
+  def m11StreamCas(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    media(s, d)
+      .select(col("doc_id"), col("format"),
+        md5(col("media")).as("h"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("format"),
+        (col("doc_id") === col("first_doc")).as("stored"),
+        when(col("doc_id") === col("first_doc"), col("n_bytes"))
+          .otherwise(0L).as("bytes_written"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_stream_cas" -> m11StreamCas _,
     "m10_cas_savings" -> m10CasSavings _,
     "m9_keyframes" -> m9Keyframes _,
     "m8_asset_clusters" -> m8AssetClusters _,

@@ -1259,4 +1259,93 @@ object TwsOps {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- streaming CAS ingest (m11 = streaming m10) --------------------
+
+  case class CasIn(h: String, doc_id: Long, format: String,
+    n_bytes: Long, seq: Long)
+  case class CasOut(doc_id: Long, format: String, stored: Boolean,
+    bytes_written: Long)
+
+  /** Content-addressable-store INGEST decision as keyed state: the
+    * first arrival of each content hash is STORED (bytes written),
+    * every later copy — same batch or any later batch — is a dedup
+    * hit writing nothing. One boolean of state per distinct payload,
+    * the O(unique-content) minimum any CAS must hold; arrival order
+    * within a batch follows the replay's seq (the ordered-lake
+    * contract every parity replay uses). The m11 parity row proves
+    * these streaming decisions equal batch m10's min-doc-per-hash
+    * derivation exactly. */
+  class CasProcessor extends StatefulProcessor[String, CasIn, CasOut] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(h: String, rows: Iterator[CasIn],
+        timerValues: TimerValues): Iterator[CasOut] = {
+      val out = Vector.newBuilder[CasOut]
+      rows.toArray.sortBy(_.seq).foreach { r =>
+        val first = !seen.exists()
+        if (first) seen.update(true)
+        out += CasOut(r.doc_id, r.format, first,
+          if (first) r.n_bytes else 0L)
+      }
+      out.result().iterator
+    }
+  }
+
+  def casStream(assets: org.apache.spark.sql.DataFrame)
+      : Dataset[CasOut] = {
+    import assets.sparkSession.implicits._
+    assets.selectExpr("h", "doc_id", "format", "n_bytes", "seq")
+      .as[CasIn]
+      .groupByKey(_.h)
+      .transformWithState(new CasProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic doc_id-ordered multi-batch replay of the media lake
+    * through [[casStream]] — the producer behind the m11 parity row:
+    * OpLake dumps the per-asset store/dedup-hit decisions, the oracle
+    * reads them verbatim, and batch `m11StreamCas` (min-doc-per-hash)
+    * must hash-match, proving the cross-batch CAS state replays the
+    * batch accounting exactly. */
+  def casReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val assets = graft.operators.Multimodal.media(s, d)
+      .selectExpr("md5(media) as h", "doc_id", "format",
+        "cast(n_bytes as bigint) as n_bytes", "doc_id as seq")
+      .as[(String, Long, String, Long, Long)]
+      .collect().sortBy(_._2)
+    val mem = MemoryStream[(String, Long, String, Long, Long)]
+    val name = s"cas_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = casStream(
+        mem.toDS().toDF("h", "doc_id", "format", "n_bytes", "seq"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        assets.grouped(math.max(1, assets.length / batches)).foreach {
+          g => mem.addData(g.toSeq: _*); q.processAllAvailable()
+        }
+        s.table(name).as[CasOut].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
 }

@@ -50,6 +50,46 @@ class Batch22Spec extends SparkSuite {
     }
   }
 
+  test("m11 stream CAS: replay decisions equal the batch min-doc " +
+    "derivation, savings reconcile with m10") {
+    import graft.operators.Multimodal
+    val batch = Multimodal.m11StreamCas(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("format"), r.getAs[Boolean]("stored"),
+          r.getAs[Long]("bytes_written"))).toMap
+    val stream = graft.streaming.TwsOps.casReplay(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("format"), r.getAs[Boolean]("stored"),
+          r.getAs[Long]("bytes_written"))).toMap
+    assert(stream == batch && batch.nonEmpty)
+    // accounting identity vs m10: bytes written = total - saved
+    val m10 = Multimodal.m10CasSavings(spark, sf).collect()
+    val written = batch.values.map(_._3).sum
+    val expect = m10.map(r => r.getAs[Long]("bytes_total") -
+      r.getAs[Long]("bytes_saved")).sum
+    assert(written == expect)
+    // planted duplicate: a byte-identical late copy must be a dedup
+    // hit (stored = false, zero bytes) in BOTH engines
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_m11").toString
+    val docs = Tables.documents(spark, sf)
+    val clone = docs.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", lit(999999L))
+    docs.unionByName(clone).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/documents.parquet")
+    val pb = Multimodal.m11StreamCas(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("stored"), r.getAs[Long]("bytes_written")))
+      .toMap
+    val ps = graft.streaming.TwsOps.casReplay(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("stored"), r.getAs[Long]("bytes_written")))
+      .toMap
+    assert(pb == ps)
+    assert(pb(999999L) == (false, 0L), s"clone row was ${pb(999999L)}")
+  }
+
   test("e25 distortion: one row per subspace, bounded codes, exact " +
     "mean identity") {
     val out = Similarity.e25PqDistortion(spark, sf).collect()
