@@ -211,7 +211,11 @@ object Multimodal {
     * dedup member of the m-family: m1 catches exact copies by content
     * hash; m6 catches the near-copies m1 misses. */
   def m6MediaNearDup(s: SparkSession, d: String): DataFrame =
-    TextOps.bandedHammingPairs(m6Sigs(s, d))
+    // memoized per (session, dir): the banded self-join is the
+    // expensive stage and BOTH consumers read it — m6's own report and
+    // m8's closure — so the sweep pays pair-gen once, not twice
+    pairMemo(s, d + "#m6")(
+      TextOps.bandedHammingPairs(m6Sigs(s, d)).cache())
 
   /** m7 — SHARED-SEGMENT media near-dup (scene-level): two assets are
     * related if they share ≥2 identical 1-s segments (m5's 256-B grid)
@@ -259,10 +263,10 @@ object Multimodal {
 
   def m8AssetClusters(s: SparkSession, d: String): DataFrame = {
     // the m6 pair-gen is the expensive part (signature scan + banded
-    // self-join); pin it once — nodes, the propagation edges and the
-    // census all read the same ≤|pairs| relation
-    val pairs = pairMemo(s, d + "#m6pairs")(
-      m6MediaNearDup(s, d).select(col("doc_a"), col("doc_b")).cache())
+    // self-join) and arrives session-pinned from m6MediaNearDup; the
+    // projection over the cached relation is free, and componentsOf
+    // pins its own edge relation for the iterations
+    val pairs = m6MediaNearDup(s, d).select(col("doc_a"), col("doc_b"))
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     TextOps.componentsOf(nodes, pairs)

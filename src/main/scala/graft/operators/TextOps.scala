@@ -871,8 +871,30 @@ object TextOps {
         .join(labels.withColumnRenamed("doc_id", "nb"),
           col("doc_b") === col("nb"))
         .select(col("doc_a").as("doc_id"), col("comp"))
-      val merged = labels.unionByName(viaNb)
+      // checkpoint the hop BEFORE the halving self-join: the union-
+      // rooted plan trips Catalyst's constraint rewrite under a
+      // self-join, and the truncation is the round's plan-flattening
+      // anyway (label-scaled relation — one cheap pass)
+      val hop = labels.unionByName(viaNb)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // path halving (pointer jumping): also point each node at its
+      // parent's parent — comp(x) ≤ x is invariant, so comp(comp) only
+      // tightens labels, and rounds drop from O(diameter) to
+      // O(log diameter) (the m8 media graph: 11 hops → 4 rounds). The
+      // extra join is label-scaled (smaller than the edge join the
+      // round already pays).
+      val parents = hop
+        .select(col("doc_id").as("pc"), col("comp").as("pcomp"))
+      // merged stays LAZY: it sits depth-1 on the checkpointed hop, so
+      // plan growth is bounded without a second eager materialization
+      // — the round pays exactly two actions (hop checkpoint +
+      // checksum) instead of three
+      val merged = hop.join(parents, hop("comp") === parents("pc"),
+          "left")
+        .select(hop("doc_id").as("doc_id"),
+          least(hop("comp"), coalesce(col("pcomp"), hop("comp")))
+            .as("comp"))
       // eager localCheckpoint EVERY round: measured on the m8 media
       // graph (11-round fixpoint), cache()-per-round leaves each
       // round's plan nesting every prior round, and the ANALYZER cost
@@ -883,14 +905,14 @@ object TextOps {
       // (edge-connected nodes only), which a cache would do anyway; on
       // a cluster this would be a reliable checkpoint for executor-
       // loss recovery too.
-      val next = merged.localCheckpoint(true)
-      val chk = BigDecimal(next
+      val chk = BigDecimal(merged
         .agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0))
-      labels = next
+      labels = merged
       done = chk == prev
       prev = chk
       iter += 1
+      if (sys.env.contains("GRAFT_CLOSURE_DEBUG")) System.err.println(s"[closure] round $iter chk=$chk")
     }
     edges.unpersist(blocking = false)
     // a silent cap would return a WRONG closure (under-merged labels

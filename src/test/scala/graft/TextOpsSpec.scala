@@ -135,9 +135,11 @@ class TextOpsSpec extends SparkSuite {
   test("t17 components: a chain deeper than the cap fails LOUDLY, and " +
     "converges (through a lineage checkpoint) when the cap covers it") {
     import spark.implicits._
-    // a 30-node path graph: diameter 29, one hop of label movement per
-    // round — maxIters=5 cannot reach the fixpoint
-    val n = 30
+    // a 200-node path graph: diameter 199. With path halving each
+    // round's label reach roughly doubles (hop + comp-of-comp), so 5
+    // rounds cover ~2^5-scale distance — far short of 199 — and the
+    // loop must fail LOUDLY at the cap
+    val n = 200
     val docs = (0L until n.toLong).toDF("doc_id")
     val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
       .toDF("doc_a", "doc_b")
