@@ -34,6 +34,8 @@ object Bench {
       // index BUILD is a batch job; e10/t50b measure index SERVE
       graft.operators.Similarity.ivfIndexPath(spark, sfDir)
       graft.operators.TextOps.bm25IndexPath(spark, sfDir)
+      // bucketed LAYOUT is a batch job; l5 measures the co-located join
+      graft.operators.Bucketing.bucketedTables(spark, sfDir)
     } catch { case e: Throwable =>
       // visible, not fatal: a failed warm-up means whatever it was
       // meant to pre-build gets (re)built inside a timed query — the

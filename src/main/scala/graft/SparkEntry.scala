@@ -2675,6 +2675,16 @@ object SparkEntry {
         |  CAST(total_width * 1000 // key_domain AS BIGINT)
         |    AS depth_milli
         |FROM u CROSS JOIN dom""",
+    // l5: the SAME join over the RAW parquet — values are
+    // layout-independent; the exchange-free plan shape is pinned by
+    // the committed signature, not the oracle
+    "l5_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""",
     // j15: nearest-asof re-derived INDEPENDENTLY as the tolerance-
     // bounded pair join + one global candidate ranking (abs distance,
     // backward-first, id desc) vs Spark's two window passes

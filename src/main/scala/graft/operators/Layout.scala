@@ -155,5 +155,6 @@ object Layout {
     "l1_zorder" -> l1Zorder _,
     "l2_compaction" -> l2Compaction _,
     "l3_layout_ab" -> l3LayoutAb _,
-    "l4_cluster_depth" -> l4ClusterDepth _)
+    "l4_cluster_depth" -> l4ClusterDepth _,
+    "l5_bucketed_join" -> Bucketing.l5BucketedJoin _)
 }

@@ -48,4 +48,37 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS or_b")
     }
   }
+
+  test("l5: the declared query's JOIN stage is exchange-free; only " +
+    "the priority rollup shuffles") {
+    val df = Bucketing.l5BucketedJoin(spark, sf)
+    df.collect()
+    // exactly ONE exchange in the whole plan — the 5-row rollup; the
+    // fact-fact join itself must ride the bucketed layout
+    def countShuffles(
+        p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countShuffles(q.plan)
+      case s: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeLike =>
+        1 + s.children.map(countShuffles).sum
+      case other => other.children.map(countShuffles).sum
+    }
+    val n = countShuffles(df.queryExecution.executedPlan)
+    assert(n == 1,
+      s"expected exactly 1 exchange (the rollup), got $n:\n" +
+        df.queryExecution.executedPlan)
+    // and the values equal the plain shuffled join
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    val plain = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("rev_cents"))
+    assert(df.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(df).count() == 0)
+  }
 }
