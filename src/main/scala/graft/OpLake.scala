@@ -48,6 +48,10 @@ object OpLake {
     save(operators.Relational.a26Estimates(s, d), "a26_est")
     save(operators.Relational.a13Estimates(s, d), "a13_est")
     save(operators.TextOps.t21Model(s, d), "t21_model")
+    // t60's per-source surprise: −ln computed once (Spark); the oracle
+    // re-derives every count/share/quantized column from raw parquet
+    // and re-applies the identical float sequence to these doubles
+    save(operators.TextOps.t60Surprise(s, d), "t60_surprise")
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")

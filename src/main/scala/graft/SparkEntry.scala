@@ -4116,6 +4116,20 @@ object SparkEntry {
         |  CAST(cluster_size * count(*) * 1000000 // n_docs_total
         |    AS BIGINT) AS share_ppm
         |FROM cs CROSS JOIN tot GROUP BY cluster_size, n_docs_total""",
+    // t60: counts/shares re-derived from raw parquet; the surprise
+    // doubles come from the engine dump (ln computed once), and the
+    // quantized contribution re-applies the same float sequence
+    "t60_mix_entropy" ->
+      s"""WITH src AS (SELECT source, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS t FROM src),
+         |w AS (SELECT * FROM ${oprel("t60_surprise")})
+         |SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+         |  CAST(s.n_docs * 1000000 // t.t AS BIGINT) AS share_ppm,
+         |  w.surprise,
+         |  CAST(floor(CAST(s.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE)
+         |    * w.surprise * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+         |FROM src s JOIN w USING (source) CROSS JOIN t""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

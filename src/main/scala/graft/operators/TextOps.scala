@@ -2338,9 +2338,50 @@ object TextOps {
           .as("share_ppm"))
   }
 
+  /** The engine-computed per-source surprise (−ln share) dumped for
+    * the t60 oracle — the t21/a27 discipline: transcendental values
+    * are computed ONCE (here) and both engines read the same bits;
+    * every count/share/quantized column is re-derived independently
+    * in SQL from raw parquet + these doubles. */
+  private[graft] def t60Surprise(s: SparkSession, d: String)
+      : DataFrame = {
+    val src = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum(col("n_docs")).as("t"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (-log(col("n_docs").cast("double") / col("t").cast("double")))
+          .as("surprise"))
+  }
+
+  /** t60 — DATA-MIX ENTROPY REPORT: per-source share and Shannon
+    * contribution p·ln(1/p) — the diversity dial behind every mixing
+    * decision (a corpus collapsing onto one source scores ~0; uniform
+    * mix scores ln k). The integer columns (counts, ppm shares, the
+    * micro-unit contributions) are exact; the one transcendental (the
+    * surprise) is computed once and shared with the oracle via the
+    * model-dump pattern, and the quantized contribution re-applies
+    * the identical float sequence on both engines (div → mul → mul →
+    * floor). Output is source-cardinality-bounded — one aggregate
+    * over the corpus at any scale. */
+  def t60MixEntropy(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum(col("n_docs")).as("t"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div t").as("share_ppm"),
+        (-log(col("n_docs").cast("double") / col("t").cast("double")))
+          .as("surprise"),
+        expr("cast(floor(cast(n_docs as double) / cast(t as double) " +
+          "* (-ln(cast(n_docs as double) / cast(t as double))) " +
+          "* 1000000 + 0.5) as bigint)").as("contrib_micro"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t58_langid_eval" -> t58LangidEval _,
     "t59_cluster_census" -> t59ClusterCensus _,
+    "t60_mix_entropy" -> t60MixEntropy _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

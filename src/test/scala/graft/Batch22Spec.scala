@@ -90,6 +90,27 @@ class Batch22Spec extends SparkSuite {
     assert(pb(999999L) == (false, 0L), s"clone row was ${pb(999999L)}")
   }
 
+  test("t60 mix entropy: shares sum to ~1e6, contributions recompute, " +
+    "total below ln k") {
+    val out = TextOps.t60MixEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val p = n.toDouble / total.toDouble
+      assert(r.getAs[Double]("surprise") == -math.log(p))
+      assert(r.getAs[Long]("contrib_micro") ==
+        math.floor(p * (-math.log(p)) * 1e6 + 0.5).toLong)
+      assert(r.getAs[Long]("share_ppm") == n * 1000000L / total)
+    }
+    // Shannon bound: H <= ln k (uniform mix); the per-source
+    // micro-unit rounding adds at most 0.5e-6 per term
+    val h = out.map(_.getAs[Long]("contrib_micro")).sum / 1e6
+    assert(h > 0.0 &&
+      h <= math.log(out.length.toDouble) + 0.5e-6 * out.length)
+  }
+
   test("e25 distortion: one row per subspace, bounded codes, exact " +
     "mean identity") {
     val out = Similarity.e25PqDistortion(spark, sf).collect()
