@@ -244,6 +244,23 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    // ts22: the PTS→last-PCR lookup re-derived with DuckDB's NATIVE
+    // ASOF JOIN over the dumps — an independent algorithm vs the
+    // engine's two-level merge-fill; integer 90 kHz ticks throughout
+    "ts22_pts_pcr_lead" -> {
+      s"""WITH pcr AS (SELECT seq, pcr // 300 AS pcr90
+         |  FROM ${tsrel("packets")} WHERE pcr IS NOT NULL),
+         |pes AS (SELECT seq, pid, pts FROM ${tsrel("pes_headers")}
+         |  WHERE pts IS NOT NULL),
+         |j AS (SELECT pes.pid, pes.pts, pcr.pcr90
+         |  FROM pes ASOF JOIN pcr ON pes.seq >= pcr.seq)
+         |SELECT pid, CAST(count(*) AS BIGINT) AS n_stamps,
+         |  CAST(min(pts - pcr90) AS BIGINT) AS min_lead_90k,
+         |  CAST(max(pts - pcr90) AS BIGINT) AS max_lead_90k,
+         |  CAST(sum(pts - pcr90) // count(*) AS BIGINT)
+         |    AS avg_lead_90k
+         |FROM j GROUP BY 1"""
+    },
     // ts21: identical lag + guarded integer avg over the section dump
     "ts21_psi_cadence" -> {
       s"""WITH g AS (SELECT pid, table_id,

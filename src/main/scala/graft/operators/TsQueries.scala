@@ -493,7 +493,63 @@ object TsQueries {
           expr("sum(gap) div count(gap)")).as("avg_gap"))
   }
 
+  /** ts22 — PCR↔PTS SYNC AUDIT: for every PES presentation stamp,
+    * its lead over the mux clock — PTS minus the last PCR at-or-
+    * before that packet (the decoder-buffer headroom a mux QC pass
+    * watches; a negative lead is an undecodable stamp, a huge one is
+    * wasted buffer). The as-of resolution is the j18 merge-fill shape
+    * over the PCR+PES event stream with the w35 TWO-LEVEL seam (per
+    * seq-chunk forward fill + chunk-grid carry-in, bounded grid — no
+    * global row window over a 100 TB capture timeline); all units are
+    * integer 90 kHz ticks (PCR ticks div 300). The oracle re-derives
+    * the lookup with DuckDB's native ASOF JOIN over the packet/PES
+    * dumps — an independent algorithm, so the hash match proves
+    * merge-fill ≡ as-of join on the real mux. */
+  def ts22PtsPcrLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pcrRows = pkts(s).toDF()
+      .filter(col("af.pcr").isNotNull)
+      .select(col("seq"), lit(0).as("kind"),
+        expr("af.pcr div 300").as("pcr90"),
+        lit(null).cast("int").as("pid"),
+        lit(null).cast("long").as("pts"))
+    val pesRows = pkts(s)
+      .filter(p => p.pusi && p.hasPayload)
+      .flatMap { p =>
+        graft.ts.PesCodec.parseHeader(p.payload)
+          .flatMap(h => h.pts.map(t => (p.seq, p.pid, t)))
+      }.toDF("seq", "pid", "pts")
+      .select(col("seq"), lit(1).as("kind"),
+        lit(null).cast("long").as("pcr90"), col("pid"), col("pts"))
+    val evs = pcrRows.unionByName(pesRows)
+      .withColumn("chunk", expr("seq div 4096"))
+    val wloc = Window.partitionBy("chunk").orderBy("seq", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgrid = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = evs.groupBy("chunk")
+      .agg(max(when(col("pcr90").isNotNull,
+        struct(col("seq"), col("pcr90")))).as("m"))
+      .withColumn("carry_pcr90",
+        last(col("m.pcr90"), ignoreNulls = true).over(wgrid))
+      .select(col("chunk"), col("carry_pcr90"))
+    evs
+      .withColumn("loc_pcr90",
+        last(col("pcr90"), ignoreNulls = true).over(wloc))
+      .join(broadcast(carry), Seq("chunk"))
+      .filter(col("kind") === 1)
+      .select(col("pid"), col("pts"),
+        coalesce(col("loc_pcr90"), col("carry_pcr90")).as("pcr90"))
+      .filter(col("pcr90").isNotNull)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_stamps"),
+        min(col("pts") - col("pcr90")).as("min_lead_90k"),
+        max(col("pts") - col("pcr90")).as("max_lead_90k"),
+        expr("sum(pts - pcr90) div count(1)").as("avg_lead_90k"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts22_pts_pcr_lead" -> ts22PtsPcrLead _,
     "ts21_psi_cadence" -> ts21PsiCadence _,
     "ts20_pcr_jitter" -> ts20PcrJitter _,
     "ts19_reject_stats" -> ts19RejectStats _,

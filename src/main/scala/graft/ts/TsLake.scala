@@ -66,6 +66,14 @@ object TsLake {
       col("af.spliceCountdown").as("splice_countdown"),
       length(col("payload")).as("payload_len")), "packets")
 
+    // parsed PES headers (PTS/DTS in 90 kHz ticks) — the ts22 oracle
+    // as-of-joins these against the packet dump's PCR timeline
+    save(pk.filter(p => p.pusi && p.hasPayload)
+      .flatMap { p =>
+        PesCodec.parseHeader(p.payload).map(h =>
+          (p.seq, p.pid, h.streamId, h.pts, h.dts))
+      }.toDF("seq", "pid", "stream_id", "pts", "dts"), "pes_headers")
+
     // every assembled section (all versions), header fields only
     save(secs.toDF().select(
       col("pid"), col("firstSeq").as("first_seq"),

@@ -90,6 +90,36 @@ class Batch22Spec extends SparkSuite {
     assert(pb(999999L) == (false, 0L), s"clone row was ${pb(999999L)}")
   }
 
+  test("ts22 pts-pcr lead: equals the brute-force as-of scan on the " +
+    "capture") {
+    import graft.operators.TsQueries
+    val out = TsQueries.ts22PtsPcrLead(spark, sf).collect()
+      .map(r => r.getAs[Int]("pid") ->
+        (r.getAs[Long]("n_stamps"), r.getAs[Long]("min_lead_90k"),
+          r.getAs[Long]("max_lead_90k"), r.getAs[Long]("avg_lead_90k")))
+      .toMap
+    assert(out.nonEmpty)
+    val pk = graft.ts.TsLake.packets(spark).collect().sortBy(_.seq)
+    val pcrTl = pk.flatMap(p => p.af.flatMap(_.pcr)
+      .map(v => (p.seq, v / 300))).sortBy(_._1)
+    val leads = pk.filter(p => p.pusi && p.hasPayload).flatMap { p =>
+      graft.ts.PesCodec.parseHeader(p.payload)
+        .flatMap(_.pts).flatMap { pts =>
+          val at = pcrTl.takeWhile(_._1 <= p.seq).lastOption
+          at.map(a => (p.pid, pts - a._2))
+        }
+    }
+    val want = leads.groupBy(_._1).map { case (pid, xs) =>
+      val v = xs.map(_._2)
+      pid -> (v.length.toLong, v.min, v.max, v.sum / v.length)
+    }
+    assert(out == want)
+    // every stamp should LEAD the clock on a sane mux
+    out.values.foreach { case (_, mn, mx, av) =>
+      assert(mn <= av && av <= mx)
+    }
+  }
+
   test("t60 mix entropy: shares sum to ~1e6, contributions recompute, " +
     "total below ln k") {
     val out = TextOps.t60MixEntropy(spark, sf).collect()
