@@ -52,6 +52,9 @@ object OpLake {
     // re-derives every count/share/quantized column from raw parquet
     // and re-applies the identical float sequence to these doubles
     save(operators.TextOps.t60Surprise(s, d), "t60_surprise")
+    // t61's band relation: the oracle re-aggregates the per-band bucket
+    // census (the hashing itself is pinned by t13 recall + t25 parity)
+    save(operators.TextOps.t61Bands(s, d), "minhash_bands")
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")

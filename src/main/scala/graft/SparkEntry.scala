@@ -244,6 +244,62 @@ object SparkEntry {
        |  FROM scored) WHERE rnk <= 5"""
 
   private def tsOracles: Map[String, String] = Map(
+    // ts23: each TR 101 290 P1 class re-derived from the dumps — the
+    // cadence threshold cross-multiplied in HUGEINT (the decimal(38,0)
+    // twin of the engine's exact boundary)
+    "ts23_tr101290" -> {
+      s"""WITH pk AS (SELECT * FROM ${tsrel("packets")}),
+         |ccl AS (SELECT pid, cc, coalesce(af_discontinuity, FALSE)
+         |    AS disc,
+         |    lag(cc) OVER (PARTITION BY pid ORDER BY seq) AS prev_cc
+         |  FROM pk WHERE pid <> 8191 AND has_payload),
+         |span AS (SELECT max(pid_ticks) AS span_ticks FROM (
+         |  SELECT pid, sum(delta) AS pid_ticks FROM (
+         |    SELECT pid, pcr - lag(pcr) OVER (
+         |        PARTITION BY pid ORDER BY seq) AS delta
+         |      FROM pk WHERE pcr IS NOT NULL)
+         |    WHERE delta > 0 AND delta <= 27000000 GROUP BY pid)),
+         |npk AS (SELECT count(*) AS n_pk FROM pk),
+         |gaps AS (SELECT table_id, first_seq - lag(first_seq) OVER (
+         |      PARTITION BY pid, table_id ORDER BY first_seq) AS gap
+         |  FROM ${tsrel("sections")} WHERE table_id IN (0, 2)),
+         |lategaps AS (SELECT table_id,
+         |    CAST(gap AS HUGEINT) * (SELECT span_ticks FROM span) >
+         |      CAST((SELECT n_pk FROM npk) AS HUGEINT) * 13500000
+         |      AS late
+         |  FROM gaps WHERE gap IS NOT NULL),
+         |${winCte(tsrel("pmt_rows"), "m")},
+         |esp AS (SELECT DISTINCT elementary_pid FROM mcur),
+         |seen AS (SELECT DISTINCT pid FROM pk)
+         |SELECT 'p1_2_sync_byte' AS check_id,
+         |  CAST(sum(CASE WHEN reason <> 'ok' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bad,
+         |  CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM ${tsrel("reject_log")}
+         |UNION ALL SELECT 'p1_4_continuity',
+         |  CAST(sum(CASE WHEN prev_cc IS NOT NULL AND NOT disc
+         |    AND ((prev_cc + 1) % 16) <> cc THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM ccl
+         |UNION ALL SELECT 'p1_3a_pat_cadence',
+         |  CAST(coalesce(sum(CASE WHEN late AND table_id = 0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |  CAST(coalesce(sum(CASE WHEN table_id = 0 THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) FROM lategaps
+         |UNION ALL SELECT 'p1_5a_pmt_cadence',
+         |  CAST(coalesce(sum(CASE WHEN late AND table_id = 2
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |  CAST(coalesce(sum(CASE WHEN table_id = 2 THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) FROM lategaps
+         |UNION ALL SELECT 'p1_6_pid_missing',
+         |  CAST(sum(CASE WHEN seen.pid IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(count(*) AS BIGINT)
+         |  FROM esp LEFT JOIN seen ON esp.elementary_pid = seen.pid
+         |UNION ALL SELECT 'p2_2_crc',
+         |  CAST(sum(CASE WHEN NOT crc_ok THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM ${tsrel("sections")}"""
+    },
     // ts22: the PTS→last-PCR lookup re-derived with DuckDB's NATIVE
     // ASOF JOIN over the dumps — an independent algorithm vs the
     // engine's two-level merge-fill; integer 90 kHz ticks throughout
@@ -4147,6 +4203,20 @@ object SparkEntry {
          |  CAST(floor(CAST(s.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE)
          |    * w.surprise * 1000000 + 0.5) AS BIGINT) AS contrib_micro
          |FROM src s JOIN w USING (source) CROSS JOIN t""",
+    // t61: per-band bucket census re-aggregated in SQL from the dumped
+    // band relation (the banding itself is pinned by t25's stream≡batch
+    // parity and t13's recall gate; what's verified here is the cost
+    // arithmetic a planner would trust)
+    "t61_lsh_cost" ->
+      s"""WITH bk AS (SELECT band, band_key, count(*) AS sz
+         |  FROM ${oprel("minhash_bands")} GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_singletons
+         |FROM bk GROUP BY band""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

@@ -314,22 +314,24 @@ object TextOps {
     * (`streaming.TwsOps.nearDupDocsStream`) must have emitted after a
     * full replay — the t25 oracle row pins that batch≡stream equality
     * through the driver's hash gate. */
-  private[graft] def lshCandidatesOf(sh: DataFrame): DataFrame = {
+  /** The (doc_id, band, band_key) relation both the candidate join and
+    * the t61 cost planner read: signature[i] = min over shingles of
+    * (h1 + i*h2) — 48-bit inputs, no overflow under ANSI arithmetic.
+    * 16 codegen'd min aggregates over the shared cached shingle
+    * relation: pure HashAggregate, one shuffle on doc_id, no array
+    * state (a collect_list here would force ObjectHashAggregate and
+    * carry the hash sets through every join). */
+  private[graft] def lshBandsOf(sh: DataFrame): DataFrame = {
     val numHashes = 24
     val bandSize = 2
     val numBands = numHashes / bandSize
-    // signature[i] = min over shingles of (h1 + i*h2) — 48-bit inputs, no
-    // overflow under ANSI arithmetic. 16 codegen'd min aggregates over
-    // the shared cached shingle relation: pure HashAggregate, one shuffle
-    // on doc_id, no array state (a collect_list here would force
-    // ObjectHashAggregate and carry the hash sets through every join).
     val sigAggs = (1 until numHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"s_$i"))
     val sigs = sh.groupBy("doc_id")
       .agg(min(col("h1")).as("s_0"), sigAggs: _*)
     // band the signatures — the band join and pair dedup shuffle
     // (doc_id, band_key) rows only
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
@@ -338,6 +340,34 @@ object TextOps {
         .as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Bands over the corpus — dumped by [[graft.OpLake]] so the t61
+    * oracle re-aggregates the identical relation in SQL. */
+  private[graft] def t61Bands(s: SparkSession, d: String): DataFrame =
+    lshBandsOf(shRelation(s, d))
+
+  /** t61 — LSH COST PLANNER: the pre-flight report a 100-TB dedup run
+    * reads BEFORE launching the banded join — per band: bucket count,
+    * candidate-pair mass (sum over buckets of C(sz,2), the exact row
+    * count the band contributes to the pair shuffle) and the hottest
+    * bucket (the z26 skew probe's planning input — a band whose
+    * max_bucket dwarfs its mean needs salting or a wider band key).
+    * Integer-exact everywhere; aggregates over (band, band_key) combine
+    * map-side, so the report costs one pass over the band relation the
+    * dedup would build anyway. */
+  def t61LshCost(s: SparkSession, d: String): DataFrame =
+    lshBandsOf(shRelation(s, d))
+      .groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+
+  private[graft] def lshCandidatesOf(sh: DataFrame): DataFrame = {
+    val bands = lshBandsOf(sh)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -2382,6 +2412,7 @@ object TextOps {
     "t58_langid_eval" -> t58LangidEval _,
     "t59_cluster_census" -> t59ClusterCensus _,
     "t60_mix_entropy" -> t60MixEntropy _,
+    "t61_lsh_cost" -> t61LshCost _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

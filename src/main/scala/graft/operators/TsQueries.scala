@@ -548,7 +548,93 @@ object TsQueries {
         expr("sum(pts - pcr90) div count(1)").as("avg_lead_90k"))
   }
 
+  /** ts23 — TR 101 290 PRIORITY-1 ROLLUP: the DVB broadcast-monitoring
+    * first-table report (ETSI TR 101 290 §5.2.1, the check classes the
+    * reference's compliance rules feed — `mpeg2ts/ts.h` header rules +
+    * the PSI cadence/CRC gates) as one row per check with violation and
+    * observation counts. Framing faults (1.2) audit the planted-
+    * corruption capture — the only fixture with hard sync errors;
+    * PAT/PMT repetition beyond 0.5 s (1.3.a/1.5.a) thresholds section-
+    * start gaps in STREAM time: gap_packets/total_packets vs
+    * 0.5s/span_s, cross-multiplied in decimal(38,0) ticks so the
+    * boundary is exact integer arithmetic in both engines (no float
+    * at the decision point); continuity (1.4) is the R1 audit summed;
+    * referenced-PID presence (1.6) left-joins the current PMT's ES
+    * PIDs against observed packet PIDs; the CRC gate (2.2) counts
+    * failed sections. Every branch is a one-row aggregate over a
+    * relation the lake already shares (packets, sections, current
+    * PMT), so the report costs a union of map-side-combined scans —
+    * nothing row-scaled shuffles beyond what the shared layers paid. */
+  def ts23Tr101290(s: SparkSession, d: String): DataFrame = {
+    val pk = pkts(s).toDF()
+    val sc = secs(s).toDF()
+
+    def one(check: String, bad: org.apache.spark.sql.Column,
+        obs: org.apache.spark.sql.Column)(df: DataFrame) =
+      df.agg(coalesce(bad, lit(0L)).cast("long").as("n_bad"),
+          coalesce(obs, lit(0L)).cast("long").as("n_obs"))
+        .select(lit(check).as("check_id"), col("n_bad"), col("n_obs"))
+
+    // 1.2: disposition of the corrupted capture (ok + rejects)
+    val (okC, rejC) = TsPipeline.packetsWithRejects(
+      s, TsPipeline.ensureCorruptedCapture())
+    val framing = okC.toDF().select(lit("ok").as("reason"))
+      .unionByName(rejC.toDF().select(col("reason")))
+    val sync = one("p1_2_sync_byte",
+      sum(when(col("reason") =!= "ok", 1L).otherwise(0L)),
+      count(lit(1)))(framing)
+
+    // 1.4: continuity errors over the clean capture (R1 audit)
+    val cc = one("p1_4_continuity",
+      sum(col("cc_errors")), sum(col("n_packets")))(
+      TsPipeline.ccAudit(pkts(s)))
+
+    // packets-per-0.5 s threshold pieces: PCR span ticks + packet count
+    val wd = Window.partitionBy("pid").orderBy("seq")
+    val spanNpk = pk.filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"))
+      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
+      .filter(col("delta") > 0 && col("delta") <= 27000000L)
+      .groupBy("pid").agg(sum(col("delta")).as("pid_ticks"))
+      .agg(max(col("pid_ticks")).as("span_ticks"))
+      .crossJoin(pk.agg(count(lit(1)).as("n_pk")))
+
+    // 1.3.a / 1.5.a: PAT/PMT section-start cadence vs the threshold
+    val wgap = Window.partitionBy("pid", "table_id").orderBy("first_seq")
+    val gaps = sc.filter(col("tableId").isin(0, 2))
+      .select(col("pid"), col("tableId").as("table_id"),
+        col("firstSeq").as("first_seq"))
+      .withColumn("gap",
+        col("first_seq") - lag(col("first_seq"), 1).over(wgap))
+      .filter(col("gap").isNotNull)
+      .crossJoin(broadcast(spanNpk))
+      .withColumn("late", expr(
+        "cast(gap as decimal(38,0)) * span_ticks > " +
+          "cast(n_pk as decimal(38,0)) * 13500000"))
+    val patC = one("p1_3a_pat_cadence",
+      sum(when(col("late") && col("table_id") === 0, 1L).otherwise(0L)),
+      sum(when(col("table_id") === 0, 1L).otherwise(0L)))(gaps)
+    val pmtC = one("p1_5a_pmt_cadence",
+      sum(when(col("late") && col("table_id") === 2, 1L).otherwise(0L)),
+      sum(when(col("table_id") === 2, 1L).otherwise(0L)))(gaps)
+
+    // 1.6: every ES PID the current PMT references must carry packets
+    val esPids = pmt(s).select(col("elementary_pid")).distinct()
+    val seen = pk.select(col("pid")).distinct()
+    val pidRow = one("p1_6_pid_missing",
+      sum(when(col("pid").isNull, 1L).otherwise(0L)), count(lit(1)))(
+      esPids.join(seen, esPids("elementary_pid") === seen("pid"), "left"))
+
+    // 2.2: section CRC gate
+    val crc = one("p2_2_crc",
+      sum(when(!col("crcOk"), 1L).otherwise(0L)), count(lit(1)))(sc)
+
+    sync.unionByName(cc).unionByName(patC).unionByName(pmtC)
+      .unionByName(pidRow).unionByName(crc)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts23_tr101290" -> ts23Tr101290 _,
     "ts22_pts_pcr_lead" -> ts22PtsPcrLead _,
     "ts21_psi_cadence" -> ts21PsiCadence _,
     "ts20_pcr_jitter" -> ts20PcrJitter _,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps, TsQueries}
+
+/** Round-7 batch 3: ts23 TR 101 290 priority-1 rollup, t61 LSH cost
+  * planner. */
+class Batch23Spec extends SparkSuite {
+
+  test("t61 LSH cost: 12 bands, every doc in every band, pair mass " +
+    "equals the band join's per-band row count") {
+    val out = TextOps.t61LshCost(spark, sf).collect()
+      .map(r => r.getAs[Int]("band") -> r).toMap
+    assert(out.keySet == (0 until 12).toSet)
+    val nDocs = spark.read
+      .parquet(s"$sf/documents.parquet").count()
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_buckets") <= nDocs)
+      val mx = r.getAs[Long]("max_bucket")
+      assert(r.getAs[Long]("cand_pairs") >= mx * (mx - 1) / 2)
+      assert(r.getAs[Long]("n_singletons") <= r.getAs[Long]("n_buckets"))
+    }
+    // pair mass audit: band 0's C(sz,2) sum equals a direct self-join
+    // count over the band relation
+    val bands = TextOps.t61Bands(spark, sf).filter(col("band") === 0)
+    val direct = bands.as("x").join(bands.as("y"),
+      col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id")).count()
+    assert(out(0).getAs[Long]("cand_pairs") == direct)
+  }
+
+  test("ts23 P1 rollup: six checks, framing faults counted, healthy " +
+    "capture clean on continuity/PID/CRC, cadence observed") {
+    val rows = TsQueries.ts23Tr101290(spark, sf).collect()
+      .map(r => r.getAs[String]("check_id") ->
+        (r.getAs[Long]("n_bad"), r.getAs[Long]("n_obs"))).toMap
+    assert(rows.keySet == Set("p1_2_sync_byte", "p1_4_continuity",
+      "p1_3a_pat_cadence", "p1_5a_pmt_cadence", "p1_6_pid_missing",
+      "p2_2_crc"))
+    // the planted-corruption capture loses sync on 2 of every 97
+    // records (bad_sync + bad_af_length) — framing MUST fire
+    val (syncBad, syncObs) = rows("p1_2_sync_byte")
+    assert(syncBad > 0 && syncBad < syncObs)
+    // the clean reference capture: no CC errors, every PMT-referenced
+    // ES PID carries packets, every section passes CRC
+    assert(rows("p1_4_continuity")._1 == 0L)
+    assert(rows("p1_6_pid_missing")._1 == 0L)
+    assert(rows("p1_6_pid_missing")._2 > 0L)
+    assert(rows("p2_2_crc")._1 == 0L)
+    // PSI repeats throughout the capture: many observed gaps
+    assert(rows("p1_3a_pat_cadence")._2 > 10L)
+    assert(rows("p1_5a_pmt_cadence")._2 > 10L)
+    // continuity audit agrees with the R1 per-PID audit's totals
+    val r1 = TsQueries.ts2CcAudit(spark, sf)
+      .agg(sum("n_packets"), sum("cc_errors")).collect()(0)
+    assert(rows("p1_4_continuity")._2 == r1.getLong(0))
+    assert(rows("p1_4_continuity")._1 == r1.getLong(1))
+  }
+}

@@ -7,6 +7,15 @@ package graft
 class PlanSigSpec extends SparkSuite {
 
   test("physical plan shapes match the committed signatures") {
+    // Signatures are committed from a FRESH session (`runMain
+    // graft.PlanSig`), where no relation is cached yet. In the shared
+    // test JVM, suites that ran earlier leave SessionMemo relations in
+    // the cache manager, and Spark's cache substitution would splice
+    // InMemoryTableScan nodes into otherwise-identical plans — a false
+    // drift. Start from the same empty-cache state the generator saw;
+    // later suites rebuild their memos on first access.
+    SessionMemo.clearAll()
+    spark.sharedState.cacheManager.clearCache()
     val committed = PlanSig.parse(new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(PlanSig.SigFile)), "UTF-8"))
