@@ -2042,6 +2042,35 @@ object SparkEntry {
         |FROM grid g LEFT JOIN cells
         |  ON g.event_type = cells.event_type AND g.dow = cells.dow
         |CROSS JOIN n""",
+    // a45: same day-grid aggregation + the shared-semantics floor
+    // division (subtract the positive mod, then divide — Spark div
+    // truncates, DuckDB // floors; on exactly-divisible operands they
+    // agree), exact lower-median rank selection
+    "a45_theil_sen" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type, (b.c - a.c) * 1000000 AS num,
+        |    b.day - a.day AS den
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |sl AS (SELECT event_type,
+        |    (num - (((num % den) + den) % den)) // den AS slope_micro
+        |  FROM pr),
+        |rk AS (SELECT event_type, slope_micro, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY slope_micro) AS rk
+        |  FROM sl),
+        |nm AS (SELECT event_type, count(*) AS n_pairs FROM sl
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM pts
+        |  GROUP BY 1)
+        |SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+        |  CAST(nm.n_pairs AS BIGINT) AS n_pairs,
+        |  r.slope_micro AS ts_slope_micro
+        |FROM rk r JOIN nm USING (event_type) JOIN nd USING (event_type)
+        |WHERE r.rk = (nm.n_pairs + 1) // 2""",
     // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
     // //), one final sqrt over identical inputs
     "a44_cramers_v" ->

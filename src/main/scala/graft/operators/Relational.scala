@@ -2522,6 +2522,48 @@ object Relational {
     * days it supports (a bounded explode — user-days are already far
     * smaller than events), re-deduplicated and rolled up per day.
     * Reported only for days with activity (inner join with DAU). */
+  /** a45 — THEIL–SEN ROBUST TREND: per event type, the (lower) median
+    * of all pairwise slopes between daily revenue points — the
+    * outlier-resistant companion of a22's OLS line (one corrupted day
+    * shifts OLS arbitrarily; Theil–Sen tolerates up to ~29% bad
+    * points). The pair space is CALENDAR²-bounded, never row-scaled:
+    * points aggregate to one row per (type, day) first, so a 100-TB
+    * event table still yields at most days² slopes per type. Slopes
+    * are exact micro-cents-per-day integers via a shared-semantics
+    * floor division (see inline note), and the median is the exact
+    * lower-median rank selection — no float anywhere, bit-stable
+    * cross-engine. */
+  def a45TheilSen(s: SparkSession, d: String): DataFrame = {
+    val pts = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.c") - col("a.c")) * lit(1000000L)).as("num"),
+        (col("b.day") - col("a.day")).as("den"))
+      // exact floor division in shared-semantics integer ops: Spark's
+      // `div` truncates toward zero while DuckDB's `//` floors, so a
+      // raw num div den would diverge on negative slopes; subtracting
+      // the positive mod first makes the operand exactly divisible,
+      // where truncation and floor agree
+      .select(col("event_type"), expr(
+        "(num - (((num % den) + den) % den)) div den").as("slope_micro"))
+    val w = Window.partitionBy("event_type").orderBy("slope_micro")
+    val nPairs = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDays = pts.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    slopes.withColumn("rk", row_number().over(w))
+      .join(broadcast(nPairs), Seq("event_type"))
+      .filter(expr("rk = (n_pairs + 1) div 2"))
+      .join(broadcast(nDays), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -2897,6 +2939,7 @@ object Relational {
     "a39_winsorized_mean" -> a39WinsorizedMean _,
     "a38_chi2_cells" -> a38Chi2 _,
     "a44_cramers_v" -> a44CramersV _,
+    "a45_theil_sen" -> a45TheilSen _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextOps, TsQueries}
+import graft.operators.{Relational, TextOps, TsQueries}
 
 /** Round-7 batch 3: ts23 TR 101 290 priority-1 rollup, t61 LSH cost
-  * planner. */
+  * planner, a45 Theil–Sen robust trend. */
 class Batch23Spec extends SparkSuite {
 
   test("t61 LSH cost: 12 bands, every doc in every band, pair mass " +
@@ -29,6 +29,35 @@ class Batch23Spec extends SparkSuite {
       col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id")).count()
     assert(out(0).getAs[Long]("cand_pairs") == direct)
+  }
+
+  test("a45 Theil–Sen: engine median slope equals a brute-force " +
+    "recomputation, pair count is C(days,2)") {
+    val out = Relational.a45TheilSen(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.nonEmpty)
+    // brute-force one group in driver code off the same day grid
+    val pts = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 as day",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { case (et, row) =>
+      val ps = pts(et).map(r =>
+        r.getAs[Long]("day") -> r.getAs[Long]("c")).sortBy(_._1)
+      val slopes = (for {
+        i <- ps.indices; j <- (i + 1) until ps.length
+      } yield {
+        val num = (ps(j)._2 - ps(i)._2) * 1000000L
+        val den = ps(j)._1 - ps(i)._1
+        Math.floorDiv(num, den)
+      }).sorted
+      assert(row.getAs[Long]("n_days") == ps.length.toLong)
+      assert(row.getAs[Long]("n_pairs") == slopes.length.toLong)
+      assert(row.getAs[Long]("ts_slope_micro") ==
+        slopes((slopes.length + 1) / 2 - 1))
+    }
   }
 
   test("ts23 P1 rollup: six checks, framing faults counted, healthy " +
