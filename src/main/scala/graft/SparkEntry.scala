@@ -530,6 +530,31 @@ object SparkEntry {
     // (the proven e1/e5/e8/e14 SELECTs nested as derived tables), then
     // per-(method, query) hit counting — the oracle cross-checks the
     // whole recall measurement, not just one side of it
+    // e26: exact top-1 + each method's ranked list re-derived from the
+    // same proven CTEs; reciprocal ranks pre-scaled by 60 (lcm 1..5)
+    // so the gate compares exact integers
+    "e26_mrr" ->
+      s"""WITH exact1 AS (SELECT query_id, cand_id FROM ($e1Sql) x
+         |    WHERE rnk = 1),
+         |  u AS (
+         |    SELECT 'e5_ivf' AS method, query_id, cand_id, rnk
+         |    FROM (${ivfSql(
+               "SELECT vec_id AS centroid_id, embedding AS cv " +
+                 "FROM embeddings WHERE vec_id < 16")}) m5
+         |    UNION ALL
+         |    SELECT 'e8_pq' AS method, query_id, cand_id, rnk
+         |    FROM ($ivfPqSql) m8
+         |    UNION ALL
+         |    SELECT 'e14_rerank' AS method, query_id, cand_id, rnk
+         |    FROM ($e14Sql) m14),
+         |  m AS (SELECT unnest(
+         |    ['e5_ivf', 'e8_pq', 'e14_rerank']) AS method),
+         |  g AS (SELECT m.method, e.query_id, e.cand_id
+         |    FROM m CROSS JOIN exact1 e)
+         |SELECT g.method, g.query_id,
+         |  CAST(coalesce(60 // u.rnk, 0) AS BIGINT) AS rr_x60
+         |FROM g LEFT JOIN u ON g.method = u.method
+         |  AND g.query_id = u.query_id AND g.cand_id = u.cand_id""",
     "e15_recall_eval" ->
       s"""WITH exact AS (SELECT query_id, cand_id FROM ($e1Sql) x),
          |  u AS (

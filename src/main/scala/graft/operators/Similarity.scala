@@ -831,6 +831,30 @@ object Similarity {
       .unionByName(scored("e14_rerank", e14Rerank(s, d)))
   }
 
+  /** e26 — MRR RANKING AUDIT: where does each serving path place the
+    * single most-similar item (the exact top-1)? Recall@5 (e15) treats
+    * rank 1 and rank 5 the same; MRR is the rank-sensitive companion
+    * every retrieval deployment also tracks. Per (method, query): the
+    * reciprocal rank of the exact top-1 in the method's top-5, scaled
+    * by 60 (the lcm of ranks 1..5) so every value is an exact integer —
+    * 60, 30, 20, 15, 12 or 0 — and the driver gate hashes bit-stable
+    * integers, no float mean. Aggregating mean-MRR downstream is one
+    * avg over this relation. Eval cost is O(queries), corpus-free:
+    * three already-bounded top-5 plans joined on (query, cand). */
+  def e26Mrr(s: SparkSession, d: String): DataFrame = {
+    val top1 = e1CosineTopK(s, d).filter(col("rnk") === 1)
+      .select(col("query_id"), col("cand_id"))
+    def rr(name: String, df: DataFrame): DataFrame =
+      top1.join(df.select(col("query_id"), col("cand_id"), col("rnk")),
+          Seq("query_id", "cand_id"), "left")
+        .select(lit(name).as("method"), col("query_id"),
+          coalesce(expr("cast(60 div rnk as bigint)"), lit(0L))
+            .as("rr_x60"))
+    rr("e5_ivf", e5IvfAnn(s, d))
+      .unionByName(rr("e8_pq", e8IvfPqAnn(s, d)))
+      .unionByName(rr("e14_rerank", e14Rerank(s, d)))
+  }
+
   /** e16 — MATRYOSHKA (truncated-dimension) two-stage retrieval
     * (Kusupati et al. 2022: MRL embeddings nest, so the FIRST d' dims
     * are themselves a valid embedding): stage 1 scores the whole corpus
@@ -1128,6 +1152,7 @@ object Similarity {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_mrr" -> e26Mrr _,
     "e25_pq_distortion" -> ((s: SparkSession, d: String) =>
       e25PqDistortion(s, d)),
     "e24_list_balance" -> e24ListBalance _,

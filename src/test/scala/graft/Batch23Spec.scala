@@ -60,6 +60,22 @@ class Batch23Spec extends SparkSuite {
     }
   }
 
+  test("e26 MRR: rerank places the exact top-1 at rank 1 for every " +
+    "query it retrieves; values live on the x60 reciprocal grid") {
+    import graft.operators.Similarity
+    val out = Similarity.e26Mrr(spark, sf).collect()
+    val nQ = out.map(_.getAs[Long]("query_id")).distinct.length
+    assert(out.length == 3 * nQ)
+    val legal = Set(60L, 30L, 20L, 15L, 12L, 0L)
+    assert(out.forall(r => legal(r.getAs[Long]("rr_x60"))))
+    // e14 reranks its candidates EXACTLY, so whenever the true top-1
+    // is in its candidate set it must sit at rank 1 (rr = 60)
+    out.filter(_.getAs[String]("method") == "e14_rerank")
+      .foreach(r => assert(Set(60L, 0L)(r.getAs[Long]("rr_x60"))))
+    // full-recall methods at this SF should mostly find the top-1
+    assert(out.count(_.getAs[Long]("rr_x60") == 60L) > nQ)
+  }
+
   test("ts23 P1 rollup: six checks, framing faults counted, healthy " +
     "capture clean on continuity/PID/CRC, cadence observed") {
     val rows = TsQueries.ts23Tr101290(spark, sf).collect()
