@@ -243,6 +243,39 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY adist ASC, cand_id) AS rnk
        |  FROM scored) WHERE rnk <= 5"""
 
+
+  /** The t4 language rule as a reusable CTE body — consumed by the
+    * t4 oracle and the t62 fertility rollup. */
+  private def t4Sql: String =
+    """WITH tok AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |    > 0 THEN 'zh'
+        |  WHEN length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g'))
+        |    > 0 THEN 'ru'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('the', 'a', 'of', 'and', 'to', 'is'))) > 0 THEN 'en'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en')))
+        |    >= len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est')))
+        |   AND len(list_filter(t, x -> x IN
+        |      ('el', 'la', 'de', 'y', 'que', 'en'))) > 0 THEN 'es'
+        |  WHEN len(list_filter(t, x -> x IN
+        |      ('le', 'la', 'de', 'et', 'que', 'est'))) > 0 THEN 'fr'
+        |  ELSE 'und' END AS pred_lang
+        |FROM tok"""
+
   private def tsOracles: Map[String, String] = Map(
     // ts23: each TR 101 290 P1 class re-derived from the dumps — the
     // cadence threshold cross-multiplied in HUGEINT (the decimal(38,0)
@@ -3755,35 +3788,29 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
         |    / CAST(length(text) AS DOUBLE) AS token_density
         |FROM documents""",
-    "t4_lang_id" ->
-      """WITH tok AS (SELECT doc_id, text,
-        |  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents)
-        |SELECT doc_id, CASE
-        |  WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
-        |    > 0 THEN 'zh'
-        |  WHEN length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g'))
-        |    > 0 THEN 'ru'
-        |  WHEN len(list_filter(t, x -> x IN
-        |      ('the', 'a', 'of', 'and', 'to', 'is')))
-        |    >= len(list_filter(t, x -> x IN
-        |      ('el', 'la', 'de', 'y', 'que', 'en')))
-        |   AND len(list_filter(t, x -> x IN
-        |      ('the', 'a', 'of', 'and', 'to', 'is')))
-        |    >= len(list_filter(t, x -> x IN
-        |      ('le', 'la', 'de', 'et', 'que', 'est')))
-        |   AND len(list_filter(t, x -> x IN
-        |      ('the', 'a', 'of', 'and', 'to', 'is'))) > 0 THEN 'en'
-        |  WHEN len(list_filter(t, x -> x IN
-        |      ('el', 'la', 'de', 'y', 'que', 'en')))
-        |    >= len(list_filter(t, x -> x IN
-        |      ('le', 'la', 'de', 'et', 'que', 'est')))
-        |   AND len(list_filter(t, x -> x IN
-        |      ('el', 'la', 'de', 'y', 'que', 'en'))) > 0 THEN 'es'
-        |  WHEN len(list_filter(t, x -> x IN
-        |      ('le', 'la', 'de', 'et', 'que', 'est'))) > 0 THEN 'fr'
-        |  ELSE 'und' END AS pred_lang
-        |FROM tok""",
+    "t4_lang_id" -> t4Sql,
+    // t62: the t4 language rule reused as a CTE, the t9 token regex
+    // recounted, ratios as exact integer ppm/milli over language sums
+    "t62_fertility" ->
+      s"""WITH lang AS (SELECT * FROM ($t4Sql) l),
+         |m AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |    len(regexp_extract_all(text,
+         |      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_toks,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |g AS (SELECT pred_lang, count(*) AS n_docs,
+         |    sum(n_words) AS n_words, sum(n_toks) AS n_tokens,
+         |    sum(n_chars) AS n_chars
+         |  FROM lang JOIN m USING (doc_id) GROUP BY 1)
+         |SELECT pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens * 1000000 // n_words AS BIGINT)
+         |    AS fertility_ppm,
+         |  CAST(n_chars * 1000 // n_tokens AS BIGINT)
+         |    AS chars_per_token_milli
+         |FROM g""",
     "t5_fingerprint" ->
       """WITH tok AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text), '\s+') AS t FROM documents)

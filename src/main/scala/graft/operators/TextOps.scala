@@ -477,6 +477,34 @@ object TextOps {
           .as("chars_per_token"))
   }
 
+  /** t62 — TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word and
+    * chars-per-token rolled up per predicted language (the t4 rule) —
+    * the multilingual-pipeline diagnostic that flags languages where a
+    * Latin-centric tokenizer explodes (high fertility means a doc
+    * consumes its token budget on fragments; CJK under a word-split
+    * tokenizer is the classic case). Ratios are exact scaled integers
+    * (ppm / milli) over per-language sums, so the report is bit-stable
+    * and the rollup is one map-side-combined pass over the corpus —
+    * language cardinality bounds the shuffle, not doc count. */
+  def t62Fertility(s: SparkSession, d: String): DataFrame = {
+    val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    val m = documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("n_chars"))
+    t4LangId(s, d).join(m, Seq("doc_id"))
+      .groupBy("pred_lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("pred_lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_token_milli"))
+  }
+
   /** Dedup resolution: canonical id per doc = min(self, near-dup
     * neighbors) — one union-find hop over the t6 pair set; the
     * "keep-one-copy" materialization step of a dedup pipeline. */
@@ -2413,6 +2441,7 @@ object TextOps {
     "t59_cluster_census" -> t59ClusterCensus _,
     "t60_mix_entropy" -> t60MixEntropy _,
     "t61_lsh_cost" -> t61LshCost _,
+    "t62_fertility" -> t62Fertility _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

@@ -60,6 +60,28 @@ class Batch23Spec extends SparkSuite {
     }
   }
 
+  test("t62 fertility: language totals reconcile with t4 and t9, " +
+    "ratios sit on the integer grid") {
+    val out = TextOps.t62Fertility(spark, sf).collect()
+    val langs = TextOps.t4LangId(spark, sf).groupBy("pred_lang")
+      .count().collect()
+      .map(r => r.getAs[String]("pred_lang") -> r.getAs[Long]("count"))
+      .toMap
+    assert(out.map(_.getAs[String]("pred_lang")).toSet == langs.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        langs(r.getAs[String]("pred_lang")))
+      val f = r.getAs[Long]("fertility_ppm")
+      assert(f == r.getAs[Long]("n_tokens") * 1000000L /
+        r.getAs[Long]("n_words"))
+      assert(f > 0)
+    }
+    val totTok = out.map(_.getAs[Long]("n_tokens")).sum
+    val t9 = TextOps.t9BpeTokens(spark, sf)
+      .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+    assert(totTok == t9)
+  }
+
   test("e26 MRR: rerank places the exact top-1 at rank 1 for every " +
     "query it retrieves; values live on the x60 reciprocal grid") {
     import graft.operators.Similarity
