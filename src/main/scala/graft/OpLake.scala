@@ -55,6 +55,11 @@ object OpLake {
     // t61's band relation: the oracle re-aggregates the per-band bucket
     // census (the hashing itself is pinned by t13 recall + t25 parity)
     save(operators.TextOps.t61Bands(s, d), "minhash_bands")
+    // m12's chunk relation: the oracle re-derives the dedup accounting
+    // and the exact-tiling audit from the dumped split (the split
+    // itself — boundary determinism, shift-realignment — is pinned by
+    // CdcSpec's property tests)
+    save(operators.Multimodal.m12Chunks(s, d), "cdc_chunks")
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")

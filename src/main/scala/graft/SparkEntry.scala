@@ -2237,6 +2237,34 @@ object SparkEntry {
         |  CAST(d.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
         |FROM dau d JOIN mau USING (day)""",
     // m10: CAS accounting re-derived from documents directly
+    // m12: dedup accounting re-aggregated from the dumped chunk split;
+    // bytes_total comes from RAW documents (not the dump), so a split
+    // that failed to tile a payload hash-mismatches loudly; the
+    // whole-asset side re-derives m10's grouping independently
+    "m12_cdc_dedup" ->
+      s"""WITH ch AS (SELECT * FROM ${oprel("cdc_chunks")}),
+         |ph AS (SELECT format, hash, len, count(*) AS cnt
+         |  FROM ch GROUP BY 1, 2, 3),
+         |ca AS (SELECT format, sum(cnt) AS n_chunks,
+         |    count(*) AS n_unique_chunks,
+         |    sum(CAST(len AS BIGINT)) AS bytes_unique
+         |  FROM ph GROUP BY 1),
+         |tot AS (SELECT source AS format,
+         |    CAST(sum(octet_length(encode(text))) AS BIGINT)
+         |      AS bytes_total
+         |  FROM documents GROUP BY 1),
+         |wh AS (SELECT format,
+         |    CAST(sum(n_bytes) AS BIGINT) AS bytes_unique_whole
+         |  FROM (SELECT source AS format, md5(text) AS h,
+         |      octet_length(encode(text)) AS n_bytes
+         |    FROM documents GROUP BY 1, 2, 3) g GROUP BY 1)
+         |SELECT ca.format, CAST(ca.n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(ca.n_unique_chunks AS BIGINT) AS n_unique_chunks,
+         |  tot.bytes_total,
+         |  CAST(ca.bytes_unique AS BIGINT) AS bytes_unique,
+         |  wh.bytes_unique_whole,
+         |  wh.bytes_unique_whole - ca.bytes_unique AS cdc_extra_saved
+         |FROM ca JOIN tot USING (format) JOIN wh USING (format)""",
     "m10_cas_savings" ->
       """WITH g AS (SELECT source AS format, md5(text) AS h,
         |    octet_length(encode(text)) AS n_bytes, count(*) AS cnt

@@ -321,6 +321,48 @@ object Multimodal {
           .as("bytes_saved"))
       .withColumn("dup_assets", col("n_assets") - col("n_unique"))
 
+  /** Chunk relation (doc_id, format, off, len, hash) off the codegen'd
+    * [[graft.functions.CdcChunk]] expression — dumped by
+    * [[graft.OpLake]] so the m12 oracle re-derives the dedup
+    * accounting from the identical split. */
+  private[graft] def m12Chunks(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("format"),
+        explode(graft.functions.CdcChunk(col("media"))).as("c"))
+      .select(col("doc_id"), col("format"), col("c.off").as("off"),
+        col("c.len").as("len"), col("c.hash").as("hash"))
+
+  /** m12 — CONTENT-DEFINED CHUNK DEDUP (FastCDC gear-hash split, the
+    * LBFS/Venti recipe): the chunk-level extension of m10's whole-asset
+    * CAS — near-identical payloads (appended logs, re-muxed captures,
+    * prefix-shifted variants) share every chunk past the first
+    * re-aligned boundary even though their whole-asset hashes differ.
+    * Per format: chunk totals, unique-chunk bytes, the whole-asset
+    * unique bytes for comparison, and the EXTRA bytes chunking saves
+    * on top of whole-asset dedup (provably ≥ 0: identical assets split
+    * identically, so every whole-asset dup is also a chunk dup). Only
+    * (format, hash, len) triples shuffle — payload bytes never leave
+    * the scan, the chunk split runs inside whole-stage codegen, and
+    * the rollup combines map-side. */
+  def m12CdcDedup(s: SparkSession, d: String): DataFrame = {
+    val perHash = m12Chunks(s, d)
+      .groupBy("format", "hash", "len")
+      .agg(count(lit(1)).as("cnt"))
+    perHash.groupBy("format").agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(expr("cnt * cast(len as bigint)")).as("bytes_total"),
+        sum(col("len").cast("long")).as("bytes_unique"))
+      .join(m10CasSavings(s, d).select(col("format"),
+        (col("bytes_total") - col("bytes_saved"))
+          .as("bytes_unique_whole")), Seq("format"))
+      .select(col("format"), col("n_chunks"), col("n_unique_chunks"),
+        col("bytes_total"), col("bytes_unique"),
+        col("bytes_unique_whole"),
+        (col("bytes_unique_whole") - col("bytes_unique"))
+          .as("cdc_extra_saved"))
+  }
+
   /** m11 — the STREAM≡BATCH parity row for the CAS layer (the
     * eleventh parity row; the m-family's first): batch recompute of
     * the per-asset store/dedup-hit decision — an asset is STORED iff
@@ -345,6 +387,7 @@ object Multimodal {
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_cdc_dedup" -> m12CdcDedup _,
     "m11_stream_cas" -> m11StreamCas _,
     "m10_cas_savings" -> m10CasSavings _,
     "m9_keyframes" -> m9Keyframes _,
