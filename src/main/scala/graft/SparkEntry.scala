@@ -2310,6 +2310,32 @@ object SparkEntry {
         |  CAST(group_n * 1000000 // n_total AS BIGINT) AS share_ppm
         |FROM g CROSS JOIN t""",
     // v4: every FK edge re-audited with independent LEFT JOINs
+    // v5: each candidate FD re-checked with the same
+    // distinct-rhs-per-lhs derivation
+    "v5_fd_audit" -> {
+      def fdSql(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_keys,
+           |  CAST(max(nd) AS BIGINT) AS max_rhs_distinct,
+           |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd
+           |  FROM $tbl GROUP BY 1) g"""
+      Seq(
+        fdSql("customer.name->nationkey", "customer",
+          "c_name", "c_nationkey"),
+        fdSql("customer.mktsegment->nationkey", "customer",
+          "c_mktsegment", "c_nationkey"),
+        fdSql("orders.custkey->orderpriority", "orders",
+          "o_custkey", "o_orderpriority"),
+        fdSql("customer.custkey->nationkey", "customer",
+          "c_custkey", "c_nationkey"),
+        fdSql("lineitem.partkey->suppkey", "lineitem",
+          "l_partkey", "l_suppkey"),
+        fdSql("nation.nationkey->regionkey", "nation",
+          "n_nationkey", "n_regionkey"),
+      ).mkString("", "\nUNION ALL ", "")
+    },
     "v4_ref_integrity" ->
       """SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_orphans AS BIGINT) AS n_orphans,
@@ -4080,6 +4106,23 @@ object SparkEntry {
         |    i -> CAST(x.embedding[i] AS DOUBLE)
         |      * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm)
         |  >= 0.4""",
+    // e27: same dot/norm float sequence as the proven e3 contract,
+    // restricted to corpus × benchmark; integer-only output
+    "e27_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, embedding AS bv, nrm AS bn
+         |  FROM e WHERE vec_id % 50 = 0),
+         |hits AS (SELECT e.vec_id, e.label, b.bench_id
+         |  FROM e CROSS JOIN b
+         |  WHERE e.vec_id % 50 <> 0
+         |    AND ${dotSql("e.embedding", "b.bv")} / (e.nrm * b.bn)
+         |      >= 0.4)
+         |SELECT vec_id, label,
+         |  CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  CAST(min(bench_id) AS BIGINT) AS first_bench_id
+         |FROM hits GROUP BY 1, 2""",
     "e4_label_centroid" ->
       """WITH e AS (SELECT label,
         |    round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),

@@ -137,6 +137,34 @@ object Similarity {
       .select("vec_a", "vec_b")
   }
 
+  /** e27 — SEMANTIC DECONTAMINATION (benchmark-anchored): flag corpus
+    * vectors whose embedding is near-duplicate to any HELD-OUT
+    * benchmark vector (every 50th id) — the embedding-level
+    * train/test-overlap scrub that catches paraphrases t14/t23's
+    * n-gram matching misses. Unlike e3's documented-baseline all-pairs
+    * join, the comparison space is corpus × |benchmark|: the benchmark
+    * side broadcasts (a fixed eval suite stays small while the corpus
+    * grows to 100 TB), so the scan is shuffle-free and stays in
+    * whole-stage codegen through the vec_dot/vec_norm expressions.
+    * Output is integer-only (hit count + min matching benchmark id
+    * per contaminated vector) — the float threshold uses the same
+    * dot/norm sequence both engines share (the proven e3 contract). */
+  def e27SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"),
+        col("embedding").as("bv"), vec_norm(col("embedding")).as("bn"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(bench))
+      .filter(vec_dot(col("embedding"), col("bv")) /
+        (col("nrm") * col("bn")) >= 0.4)
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
+
   /** Per-label corpus stats (the IVF coarse-assignment step: label plays
     * the centroid role). Norms rounded to 6 dp: raw double output needs a
     * precision cushion for the cross-engine oracle compare. */
@@ -1153,6 +1181,7 @@ object Similarity {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e26_mrr" -> e26Mrr _,
+    "e27_semantic_decontam" -> e27SemanticDecontam _,
     "e25_pq_distortion" -> ((s: SparkSession, d: String) =>
       e25PqDistortion(s, d)),
     "e24_list_balance" -> e24ListBalance _,

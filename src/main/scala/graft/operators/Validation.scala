@@ -157,10 +157,48 @@ object Validation {
       .withColumn("intact", col("n_orphans") === 0)
   }
 
+  /** v5 — FUNCTIONAL-DEPENDENCY AUDIT (the Metanome-style profiling
+    * check, run as validation): for each declared candidate FD
+    * lhs → rhs, does every lhs value map to exactly one rhs value?
+    * The candidate list mixes true FDs (key FDs; the discovered
+    * name → nationkey dependency, which holds because customer names
+    * are unique in this corpus) with expected-false ones, so the
+    * report exercises both verdicts on real data. Per candidate: one countDistinct-per-key aggregate
+    * (the shuffle is on the lhs the check needs anyway; outputs are
+    * key-scaled) then a one-row rollup — corpus size only affects the
+    * scan. A promote gate asserts `holds` on the FDs the schema
+    * declares. */
+  def v5FdAudit(s: SparkSession, d: String): DataFrame = {
+    def fd(name: String, df: DataFrame, lhs: String, rhs: String)
+        : DataFrame =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"),
+          max(col("nd")).as("max_rhs_distinct"))
+        .select(lit(name).as("fd"), col("n_keys"),
+          col("n_violating_keys"), col("max_rhs_distinct"),
+          (col("n_violating_keys") === 0).as("holds"))
+    fd("customer.name->nationkey", customer(s, d),
+        "c_name", "c_nationkey")
+      .unionByName(fd("customer.mktsegment->nationkey",
+        customer(s, d), "c_mktsegment", "c_nationkey"))
+      .unionByName(fd("orders.custkey->orderpriority",
+        orders(s, d), "o_custkey", "o_orderpriority"))
+      .unionByName(fd("customer.custkey->nationkey",
+        customer(s, d), "c_custkey", "c_nationkey"))
+      .unionByName(fd("lineitem.partkey->suppkey",
+        lineitem(s, d), "l_partkey", "l_suppkey"))
+      .unionByName(fd("nation.nationkey->regionkey",
+        nation(s, d), "n_nationkey", "n_regionkey"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_expectations" -> v1Expectations _,
     "v2_quarantine" -> v2Quarantine _,
     "v3_kanonymity" -> ((s: SparkSession, d: String) =>
       v3Kanonymity(s, d)),
-    "v4_ref_integrity" -> v4RefIntegrity _)
+    "v4_ref_integrity" -> v4RefIntegrity _,
+    "v5_fd_audit" -> v5FdAudit _)
 }

@@ -98,6 +98,53 @@ class Batch23Spec extends SparkSuite {
     assert(out.count(_.getAs[Long]("rr_x60") == 60L) > nQ)
   }
 
+  test("v5 FD audit: key and name->nationkey FDs hold, known-false " +
+    "FDs report violations consistently") {
+    import graft.operators.Validation
+    val out = Validation.v5FdAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(out.size == 6)
+    // true FDs: key FDs + the discovered name->nationkey dependency
+    Seq("customer.name->nationkey", "customer.custkey->nationkey",
+      "nation.nationkey->regionkey").foreach { f =>
+      assert(out(f).getAs[Boolean]("holds"), s"$f should hold")
+      assert(out(f).getAs[Long]("max_rhs_distinct") == 1L)
+    }
+    // expected-false FDs on this corpus
+    Seq("customer.mktsegment->nationkey",
+      "orders.custkey->orderpriority").foreach { f =>
+      assert(!out(f).getAs[Boolean]("holds"), s"$f should fail")
+      assert(out(f).getAs[Long]("n_violating_keys") > 0L)
+    }
+    out.values.foreach(r => assert(r.getAs[Long]("n_violating_keys")
+      <= r.getAs[Long]("n_keys")))
+  }
+
+  test("e27 semantic decontam: hits only off-benchmark vectors, " +
+    "agrees with e3's all-pairs relation on the benchmark columns") {
+    import graft.operators.Similarity
+    val out = Similarity.e27SemanticDecontam(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("vec_id") % 50 != 0))
+    assert(out.forall(_.getAs[Long]("first_bench_id") % 50 == 0))
+    // cross-check against e3's all-pairs near-dup pairs restricted to
+    // (benchmark, corpus) pairs at the SAME threshold
+    val e3 = Similarity.e3CosineNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val benchPairs = e3.flatMap { case (a, b) =>
+      if (a % 50 == 0 && b % 50 != 0) Some(b -> a)
+      else if (b % 50 == 0 && a % 50 != 0) Some(a -> b)
+      else None
+    }
+    val wantHits = benchPairs.groupBy(_._1).map { case (v, ps) =>
+      v -> (ps.length.toLong, ps.map(_._2).min)
+    }
+    val gotHits = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("n_bench_hits"), r.getAs[Long]("first_bench_id")))
+      .toMap
+    assert(gotHits == wantHits)
+  }
+
   test("ts23 P1 rollup: six checks, framing faults counted, healthy " +
     "capture clean on continuity/PID/CRC, cadence observed") {
     val rows = TsQueries.ts23Tr101290(spark, sf).collect()
