@@ -60,6 +60,10 @@ object OpLake {
     // itself — boundary determinism, shift-realignment — is pinned by
     // CdcSpec's property tests)
     save(operators.Multimodal.m12Chunks(s, d), "cdc_chunks")
+    // the STREAMING chunk-store decisions (m13's oracle side): one
+    // boolean of state per CDC chunk hash across a (doc_id, off)-
+    // ordered 4-batch replay
+    save(streaming.TwsOps.chunkReplay(s, d), "stream_chunk_ingest")
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")

@@ -2237,6 +2237,12 @@ object SparkEntry {
         |  CAST(d.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
         |FROM dau d JOIN mau USING (day)""",
     // m10: CAS accounting re-derived from documents directly
+    // m13: the oracle IS the streaming replay's emissions — the hash
+    // gate asserts stream ≡ batch for the chunk-store decisions
+    "m13_stream_chunks" ->
+      s"""SELECT doc_id, format, CAST(off AS BIGINT) AS off, stored,
+         |  CAST(bytes_written AS BIGINT) AS bytes_written
+         |FROM ${oprel("stream_chunk_ingest")}""",
     // m12: dedup accounting re-aggregated from the dumped chunk split;
     // bytes_total comes from RAW documents (not the dump), so a split
     // that failed to tile a payload hash-mismatches loudly; the

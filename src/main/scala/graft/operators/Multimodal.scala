@@ -363,6 +363,33 @@ object Multimodal {
           .as("cdc_extra_saved"))
   }
 
+  /** m13 — the STREAM≡BATCH parity row for the CHUNK store (the
+    * twelfth parity row; the m-family's second): batch recompute of
+    * the per-chunk-instance store/dedup-hit decision — an instance is
+    * STORED iff it is the (doc_id, off)-minimal instance of its
+    * (format, chunk-hash) pool key (first arrival in the replay's
+    * order; per-format pools so the accounting reconciles exactly
+    * with m12's per-format unique bytes). The oracle reads the
+    * streaming [[graft.streaming.TwsOps.chunkReplay]] emissions
+    * verbatim, so the hash gate proves the cross-batch
+    * boolean-per-chunk-hash state replays this batch derivation
+    * exactly — m12's chunk-dedup savings hold under continuous
+    * incremental ingest, not just batch rebuild. Shuffles only
+    * (hash, doc_id, off) triples — the same hash shuffle m12 pays. */
+  def m13StreamChunkIngest(s: SparkSession, d: String): DataFrame = {
+    val ch = m12Chunks(s, d)
+    val firsts = ch.groupBy("format", "hash")
+      .agg(min(struct(col("doc_id"), col("off"))).as("f"))
+    ch.join(firsts, Seq("format", "hash"))
+      .select(col("doc_id"), col("format"),
+        col("off").cast("long").as("off"),
+        (col("doc_id") === col("f.doc_id") &&
+          col("off") === col("f.off")).as("stored"),
+        when(col("doc_id") === col("f.doc_id") &&
+          col("off") === col("f.off"), col("len").cast("long"))
+          .otherwise(0L).as("bytes_written"))
+  }
+
   /** m11 — the STREAM≡BATCH parity row for the CAS layer (the
     * eleventh parity row; the m-family's first): batch recompute of
     * the per-asset store/dedup-hit decision — an asset is STORED iff
@@ -388,6 +415,7 @@ object Multimodal {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_cdc_dedup" -> m12CdcDedup _,
+    "m13_stream_chunks" -> m13StreamChunkIngest _,
     "m11_stream_cas" -> m11StreamCas _,
     "m10_cas_savings" -> m10CasSavings _,
     "m9_keyframes" -> m9Keyframes _,

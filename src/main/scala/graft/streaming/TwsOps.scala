@@ -1348,4 +1348,97 @@ object TwsOps {
       }
     out.toDF()
   }
+
+  // ---- streaming chunk-store ingest (m13 = streaming m12) ------------
+
+  case class ChunkIn(h: Long, doc_id: Long, format: String,
+    len: Long, off: Long, seq: Long)
+  case class ChunkOut(doc_id: Long, format: String, off: Long,
+    stored: Boolean, bytes_written: Long)
+
+  /** CHUNK-store ingest decision as keyed state — the chunk-level
+    * refinement of [[CasProcessor]]: one boolean per distinct
+    * (format, chunk-hash); the first arrival (in (seq, off) replay
+    * order) writes its bytes, every later instance — same doc, same
+    * batch or any later batch — is a dedup hit. This is what an
+    * incremental 100-TB ingest front-end actually runs: new variants
+    * of existing payloads stream in and only their genuinely novel
+    * chunks hit storage. Keying includes the format (a per-pool store)
+    * so the accounting reconciles exactly with m12's per-format
+    * unique-bytes — short chunk hashes CAN legitimately recur across
+    * formats. The m13 parity row proves the cross-batch chunk state
+    * equals batch first-instance accounting exactly. */
+  class ChunkStoreProcessor
+      extends StatefulProcessor[(String, Long), ChunkIn, ChunkOut] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(h: (String, Long),
+        rows: Iterator[ChunkIn],
+        timerValues: TimerValues): Iterator[ChunkOut] = {
+      val out = Vector.newBuilder[ChunkOut]
+      rows.toArray.sortBy(r => (r.seq, r.off)).foreach { r =>
+        val first = !seen.exists()
+        if (first) seen.update(true)
+        out += ChunkOut(r.doc_id, r.format, r.off, first,
+          if (first) r.len else 0L)
+      }
+      out.result().iterator
+    }
+  }
+
+  def chunkStream(chunks: org.apache.spark.sql.DataFrame)
+      : Dataset[ChunkOut] = {
+    import chunks.sparkSession.implicits._
+    chunks.selectExpr("h", "doc_id", "format", "len", "off", "seq")
+      .as[ChunkIn]
+      .groupByKey(r => (r.format, r.h))
+      .transformWithState(new ChunkStoreProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic (doc_id, off)-ordered multi-batch replay of the CDC
+    * chunk relation through [[chunkStream]] — the producer behind the
+    * m13 parity row (OpLake dumps the emissions; the oracle reads them
+    * verbatim; batch `m13StreamChunkIngest` must hash-match). */
+  def chunkReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val chunks = graft.operators.Multimodal.m12Chunks(s, d)
+      .selectExpr("hash as h", "doc_id", "format",
+        "cast(len as bigint) as len", "cast(off as bigint) as off",
+        "doc_id as seq")
+      .as[(Long, Long, String, Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._5))
+    val mem = MemoryStream[(Long, Long, String, Long, Long, Long)]
+    val name = s"chunk_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = chunkStream(
+        mem.toDS().toDF("h", "doc_id", "format", "len", "off", "seq"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        chunks.grouped(math.max(1, chunks.length / batches)).foreach {
+          g => mem.addData(g.toSeq: _*); q.processAllAvailable()
+        }
+        s.table(name).as[ChunkOut].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
 }

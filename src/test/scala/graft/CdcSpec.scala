@@ -59,6 +59,30 @@ class CdcSpec extends SparkSuite {
       s"only $shared of ${hs.length} chunks re-aligned after the shift")
   }
 
+  test("m13 stream chunk-store parity: replay decisions equal the " +
+    "batch first-instance derivation; savings reconcile with m12") {
+    val batch = Multimodal.m13StreamChunkIngest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off")) ->
+        (r.getAs[Boolean]("stored"), r.getAs[Long]("bytes_written")))
+      .toMap
+    val stream = graft.streaming.TwsOps.chunkReplay(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off")) ->
+        (r.getAs[Boolean]("stored"), r.getAs[Long]("bytes_written")))
+      .toMap
+    assert(batch == stream)
+    // bytes written by the store equal m12's per-format unique bytes
+    val m12 = Multimodal.m12CdcDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("format") ->
+        r.getAs[Long]("bytes_unique")).toMap
+    val written = Multimodal.m13StreamChunkIngest(spark, sf).collect()
+      .groupBy(_.getAs[String]("format"))
+      .map { case (f, rs) =>
+        f -> rs.map(_.getAs[Long]("bytes_written")).sum
+      }
+    assert(written == m12)
+  }
+
   test("expression output matches the Scala splitter; m12 accounting " +
     "reconciles and chunking never saves less than whole-asset CAS") {
     val ch = Multimodal.m12Chunks(spark, sf)
