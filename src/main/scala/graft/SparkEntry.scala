@@ -2895,6 +2895,90 @@ object SparkEntry {
         |  CAST(total_width * 1000 // key_domain AS BIGINT)
         |    AS depth_milli
         |FROM u CROSS JOIN dom""",
+    // l6: the full 16-level Hilbert rotate/reflect chain re-derived as
+    // generated CTE steps (identical integer CASE arithmetic), plus
+    // l4's Morton spread chain for the z side
+    "l6_hilbert_ab" -> {
+      val levels = (0 until 16).map { i =>
+        val s = 32768L >> i
+        s"""h${i + 1} AS (SELECT l_partkey, l_suppkey,
+           |  d + ${s * s} * (CASE WHEN (x & $s) > 0
+           |    THEN (CASE WHEN (y & $s) > 0 THEN 2 ELSE 3 END)
+           |    ELSE (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END)
+           |    AS d,
+           |  CASE WHEN (y & $s) = 0 AND (x & $s) > 0 THEN 65535 - y
+           |       WHEN (y & $s) = 0 THEN y ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 AND (x & $s) > 0 THEN 65535 - x
+           |       WHEN (y & $s) = 0 THEN x ELSE y END AS y
+           |FROM h$i)"""
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT l_partkey, l_suppkey,
+         |    l_partkey & 65535 AS x,
+         |    l_suppkey & 65535 AS y, CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |$levels,
+         |b0 AS (SELECT l_partkey, l_suppkey,
+         |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+         |  FROM lineitem),
+         |b1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+         |    (y0 | (y0 << 8)) & 16711935 AS y1 FROM b0),
+         |b2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+         |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM b1),
+         |b3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+         |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM b2),
+         |b4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+         |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM b3),
+         |dom AS (SELECT max(l_partkey) - min(l_partkey) + 1
+         |    AS part_domain,
+         |  max(l_suppkey) - min(l_suppkey) + 1 AS supp_domain
+         |  FROM lineitem),
+         |hb AS (SELECT l_partkey, l_suppkey, d // 4096 AS bucket
+         |  FROM h16),
+         |ha AS (SELECT 'hilbert' AS layout, count(*) AS n_buckets,
+         |    sum(xp - mp + 1) AS width_part,
+         |    sum(xs - ms + 1) AS width_supp
+         |  FROM (SELECT bucket, min(l_partkey) AS mp,
+         |      max(l_partkey) AS xp, min(l_suppkey) AS ms,
+         |      max(l_suppkey) AS xs FROM hb GROUP BY 1)),
+         |zb AS (SELECT l_partkey, l_suppkey,
+         |    (x4 | (y4 << 1)) // 4096 AS bucket FROM b4),
+         |za AS (SELECT 'zorder' AS layout, count(*) AS n_buckets,
+         |    sum(xp - mp + 1) AS width_part,
+         |    sum(xs - ms + 1) AS width_supp
+         |  FROM (SELECT bucket, min(l_partkey) AS mp,
+         |      max(l_partkey) AS xp, min(l_suppkey) AS ms,
+         |      max(l_suppkey) AS xs FROM zb GROUP BY 1)),
+         |hrc AS (SELECT DISTINCT d AS v FROM h16
+         |  WHERE l_partkey BETWEEN 50 AND 149
+         |    AND l_suppkey BETWEEN 2 AND 7),
+         |hrl AS (SELECT v, lag(v) OVER (ORDER BY v) AS pv FROM hrc),
+         |hr AS (SELECT 'hilbert' AS layout, count(*) AS n_cells,
+         |  CASE WHEN count(*) = 0 THEN 0 ELSE 1 +
+         |    sum(CASE WHEN v - pv > 1 THEN 1 ELSE 0 END) END AS n_runs
+         |  FROM hrl),
+         |zrc AS (SELECT DISTINCT (x4 | (y4 << 1)) AS v FROM b4
+         |  WHERE l_partkey BETWEEN 50 AND 149
+         |    AND l_suppkey BETWEEN 2 AND 7),
+         |zrl AS (SELECT v, lag(v) OVER (ORDER BY v) AS pv FROM zrc),
+         |zr AS (SELECT 'zorder' AS layout, count(*) AS n_cells,
+         |  CASE WHEN count(*) = 0 THEN 0 ELSE 1 +
+         |    sum(CASE WHEN v - pv > 1 THEN 1 ELSE 0 END) END AS n_runs
+         |  FROM zrl),
+         |u AS (SELECT * FROM ha UNION ALL SELECT * FROM za),
+         |r AS (SELECT * FROM hr UNION ALL SELECT * FROM zr)
+         |SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+         |  CAST(width_part AS BIGINT) AS width_part,
+         |  CAST(width_supp AS BIGINT) AS width_supp,
+         |  CAST(part_domain AS BIGINT) AS part_domain,
+         |  CAST(supp_domain AS BIGINT) AS supp_domain,
+         |  CAST(width_part * 1000 // part_domain AS BIGINT)
+         |    AS depth_part_milli,
+         |  CAST(width_supp * 1000 // supp_domain AS BIGINT)
+         |    AS depth_supp_milli,
+         |  CAST(n_cells AS BIGINT) AS n_cells,
+         |  CAST(n_runs AS BIGINT) AS n_runs
+         |FROM u JOIN r USING (layout) CROSS JOIN dom"""
+    },
     // l5: the SAME join over the RAW parquet — values are
     // layout-independent; the exchange-free plan shape is pinned by
     // the committed signature, not the oracle

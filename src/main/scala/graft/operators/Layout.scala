@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering and the
@@ -151,10 +152,108 @@ object Layout {
       .unionByName(audit(expr("l_orderkey div 2048"), "natural"))
   }
 
+  /** Hilbert index of the 16-bit pair (x, y) — the textbook xy→d
+    * conversion (Hamilton's curve; the public-domain per-level
+    * rotate/reflect recipe) unrolled into 16 chained projections of
+    * integer CASE arithmetic, so the whole derivation runs in
+    * whole-stage codegen. Chained `withColumn`s keep the expression
+    * tree LINEAR: each level reads the previous level's named columns
+    * (CollapseProject does not inline multiply-referenced non-cheap
+    * CASEs), where a single nested Column expression would double in
+    * size per level. */
+  private[graft] def withHilbert(df: DataFrame, xn: String, yn: String,
+      out: String): DataFrame = {
+    var cur = df
+      .withColumn("hx", col(xn).bitwiseAND(lit(65535L)))
+      .withColumn("hy", col(yn).bitwiseAND(lit(65535L)))
+      .withColumn(out, lit(0L))
+    var s = 32768L
+    while (s >= 1L) {
+      val rx = col("hx").bitwiseAND(lit(s)) > 0
+      val ry = col("hy").bitwiseAND(lit(s)) > 0
+      cur = cur
+        .withColumn(out, col(out) + lit(s * s) *
+          when(rx && ry, 2L).when(rx, 3L).when(ry, 1L).otherwise(0L))
+        .withColumn("hnx",
+          when(!ry && rx, lit(65535L) - col("hy"))
+            .when(!ry, col("hy")).otherwise(col("hx")))
+        .withColumn("hny",
+          when(!ry && rx, lit(65535L) - col("hx"))
+            .when(!ry, col("hx")).otherwise(col("hy")))
+        .withColumn("hx", col("hnx"))
+        .withColumn("hy", col("hny"))
+      s /= 2L
+    }
+    cur.drop("hnx", "hny", "hx", "hy")
+  }
+
+  /** l6 — HILBERT vs Z-ORDER A/B. Two measurements per layout:
+    * (1) the l4 envelope audit at an aligned file grain — included to
+    * DOCUMENT that it ties: any quadrant-recursive curve's aligned
+    * 4096-position block is the same subsquare, so aligned-block
+    * envelopes cannot distinguish the curves; (2) the measurement that
+    * CAN — range-query clustering (Moon et al., the published Hilbert
+    * advantage): for a rectangular probe, the number of contiguous
+    * curve-index runs a scan must seek across. Hilbert's
+    * no-diagonal-jump walk needs fewer runs than Morton's Z jumps.
+    * The run count sorts only the probe region's distinct curve
+    * positions (value-grid bounded — region area, not corpus rows).
+    * Everything is integer bit arithmetic; the oracle re-derives the
+    * full 16-level rotate/reflect chain in SQL. */
+  def l6HilbertAb(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        zval(col("l_partkey"), col("l_suppkey")).as("z"))
+    val h = withHilbert(li, "l_partkey", "l_suppkey", "hv")
+    val dom = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey")) + 1)
+        .as("part_domain"),
+      (max(col("l_suppkey")) - min(col("l_suppkey")) + 1)
+        .as("supp_domain"))
+    // both dimensions' envelopes: at a grain where dim-1 buckets are
+    // already tight on either curve, the SECOND dimension's envelope
+    // width is where Hilbert's no-diagonal-jumps locality shows
+    def audit(df: DataFrame, bucket: Column, name: String) =
+      df.groupBy(bucket.as("bucket"))
+        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("max_p") - col("min_p") + 1).as("width_part"),
+          sum(col("max_s") - col("min_s") + 1).as("width_supp"))
+        .crossJoin(broadcast(dom))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("width_part"), col("width_supp"),
+          col("part_domain"), col("supp_domain"),
+          expr("width_part * 1000 div part_domain")
+            .as("depth_part_milli"),
+          expr("width_supp * 1000 div supp_domain")
+            .as("depth_supp_milli"))
+    def runs(df: DataFrame, idx: Column, name: String) = {
+      val cells = df
+        .filter(col("l_partkey").between(50, 149) &&
+          col("l_suppkey").between(2, 7))
+        .select(idx.as("v")).distinct()
+      val w = Window.orderBy("v")
+      cells.withColumn("jump",
+          when(col("v") - lag(col("v"), 1).over(w) > 1, 1L)
+            .otherwise(0L))
+        .agg(count(lit(1)).as("n_cells"), sum(col("jump")).as("j"))
+        .select(lit(name).as("layout"), col("n_cells"),
+          when(col("n_cells") === 0, 0L).otherwise(col("j") + 1)
+            .as("n_runs"))
+    }
+    audit(h, expr("hv div 4096"), "hilbert")
+      .join(runs(h, col("hv"), "hilbert"), Seq("layout"))
+      .unionByName(
+        audit(li, expr("z div 4096"), "zorder")
+          .join(runs(li, col("z"), "zorder"), Seq("layout")))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_zorder" -> l1Zorder _,
     "l2_compaction" -> l2Compaction _,
     "l3_layout_ab" -> l3LayoutAb _,
     "l4_cluster_depth" -> l4ClusterDepth _,
-    "l5_bucketed_join" -> Bucketing.l5BucketedJoin _)
+    "l5_bucketed_join" -> Bucketing.l5BucketedJoin _,
+    "l6_hilbert_ab" -> l6HilbertAb _)
 }

@@ -145,6 +145,69 @@ class Batch23Spec extends SparkSuite {
     assert(gotHits == wantHits)
   }
 
+  test("l6 Hilbert: engine index inverts through the textbook d2xy " +
+    "transform; audit rows cover both layouts consistently") {
+    import graft.operators.Layout
+    // textbook inverse (d2xy with per-level rot) — validating the
+    // engine's forward transform against the INVERSE catches a shared
+    // per-level mistake a mirrored forward reimplementation would not
+    def d2xy(dIn: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, dIn)
+      var s = 1L
+      while (s < 65536L) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val pts = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey & 65535 as x", "l_suppkey & 65535 as y")
+      .distinct().limit(500)
+    val hv = Layout.withHilbert(pts, "x", "y", "hv").collect()
+    assert(hv.length > 100)
+    hv.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      assert(d2xy(r.getAs[Long]("hv")) == ((x, y)),
+        s"d2xy(hv) != ($x, $y)")
+    }
+    // distinct points -> distinct indexes (injectivity on the sample)
+    assert(hv.map(_.getAs[Long]("hv")).distinct.length == hv.length)
+
+    val out = Layout.l6HilbertAb(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(out.keySet == Set("hilbert", "zorder"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("width_part") >= r.getAs[Long]("n_buckets"))
+      assert(r.getAs[Long]("width_supp") >= r.getAs[Long]("n_buckets"))
+      assert(r.getAs[Long]("depth_part_milli") ==
+        r.getAs[Long]("width_part") * 1000L /
+          r.getAs[Long]("part_domain"))
+      assert(r.getAs[Long]("depth_supp_milli") ==
+        r.getAs[Long]("width_supp") * 1000L /
+          r.getAs[Long]("supp_domain"))
+    }
+    // aligned-block envelopes TIE by construction (any
+    // quadrant-recursive curve's aligned block is the same subsquare);
+    // the clustering metric is where Hilbert wins (Moon et al.)
+    assert(out("hilbert").getAs[Long]("width_part") ==
+      out("zorder").getAs[Long]("width_part"))
+    val hRuns = out("hilbert").getAs[Long]("n_runs")
+    val zRuns = out("zorder").getAs[Long]("n_runs")
+    assert(out("hilbert").getAs[Long]("n_cells") ==
+      out("zorder").getAs[Long]("n_cells"))
+    assert(hRuns > 0 && zRuns > 0)
+    assert(hRuns < zRuns,
+      s"hilbert runs $hRuns should beat zorder runs $zRuns")
+  }
+
   test("ts23 P1 rollup: six checks, framing faults counted, healthy " +
     "capture clean on continuity/PID/CRC, cadence observed") {
     val rows = TsQueries.ts23Tr101290(spark, sf).collect()
