@@ -277,6 +277,21 @@ object SparkEntry {
         |FROM tok"""
 
   private def tsOracles: Map[String, String] = Map(
+    // ts24: same lag + wrap-guarded backward-step rule over the PES
+    // header dump
+    "ts24_pts_monotonic" -> {
+      s"""WITH p AS (SELECT seq, pid, pts FROM ${tsrel("pes_headers")}
+         |  WHERE pts IS NOT NULL),
+         |l AS (SELECT pid, pts,
+         |    lag(pts) OVER (PARTITION BY pid ORDER BY seq) AS prev
+         |  FROM p)
+         |SELECT pid, CAST(count(*) AS BIGINT) AS n_steps,
+         |  CAST(sum(CASE WHEN pts < prev AND prev - pts < 4294967296
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_backward,
+         |  CAST(max(CASE WHEN pts < prev AND prev - pts < 4294967296
+         |    THEN prev - pts END) AS BIGINT) AS max_backstep_90k
+         |FROM l WHERE prev IS NOT NULL GROUP BY pid"""
+    },
     // ts23: each TR 101 290 P1 class re-derived from the dumps — the
     // cadence threshold cross-multiplied in HUGEINT (the decimal(38,0)
     // twin of the engine's exact boundary)
@@ -2128,6 +2143,25 @@ object SparkEntry {
         |  CAST(nm.n_pairs AS BIGINT) AS n_pairs,
         |  r.slope_micro AS ts_slope_micro
         |FROM rk r JOIN nm USING (event_type) JOIN nd USING (event_type)
+        |WHERE r.rk = (nm.n_pairs + 1) // 2""",
+    // a46: same day grid, Walsh averages as x2 sums (i <= j), exact
+    // lower-median rank selection
+    "a46_hodges_lehmann" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |wa AS (SELECT a.event_type, a.c + b.c AS w2
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.day <= b.day),
+        |rk AS (SELECT event_type, w2, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY w2) AS rk FROM wa),
+        |nm AS (SELECT event_type, count(*) AS n_pairs FROM wa
+        |  GROUP BY 1)
+        |SELECT r.event_type, CAST(nm.n_pairs AS BIGINT) AS n_pairs,
+        |  r.w2 AS pseudo_median_x2_cents
+        |FROM rk r JOIN nm USING (event_type)
         |WHERE r.rk = (nm.n_pairs + 1) // 2""",
     // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
     // //), one final sqrt over identical inputs

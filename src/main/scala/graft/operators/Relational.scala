@@ -2564,6 +2564,34 @@ object Relational {
         col("slope_micro").as("ts_slope_micro"))
   }
 
+  /** a46 — HODGES–LEHMANN PSEUDO-MEDIAN of daily revenue per event
+    * type: the lower median of all Walsh averages (pairwise means over
+    * i ≤ j, self-pairs included) — the location estimator dual to
+    * a45's Theil–Sen slope: robust to outlier days yet far more
+    * efficient than the plain median under symmetric noise. Same
+    * calendar²-bounded pair space as a45 (daily aggregates first).
+    * Averages are kept as ×2 sums so every value is an exact integer;
+    * the ×2 scale is part of the output contract. */
+  def a46HodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    val pts = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    val walsh = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") <= col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.c") + col("b.c")).as("w2"))
+    val w = Window.partitionBy("event_type").orderBy("w2")
+    val n = walsh.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    walsh.withColumn("rk", row_number().over(w))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(expr("rk = (n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("w2").as("pseudo_median_x2_cents"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -2940,6 +2968,7 @@ object Relational {
     "a38_chi2_cells" -> a38Chi2 _,
     "a44_cramers_v" -> a44CramersV _,
     "a45_theil_sen" -> a45TheilSen _,
+    "a46_hodges_lehmann" -> a46HodgesLehmann _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,

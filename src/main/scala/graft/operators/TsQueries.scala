@@ -633,7 +633,36 @@ object TsQueries {
       .unionByName(pidRow).unionByName(crc)
   }
 
+  /** ts24 — PTS MONOTONICITY AUDIT: per ES PID, presentation stamps
+    * that step BACKWARD in arrival order (decoder-confusing unless
+    * B-frame reordering explains them), excluding legitimate 33-bit
+    * wraparound (a backward step of nearly 2^33 is the counter
+    * wrapping, not a regression — the standard guard). Complements
+    * ts7's range stats and ts22's PCR-lead audit with the ordering
+    * check itself. One window per PID over the PES layer only. */
+  def ts24PtsMonotonic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pes = pkts(s)
+      .filter(p => p.pusi && p.hasPayload)
+      .flatMap { p =>
+        graft.ts.PesCodec.parseHeader(p.payload)
+          .flatMap(h => h.pts.map(t => (p.seq, p.pid, t)))
+      }.toDF("seq", "pid", "pts")
+    val w = Window.partitionBy("pid").orderBy("seq")
+    pes.withColumn("prev", lag(col("pts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(when(col("pts") < col("prev") &&
+          col("prev") - col("pts") < 4294967296L, 1L).otherwise(0L))
+          .as("n_backward"),
+        max(when(col("pts") < col("prev") &&
+          col("prev") - col("pts") < 4294967296L,
+          col("prev") - col("pts"))).as("max_backstep_90k"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts24_pts_monotonic" -> ts24PtsMonotonic _,
     "ts23_tr101290" -> ts23Tr101290 _,
     "ts22_pts_pcr_lead" -> ts22PtsPcrLead _,
     "ts21_psi_cadence" -> ts21PsiCadence _,

@@ -60,6 +60,31 @@ class Batch23Spec extends SparkSuite {
     }
   }
 
+  test("a46 Hodges–Lehmann: engine pseudo-median equals brute-force " +
+    "Walsh-average median; ts24 sees ordered PTS on the clean capture") {
+    val out = Relational.a46HodgesLehmann(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val pts = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 as day",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { case (et, row) =>
+      val cs = pts(et).map(_.getAs[Long]("c")).sorted
+      val walsh = (for {
+        i <- cs.indices; j <- i until cs.length
+      } yield cs(i) + cs(j)).sorted
+      assert(row.getAs[Long]("n_pairs") == walsh.length.toLong)
+      assert(row.getAs[Long]("pseudo_median_x2_cents") ==
+        walsh((walsh.length + 1) / 2 - 1))
+    }
+    // the reference capture's PES stamps are monotone per PID
+    val ts24 = TsQueries.ts24PtsMonotonic(spark, sf).collect()
+    assert(ts24.nonEmpty)
+    ts24.foreach(r => assert(r.getAs[Long]("n_backward") == 0L))
+  }
+
   test("t62 fertility: language totals reconcile with t4 and t9, " +
     "ratios sit on the integer grid") {
     val out = TextOps.t62Fertility(spark, sf).collect()
