@@ -4618,6 +4618,47 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score
         |FROM r WHERE rnk <= 3""",
+    // t64: t3's ratio and t22's keep verdict re-derived, decile
+    // buckets over identical doubles (bit-equal floor), integer rollup
+    "t64_calibration" ->
+      """WITH q AS (SELECT doc_id,
+        |    least(9, CAST(floor(
+        |      CAST(len(list_filter(regexp_split_to_array(trim(text),
+        |        '\s+'), t -> t IN ('the','a','of','to','and')))
+        |        AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS DOUBLE) * 10) AS BIGINT)) AS bucket
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nchars,
+        |    length(regexp_replace(text, '[^#…]', '', 'g')) AS nsym
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(t) AS n_words,
+        |    CAST(nchars AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(nsym AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |      AS symbol_ratio,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x,
+        |      '[A-Za-z]'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |      AS alpha_word_frac,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','to','and','in','is','that'], x)))
+        |      AS n_stopwords
+        |  FROM b),
+        |g AS (SELECT doc_id,
+        |    (n_words >= 50 AND n_words <= 100000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |      AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |      AND n_stopwords >= 2) AS keep
+        |  FROM c)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS keep_ppm
+        |FROM q JOIN g USING (doc_id) GROUP BY bucket""",
     "t22_gopher_filter" ->
       """WITH b AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS t,

@@ -1286,6 +1286,27 @@ object TextOps {
       gopherStopCnt.as("n_stopwords"),
       gopherKeep.as("keep"))
 
+  /** t64 — SCORE→FILTER CALIBRATION TABLE: does the cheap t3 quality
+    * score predict the expensive t22 Gopher verdict? Decile-bucket the
+    * stopword ratio and report the keep rate per bucket — the
+    * reliability diagram a pipeline reads before swapping a full
+    * filter cascade for a single cheap score threshold at 100 TB
+    * (monotone keep_ppm over buckets = the score is a usable proxy).
+    * Integer output; both scans are row-local projections and the
+    * rollup is decile-bounded. */
+  def t64Calibration(s: SparkSession, d: String): DataFrame =
+    t3QualityScore(s, d)
+      .select(col("doc_id"),
+        least(lit(9L), floor(col("stopword_ratio") * 10).cast("long"))
+          .as("bucket"))
+      .join(gopherFilterOf(documents(s, d))
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("bucket"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+
   /** t20: deterministic stratified sampling — per-language keep rates
     * (rebalance an over-represented language corpus: en 10%, zh 30%,
     * rest 50%) decided by a content-derived hash bucket, so the sample
@@ -2442,6 +2463,7 @@ object TextOps {
     "t60_mix_entropy" -> t60MixEntropy _,
     "t61_lsh_cost" -> t61LshCost _,
     "t62_fertility" -> t62Fertility _,
+    "t64_calibration" -> t64Calibration _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

@@ -107,6 +107,25 @@ class Batch23Spec extends SparkSuite {
     assert(totTok == t9)
   }
 
+  test("t64 calibration: buckets partition the corpus, keep counts " +
+    "reconcile with t22's verdicts") {
+    val out = TextOps.t64Calibration(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+    val keepTotal = out.map(_.getAs[Long]("n_keep")).sum
+    val t22Keep = TextOps.t22GopherFilter(spark, sf)
+      .filter(col("keep")).count()
+    assert(keepTotal == t22Keep)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_ppm") ==
+        r.getAs[Long]("n_keep") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("e26 MRR: rerank places the exact top-1 at rank 1 for every " +
     "query it retrieves; values live on the x60 reciprocal grid") {
     import graft.operators.Similarity
