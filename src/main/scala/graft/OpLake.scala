@@ -64,6 +64,10 @@ object OpLake {
     // boolean of state per CDC chunk hash across a (doc_id, off)-
     // ordered 4-batch replay
     save(streaming.TwsOps.chunkReplay(s, d), "stream_chunk_ingest")
+    // g8's forest: the oracle re-verifies the MSF CERTIFICATE against
+    // an independently re-derived backbone (subset/spanning/count/
+    // cycle-property via keyed recursive closure) — not a replay
+    save(operators.Graph.g8SpanningForest(s, d), "g8_msf")
     // t50's idf model: ln computed once (Spark), both engines read the
     // same bits; the oracle re-derives tf/dl/scoring relationally
     save(operators.TextOps.t50Idf(s, d), "t50_idf")

@@ -1589,6 +1589,63 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_suppliers
         |FROM lab GROUP BY 1""",
+    // g8: certificate verification, not a Borůvka replay — the dumped
+    // forest must be a subset of the re-derived backbone, span G's
+    // exact components with |T| = |V| - c, and satisfy the cycle
+    // property (each non-tree edge's endpoints connected through
+    // strictly smaller-key tree edges, via a keyed recursive closure);
+    // any violation emits poison rows and fails the hash gate
+    "g8_spanning_forest" ->
+      s"""WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p,
+         |    l_suppkey AS sup FROM lineitem),
+         |co AS (SELECT a.sup AS s_a, b.sup AS s_b, count(*) AS n_shared
+         |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+         |  GROUP BY 1, 2),
+         |ed AS (SELECT s_a AS a, s_b AS b, n_shared,
+         |    (1000000 - n_shared) * 1099511627776
+         |      + s_a * 1048576 + s_b AS k
+         |  FROM co ORDER BY n_shared DESC, s_a, s_b LIMIT 2000),
+         |t AS (SELECT a, b, n_shared,
+         |    (1000000 - n_shared) * 1099511627776
+         |      + a * 1048576 + b AS k
+         |  FROM ${oprel("g8_msf")}),
+         |nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM ed
+         |  UNION ALL SELECT b FROM ed)),
+         |notsub AS (SELECT t.a FROM t LEFT JOIN ed
+         |  ON t.a = ed.a AND t.b = ed.b WHERE ed.a IS NULL),
+         |ged AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |ted AS (SELECT a, b FROM t UNION ALL SELECT b, a FROM t),
+         |greach(n, comp) AS (SELECT n, n FROM nodes UNION
+         |  SELECT e.a, r.comp FROM ged e JOIN greach r ON e.b = r.n),
+         |glab AS (SELECT n, min(comp) AS comp FROM greach GROUP BY 1),
+         |treach(n, comp) AS (SELECT n, n FROM nodes UNION
+         |  SELECT e.a, r.comp FROM ted e JOIN treach r ON e.b = r.n),
+         |tlab AS (SELECT n, min(comp) AS comp FROM treach GROUP BY 1),
+         |compviol AS (SELECT g.n FROM glab g JOIN tlab s ON g.n = s.n
+         |  WHERE g.comp <> s.comp),
+         |cntviol AS (SELECT 1 AS v FROM
+         |  (SELECT count(*) AS nt FROM t) x,
+         |  (SELECT count(*) AS nv FROM nodes) y,
+         |  (SELECT count(DISTINCT comp) AS nc FROM glab) z
+         |  WHERE x.nt <> y.nv - z.nc),
+         |nt AS (SELECT ed.a, ed.b, ed.k,
+         |    row_number() OVER (ORDER BY ed.k) AS eid
+         |  FROM ed LEFT JOIN t ON ed.a = t.a AND ed.b = t.b
+         |  WHERE t.a IS NULL),
+         |kreach(eid, n) AS (
+         |  SELECT eid, a FROM nt
+         |  UNION
+         |  SELECT r.eid,
+         |    CASE WHEN tt.a = r.n THEN tt.b ELSE tt.a END
+         |  FROM kreach r JOIN nt e ON e.eid = r.eid
+         |  JOIN t tt ON (tt.a = r.n OR tt.b = r.n) AND tt.k < e.k),
+         |cycviol AS (SELECT nt.eid FROM nt LEFT JOIN kreach r
+         |  ON r.eid = nt.eid AND r.n = nt.b WHERE r.n IS NULL)
+         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared FROM t
+         |UNION ALL SELECT -1, -1, -1 FROM notsub
+         |UNION ALL SELECT -2, -2, -2 FROM compviol
+         |UNION ALL SELECT -3, -3, -3 FROM cntviol
+         |UNION ALL SELECT -4, -4, -4 FROM cycviol""",
     // g3: per-part bounded pair join; integer ppm jaccard
     "g3_cosupplier" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup

@@ -352,7 +352,109 @@ object Graph {
       .select(col("s_a").as("supplier"), col("core_deg"))
   }
 
+  /** g8 — MAXIMUM-SIMILARITY SPANNING FOREST (Borůvka over the
+    * co-supplier backbone): the classic "backbone extraction" of a
+    * similarity graph — keep the strongest acyclic skeleton, the
+    * structure-summary tool (Tumminello et al.'s MST of correlation
+    * graphs; NetworkX `maximum_spanning_tree`) a corpus-relations or
+    * supplier-network analysis runs. Implemented as distributed
+    * Borůvka: each round every component picks its minimum-key
+    * incident crossing edge (key = (1M − n_shared, s_a, s_b) packed
+    * into one collision-free long — MAX similarity under an ascending
+    * total order with deterministic ties), picked edges join the
+    * forest, components merge via the shared label-propagation
+    * closure. Rounds halve the component count, so the loop is
+    * O(log V) with the g7-style loud cap; per-round state is
+    * component-scaled (suppliers, a dimension, never the fact table).
+    * The oracle does NOT mirror Borůvka: it reads the dumped forest
+    * and independently verifies the MSF CERTIFICATE — tree ⊆ edges,
+    * spanning with G's exact components, |T| = |V| − c, and the cycle
+    * property per non-tree edge (endpoints connected through strictly
+    * smaller-key tree edges via a keyed recursive closure) — which for
+    * distinct keys characterizes the unique MSF; any violation poisons
+    * the oracle relation and fails the hash gate loudly. */
+  /** The keyed top-2000 backbone g8 runs on: key = (1M − n_shared,
+    * s_a, s_b) packed into one collision-free ascending long
+    * (n_shared < 1M and supplier ids < 2^20 at any plausible SF —
+    * both dimension-scaled). */
+  private[graft] def g8Backbone(s: SparkSession, d: String): DataFrame =
+    coPairs(s, d)
+      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+      .limit(2000)
+      .select(col("s_a").as("a"), col("s_b").as("b"), col("n_shared"),
+        ((lit(1000000L) - col("n_shared")) * lit(1099511627776L) +
+          col("s_a") * lit(1048576L) + col("s_b")).as("k"))
+
+  def g8SpanningForest(s: SparkSession, d: String,
+      maxIters: Int = 16): DataFrame = {
+    import s.implicits._
+    val edges = g8Backbone(s, d).cache()
+    var labels = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    // forest edges and the per-round component merges are both
+    // COMPONENT-scaled (≤ suppliers, a dimension) — the same
+    // bounded-driver-model class as the k-means centroids: the heavy
+    // relation (edges × labels, the per-component min selection) stays
+    // distributed; only the ≤|V|-row round result lands on the driver
+    val treeBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val la = labels.select(col("node").as("a"), col("comp").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("comp").as("cb"))
+      val e = struct(col("k"), col("a"), col("b"), col("n_shared"),
+        col("ca"), col("cb"))
+      val chosen = edges.join(la, Seq("a")).join(lb, Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("c"), e.as("e"))
+        .union(edges.join(la, Seq("a")).join(lb, Seq("b"))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("cb").as("c"), e.as("e")))
+        .groupBy("c").agg(min(col("e")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"),
+          col("e.n_shared").as("n_shared"),
+          col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct()
+        .collect()
+      if (chosen.isEmpty) done = true
+      else {
+        treeBuf ++= chosen.map(r => (r.getAs[Long]("a"),
+          r.getAs[Long]("b"), r.getAs[Long]("n_shared")))
+        // driver union-find over the round's component merges
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        chosen.foreach { r =>
+          val (ra, rb) =
+            (find(r.getAs[Long]("ca")), find(r.getAs[Long]("cb")))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val mapping = parent.keys.map(c => (c, find(c))).toSeq
+          .filter { case (c, r) => c != r }
+        labels = labels
+          .join(broadcast(mapping.toDF("comp", "newc")),
+            Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("newc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        iter += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"g8 spanning forest: components not merged after $maxIters " +
+          "Borůvka rounds — raise maxIters")
+    treeBuf.toSeq.toDF("a", "b", "n_shared")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_spanning_forest" -> ((s: SparkSession, d: String) =>
+      g8SpanningForest(s, d)),
     "g7_kcore" -> g7Kcore _,
     "g6_resource_alloc" -> g6ResourceAlloc _,
     "g1_pagerank" -> ((s: SparkSession, d: String) => g1PageRank(s, d)),

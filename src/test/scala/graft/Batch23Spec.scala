@@ -189,6 +189,31 @@ class Batch23Spec extends SparkSuite {
     assert(gotHits == wantHits)
   }
 
+  test("g8 spanning forest: Borůvka equals a driver-side Kruskal " +
+    "with union-find over the same backbone") {
+    import graft.operators.Graph
+    val got = Graph.g8SpanningForest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // independent algorithm: Kruskal + union-find on the collected
+    // backbone, same (1M - n_shared, a, b) ascending key order
+    val edges = graft.operators.Graph
+      .g8Backbone(spark, sf).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("a"),
+        r.getAs[Long]("b")))
+      .sortBy(_._1)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = edges.flatMap { case (_, a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; Some((a, b)) } else None
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("l6 Hilbert: engine index inverts through the textbook d2xy " +
     "transform; audit rows cover both layouts consistently") {
     import graft.operators.Layout
