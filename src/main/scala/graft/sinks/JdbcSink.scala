@@ -81,6 +81,48 @@ object JdbcSink {
     }
   }
 
+  /** The EXACTLY-ONCE streaming leg (§2.13): the `foreachBatch` body a
+    * `writeStream` uses against this store. Two layers compose the
+    * guarantee: the keyed delete+insert is idempotent (a re-run of the
+    * same rows converges), and an epoch LEDGER (`<table>_epochs`)
+    * makes a retried epoch a structural no-op — covering even the
+    * window where a crash landed the data but not the ledger row (the
+    * retry re-upserts idempotently, then records). This is the
+    * standard exactly-once-to-JDBC recipe for Structured Streaming,
+    * whose own guarantee stops at at-least-once delivery of each
+    * (epochId, data) pair to foreachBatch. Returns true when the
+    * epoch was applied, false when the ledger skipped it. */
+  def exactlyOnceBatch(df: DataFrame, keyCol: String, url: String,
+      table: String, epochId: Long): Boolean = {
+    ensureTable(url, table, df.schema)
+    ensureTable(url, s"${table}_epochs", StructType(Seq(
+      StructField("epoch_id", LongType))))
+    val conn = DriverManager.getConnection(url)
+    val seen =
+      try {
+        val st = conn.prepareStatement(
+          s"SELECT count(*) FROM ${table}_epochs WHERE epoch_id = ?")
+        st.setLong(1, epochId)
+        val rs = st.executeQuery()
+        rs.next()
+        val n = rs.getLong(1)
+        st.close()
+        n > 0
+      } finally conn.close()
+    if (!seen) {
+      upsertByKey(df, keyCol, url, table)
+      val c2 = DriverManager.getConnection(url)
+      try {
+        val st = c2.prepareStatement(
+          s"INSERT INTO ${table}_epochs VALUES (?)")
+        st.setLong(1, epochId)
+        st.executeUpdate()
+        st.close()
+      } finally c2.close()
+    }
+    !seen
+  }
+
   /** The `bson_compare` readback step (`:313-336`): re-read the batch's
     * keys over JDBC and count symmetric differences (0 = verified). */
   def verifyUpsert(df: DataFrame, keyCol: String, url: String,
