@@ -2251,6 +2251,29 @@ object SparkEntry {
         |FROM agg CROSS JOIN lv""",
     // w35: sessions re-derived (the a36 CTEs), then a DIRECT global
     // sweep + duration-weighted rank vs Spark's two-level plan
+    // w36: one global running-max window in the oracle (row-scaled is
+    // fine there) vs the engine's two-level chunked derivation — the
+    // hash match proves seam correctness
+    "w36_late_audit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+        |  FROM events),
+        |f AS (SELECT event_id, tsu,
+        |    max(tsu) OVER (ORDER BY user_id, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM e),
+        |l AS (SELECT tsu // 86400000000 AS day,
+        |    CASE WHEN frontier > tsu THEN frontier - tsu ELSE 0 END
+        |      AS late_us
+        |  FROM f)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_1m,
+        |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_10m,
+        |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_60m
+        |FROM l GROUP BY day""",
     "w35_concurrency_pctile" ->
       """WITH f AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -2242,6 +2242,49 @@ object Relational {
     * broadcast) carrying each bucket's first boundary. The final
     * cumulative runs over the DISTINCT concurrency grid (≤ peak —
     * value-bounded, the a8/a25 documented-boundedness rule). */
+  /** w36 — LATE-DATA AUDIT of a planned ingest order (the watermark
+    * planner): before replaying a USER-PARTITIONED export through a
+    * streaming job (arrival order = user after user, each user's
+    * events in time order — the standard bulk-backfill layout),
+    * measure how far behind the event-time frontier every event would
+    * arrive. Per event-day: events more than 1/10/60 minutes late.
+    * Reading this table IS choosing `withWatermark` for the backfill:
+    * the 10-minute column says exactly how many rows a 10-minute
+    * watermark would drop (the live event_id order is fully sorted in
+    * this corpus — lateness there is zero; the per-key replay is where
+    * the planner earns its keep). The running frontier uses the
+    * two-level pattern: per-user local window + a broadcast user-grid
+    * carry — no global row window over a 100-TB arrival log; all
+    * lateness arithmetic is integer microseconds. */
+  def w36LateAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"),
+        expr("unix_micros(ts)").as("tsu"),
+        col("user_id").as("chunk"))
+    val wloc = Window.partitionBy("chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wgrid = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev.groupBy("chunk").agg(max(col("tsu")).as("cmax"))
+      .withColumn("carry_prev", max(col("cmax")).over(wgrid))
+      .select("chunk", "carry_prev")
+    ev.withColumn("loc_prev", max(col("tsu")).over(wloc))
+      .join(broadcast(carry), Seq("chunk"))
+      .withColumn("frontier",
+        greatest(coalesce(col("loc_prev"), lit(Long.MinValue)),
+          coalesce(col("carry_prev"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("frontier") > col("tsu"),
+          col("frontier") - col("tsu")).otherwise(0L))
+      .groupBy(expr("tsu div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+          .as("n_late_1m"),
+        sum(when(col("late_us") > 600000000L, 1L).otherwise(0L))
+          .as("n_late_10m"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("n_late_60m"))
+  }
+
   def w35ConcurrencyPctile(s: SparkSession, d: String): DataFrame = {
     val deltas = w8SessionAgg(s, d)
       .select(explode(array(
@@ -2970,6 +3013,7 @@ object Relational {
     "a45_theil_sen" -> a45TheilSen _,
     "a46_hodges_lehmann" -> a46HodgesLehmann _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
+    "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,
     "w30_ltv_triangle" -> w30LtvTriangle _,
     "w29_top_paths" -> w29TopPaths _,

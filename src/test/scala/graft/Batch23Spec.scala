@@ -189,6 +189,36 @@ class Batch23Spec extends SparkSuite {
     assert(gotHits == wantHits)
   }
 
+  test("w36 late audit: two-level frontier equals a sequential " +
+    "driver-side replay") {
+    val got = Relational.w36LateAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_late_1m"),
+          r.getAs[Long]("n_late_10m"), r.getAs[Long]("n_late_60m")))
+      .toMap
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as tsu")
+      .collect().map(r => ((r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id")), r.getAs[Long]("tsu")))
+      .sortBy(_._1)
+    var frontier = Long.MinValue
+    val agg = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    rows.foreach { case (_, tsu) =>
+      val late = if (frontier > tsu) frontier - tsu else 0L
+      val a = agg.getOrElseUpdate(tsu / 86400000000L, Array(0L, 0, 0, 0))
+      a(0) += 1
+      if (late > 60000000L) a(1) += 1
+      if (late > 600000000L) a(2) += 1
+      if (late > 3600000000L) a(3) += 1
+      frontier = math.max(frontier, tsu)
+    }
+    assert(got == agg.map { case (d, a) =>
+      d -> ((a(0), a(1), a(2), a(3)))
+    }.toMap)
+    // the synthetic log has real out-of-order arrivals to audit
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("g8 spanning forest: Borůvka equals a driver-side Kruskal " +
     "with union-find over the same backbone") {
     import graft.operators.Graph
