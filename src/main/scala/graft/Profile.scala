@@ -12,7 +12,8 @@ object Profile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val catalog = SparkEntry.queries ++ graft.operators.TextOps.diag ++
       graft.operators.Similarity.diag ++ graft.operators.Graph.diag ++
-      graft.operators.Relational.diag ++ graft.operators.Skew.diag
+      graft.operators.Relational.diag ++ graft.operators.Skew.diag ++
+      graft.operators.Multimodal.diag
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -27,13 +27,15 @@ object Multimodal {
     * the char count) — every segment/frame grid derives from it, and a
     * char-count grid would under-cover multibyte payloads. The DuckDB
     * oracles mirror it as octet_length(encode(text)). */
+  private[graft] def mediaOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      col("source").as("format"),
+      length(col("text").cast("binary")).as("n_bytes"))
+
   def media(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(
-        col("doc_id"),
-        col("text").cast("binary").as("media"),
-        col("source").as("format"),
-        length(col("text").cast("binary")).as("n_bytes"))
+    mediaOf(documents(s, d))
 
   /** m1 — metadata projection + content fingerprint: reads ONLY the
     * cheap columns + one pass over the payload for the hash; at scale
@@ -310,7 +312,10 @@ object Multimodal {
     * a two-level aggregate on the 16-byte hash; payload bytes never
     * shuffle (the hash and n_bytes do). */
   def m10CasSavings(s: SparkSession, d: String): DataFrame =
-    media(s, d)
+    m10CasSavingsOf(media(s, d))
+
+  private[graft] def m10CasSavingsOf(m: DataFrame): DataFrame =
+    m
       .groupBy(col("format"), md5(col("media")).as("h"), col("n_bytes"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy("format")
@@ -325,12 +330,14 @@ object Multimodal {
     * [[graft.functions.CdcChunk]] expression — dumped by
     * [[graft.OpLake]] so the m12 oracle re-derives the dedup
     * accounting from the identical split. */
-  private[graft] def m12Chunks(s: SparkSession, d: String): DataFrame =
-    media(s, d)
-      .select(col("doc_id"), col("format"),
+  private[graft] def m12ChunksOf(m: DataFrame): DataFrame =
+    m.select(col("doc_id"), col("format"),
         explode(graft.functions.CdcChunk(col("media"))).as("c"))
       .select(col("doc_id"), col("format"), col("c.off").as("off"),
         col("c.len").as("len"), col("c.hash").as("hash"))
+
+  private[graft] def m12Chunks(s: SparkSession, d: String): DataFrame =
+    m12ChunksOf(media(s, d))
 
   /** m12 — CONTENT-DEFINED CHUNK DEDUP (FastCDC gear-hash split, the
     * LBFS/Venti recipe): the chunk-level extension of m10's whole-asset
@@ -344,8 +351,11 @@ object Multimodal {
     * (format, hash, len) triples shuffle — payload bytes never leave
     * the scan, the chunk split runs inside whole-stage codegen, and
     * the rollup combines map-side. */
-  def m12CdcDedup(s: SparkSession, d: String): DataFrame = {
-    val perHash = m12Chunks(s, d)
+  def m12CdcDedup(s: SparkSession, d: String): DataFrame =
+    m12CdcDedupOf(media(s, d))
+
+  private[graft] def m12CdcDedupOf(m: DataFrame): DataFrame = {
+    val perHash = m12ChunksOf(m)
       .groupBy("format", "hash", "len")
       .agg(count(lit(1)).as("cnt"))
     perHash.groupBy("format").agg(
@@ -353,7 +363,7 @@ object Multimodal {
         count(lit(1)).as("n_unique_chunks"),
         sum(expr("cnt * cast(len as bigint)")).as("bytes_total"),
         sum(col("len").cast("long")).as("bytes_unique"))
-      .join(m10CasSavings(s, d).select(col("format"),
+      .join(m10CasSavingsOf(m).select(col("format"),
         (col("bytes_total") - col("bytes_saved"))
           .as("bytes_unique_whole")), Seq("format"))
       .select(col("format"), col("n_chunks"), col("n_unique_chunks"),
@@ -412,6 +422,25 @@ object Multimodal {
         when(col("doc_id") === col("first_doc"), col("n_bytes"))
           .otherwise(0L).as("bytes_written"))
   }
+
+  /** Scale-stress probe (Profile-only, the z-family convention):
+    * z28 runs the CDC dedup at `stressReps`× where every replica gets
+    * a DISTINCT i-dependent prefix prepended — all whole-asset hashes
+    * differ (CAS reclaims nothing across replicas), yet every payload
+    * tail re-aligns after the first content boundary, so chunk-level
+    * unique bytes must stay near the base corpus' (+ O(reps × docs ×
+    * chunk) boundary slop) while total bytes grow ~reps×. The
+    * adversarial shape CDC exists for, measured. */
+  def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z28_m12_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until TextOps.stressReps).map(i =>
+          documents(s, d).select(
+            (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            concat(lit("v" * i + ":"), col("text")).as("text"),
+            col("source")))
+        .reduce(_ unionByName _)
+      m12CdcDedupOf(mediaOf(reps))
+    }))
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_cdc_dedup" -> m12CdcDedup _,
