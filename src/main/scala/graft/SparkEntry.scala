@@ -2220,6 +2220,83 @@ object SparkEntry {
         |  r.w2 AS pseudo_median_x2_cents
         |FROM rk r JOIN nm USING (event_type)
         |WHERE r.rk = (nm.n_pairs + 1) // 2""",
+    // a47: combined x2 midranks re-derived via min-rank + tie-count
+    // windows; DuckDB's flooring // matches Spark's positive-mod div
+    "a47_mann_whitney" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS weekend
+        |  FROM events),
+        |rk AS (SELECT event_type, weekend,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY event_type, cents) - 1
+        |      AS midrank2
+        |  FROM ev),
+        |ag AS (SELECT event_type,
+        |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS n_we,
+        |    sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS n_wd,
+        |    sum(CASE WHEN weekend THEN midrank2 ELSE 0 END) AS r2_we
+        |  FROM rk GROUP BY 1),
+        |u AS (SELECT event_type, n_we, n_wd,
+        |    r2_we - n_we * (n_we + 1) AS u2_we,
+        |    2 * n_we * n_wd - (r2_we - n_we * (n_we + 1)) AS u2_wd
+        |  FROM ag)
+        |SELECT event_type, CAST(n_we AS BIGINT) AS n_we,
+        |  CAST(n_wd AS BIGINT) AS n_wd,
+        |  CAST(u2_we AS BIGINT) AS u2_we,
+        |  CAST(u2_wd AS BIGINT) AS u2_wd,
+        |  CAST(((u2_we - u2_wd) * 1000000
+        |    - ((((u2_we - u2_wd) * 1000000) % (2 * n_we * n_wd)
+        |      + 2 * n_we * n_wd) % (2 * n_we * n_wd)))
+        |    // (2 * n_we * n_wd) AS BIGINT) AS rb_ppm
+        |FROM u""",
+    // a48: a45's daily pair space, concordant/discordant census;
+    // flooring // on the signed tau matches the positive-mod div
+    "a48_kendall_tau" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type,
+        |    CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS nc,
+        |    CASE WHEN b.c < a.c THEN 1 ELSE 0 END AS nd
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(nc) AS BIGINT) AS nc,
+        |  CAST(sum(nd) AS BIGINT) AS nd,
+        |  CAST(count(*) - sum(nc) - sum(nd) AS BIGINT) AS n_ties,
+        |  CAST(((sum(nc) - sum(nd)) * 1000000
+        |    - ((((sum(nc) - sum(nd)) * 1000000) % count(*)
+        |      + count(*)) % count(*))) // count(*) AS BIGINT)
+        |    AS tau_ppm
+        |FROM pr GROUP BY 1""",
+    // w37: lifetimes re-derived directly; reverse running sum over the
+    // week grid re-derives the at-risk population
+    "w37_survival" ->
+      """WITH dy AS (SELECT user_id, epoch_us(ts) // 86400000000
+        |    AS day FROM events),
+        |lf AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM dy GROUP BY 1),
+        |mx AS (SELECT max(day) AS dend FROM dy),
+        |lw AS (SELECT (d1 - d0) // 7 AS week,
+        |    (dend - d1) < 14 AS censored FROM lf CROSS JOIN mx),
+        |gr AS (SELECT week,
+        |    sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS n_churn,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM lw GROUP BY 1),
+        |rs AS (SELECT week, n_churn, n_censored,
+        |    sum(n_churn + n_censored) OVER (ORDER BY week DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_risk
+        |  FROM gr)
+        |SELECT week, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_churn AS BIGINT) AS n_churn,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(n_churn * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+        |FROM rs""",
     // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
     // //), one final sqrt over identical inputs
     "a44_cramers_v" ->
@@ -3336,6 +3413,42 @@ object SparkEntry {
         |  CAST(3 * tri.n_triangles * 1000000 // tot.n_wedges AS BIGINT)
         |    AS clustering_ppm
         |FROM tri CROSS JOIN tot""",
+    // g9: g4's backbone/orientation CTEs, but the closure keeps the
+    // wedge center and each triangle is exploded into its three
+    // member nodes for the per-vertex census
+    "g9_local_clustering" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |  FROM lineitem),
+        |pr AS (SELECT a.sup AS s_a, b.sup AS s_b, count(*) AS n_shared
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT s_a, s_b FROM pr
+        |  ORDER BY n_shared DESC, s_a, s_b LIMIT 2000),
+        |nd AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT s_a AS node FROM ed
+        |    UNION ALL SELECT s_b FROM ed) GROUP BY 1),
+        |ky AS (SELECT node, deg * 1000000000000 + node AS k FROM nd),
+        |ori AS (SELECT
+        |    CASE WHEN ka.k < kb.k THEN e.s_a ELSE e.s_b END AS u,
+        |    CASE WHEN ka.k < kb.k THEN e.s_b ELSE e.s_a END AS v,
+        |    CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS kv
+        |  FROM ed e JOIN ky ka ON e.s_a = ka.node
+        |  JOIN ky kb ON e.s_b = kb.node),
+        |wg AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |  FROM ori e1 JOIN ori e2
+        |  ON e1.u = e2.u AND e1.kv < e2.kv),
+        |tr AS (SELECT u, v, w FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM ori o
+        |    WHERE o.u = wg.v AND o.v = wg.w)),
+        |tn AS (SELECT node, count(*) AS n_tri FROM (
+        |    SELECT u AS node FROM tr UNION ALL SELECT v FROM tr
+        |    UNION ALL SELECT w FROM tr) GROUP BY 1)
+        |SELECT nd.node, CAST(nd.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(coalesce(tn.n_tri, 0) * 2000000
+        |    // (nd.deg * (nd.deg - 1)) AS BIGINT) AS lcc_ppm
+        |FROM nd LEFT JOIN tn ON nd.node = tn.node
+        |WHERE nd.deg >= 2""",
     // t51: the quantized Stupid Backoff models are read from the Spark
     // dump (ln computed once); the oracle re-derives the held-out
     // split, pair explode, three-branch coalesce and decimal mean
@@ -4573,6 +4686,29 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_singletons
          |FROM bk GROUP BY band""",
+    // t65: same temperature-scaled allocation; sqrt is IEEE-exact so
+    // floor(sqrt) matches bit-for-bit; HUGEINT mirrors decimal(38,0)
+    "t65_mix_planner" ->
+      """WITH ps AS (SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+        |    AS BIGINT) AS weight FROM ps),
+        |tot AS (SELECT sum(weight) AS wsum,
+        |    sum(n_tokens) // 2 AS budget FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CAST(weight AS HUGEINT) * 1000000 // wsum AS BIGINT)
+        |    AS target_share_ppm,
+        |  CAST(CAST(budget AS HUGEINT) * weight // wsum AS BIGINT)
+        |    AS planned_tokens,
+        |  CAST(least(1000000, (CAST(budget AS HUGEINT) * weight
+        |    // wsum) * 1000000 // n_tokens) AS BIGINT)
+        |    AS sample_rate_ppm,
+        |  CAST((CAST(budget AS HUGEINT) * weight // wsum) * 1000
+        |    // n_tokens AS BIGINT) AS epochs_milli
+        |FROM w CROSS JOIN tot""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

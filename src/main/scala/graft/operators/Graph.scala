@@ -196,29 +196,10 @@ object Graph {
     * |V|, |E|, open-wedge count Σ C(deg,2), triangle count, and the
     * global clustering coefficient in integer ppm. */
   def g4Triangles(s: SparkSession, d: String): DataFrame = {
-    val edges = coPairs(s, d)
-      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
-      .limit(2000)
-      .select("s_a", "s_b")
-      // consumed 4× (degrees, both orientation joins, |E|); ≤ 2000 rows
-      // by construction at any SF, so caching is always cheap
-      .cache()
+    val edges = backboneEdges(s, d)
     val deg = edges.select(explode(array(col("s_a"), col("s_b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // total order by (deg, id), packed into one collision-free long
-    val keyed = deg.select(col("node"),
-      (col("deg") * lit(1000000000000L) + col("node")).as("k"))
-    val oriented = edges
-      .join(keyed.select(col("node").as("s_a"), col("k").as("ka")), "s_a")
-      .join(keyed.select(col("node").as("s_b"), col("k").as("kb")), "s_b")
-      .select(
-        when(col("ka") < col("kb"), col("s_a")).otherwise(col("s_b"))
-          .as("u"),
-        when(col("ka") < col("kb"), col("s_b")).otherwise(col("s_a"))
-          .as("v"),
-        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
-          .as("kv"))
-      .cache() // consumed 3×: both wedge sides + the closure probe
+    val oriented = backboneOriented(s, d)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
@@ -235,6 +216,81 @@ object Graph {
         col("n_triangles"),
         expr("3 * n_triangles * 1000000 div n_wedges")
           .as("clustering_ppm"))
+  }
+
+  /** The top-2000 co-supplier backbone (by shared-part support, ties
+    * by id — deterministic at every SF) g4 and g9 share: consumed 4×
+    * per query (degrees, both orientation joins, |E|) and by both
+    * queries per session, so it rides the session memo like psRel /
+    * coPairs. ≤ 2000 rows by construction — always cheap to pin. */
+  private[graft] def backboneEdges(s: SparkSession, d: String): DataFrame =
+    memo(s, d + "#bb_edges")(coPairs(s, d)
+      .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+      .limit(2000)
+      .select("s_a", "s_b")
+      .cache())
+
+  /** The degree-ordered orientation of [[backboneEdges]]: each edge
+    * directed from its lower-(deg, id) endpoint (total order packed
+    * into one collision-free long), which bounds wedge fan-out by
+    * out-degree — the Schank/Wagner bound that makes distributed
+    * triangle counting tractable. Consumed 3× per query (both wedge
+    * sides + the closure probe) by g4 AND g9 → session memo. */
+  private[graft] def backboneOriented(s: SparkSession, d: String)
+      : DataFrame =
+    memo(s, d + "#bb_oriented") {
+      val edges = backboneEdges(s, d)
+      val deg = edges
+        .select(explode(array(col("s_a"), col("s_b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keyed = deg.select(col("node"),
+        (col("deg") * lit(1000000000000L) + col("node")).as("k"))
+      edges
+        .join(keyed.select(col("node").as("s_a"), col("k").as("ka")),
+          "s_a")
+        .join(keyed.select(col("node").as("s_b"), col("k").as("kb")),
+          "s_b")
+        .select(
+          when(col("ka") < col("kb"), col("s_a")).otherwise(col("s_b"))
+            .as("u"),
+          when(col("ka") < col("kb"), col("s_b")).otherwise(col("s_a"))
+            .as("v"),
+          when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
+            .as("kv"))
+        .cache()
+    }
+
+  /** g9 — LOCAL CLUSTERING COEFFICIENTS on the g4 backbone: the
+    * per-vertex refinement of g4's global census — for every node of
+    * degree ≥ 2, its triangle count and lcc = 2·tri/(deg·(deg−1)) in
+    * exact integer ppm. The node-level "is this supplier embedded in
+    * a tight clique or a star hub" signal that community detection
+    * and fraud heuristics read. Same degree-ordered wedge generation
+    * as g4 (fan-out bounded by out-degree), but the closure is an
+    * INNER join keeping the wedge center so each triangle explodes
+    * into its three member nodes exactly once; node space is bounded
+    * by the 2000-edge backbone at any SF. */
+  def g9LocalClustering(s: SparkSession, d: String): DataFrame = {
+    val edges = backboneEdges(s, d)
+    val deg = edges.select(explode(array(col("s_a"), col("s_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = backboneOriented(s, d)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"),
+        col("e2.v").as("w"))
+    val triNodes = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triNodes, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1))")
+          .as("lcc_ppm"))
   }
 
   /** g5 — MULTI-SOURCE BFS (bounded frontier expansion): exact
@@ -461,6 +517,7 @@ object Graph {
     "g2_components" -> g2Components _,
     "g3_cosupplier" -> g3CoSupplier _,
     "g4_triangles" -> g4Triangles _,
+    "g9_local_clustering" -> g9LocalClustering _,
     "g5_bfs_hops" -> ((s: SparkSession, d: String) => g5BfsHops(s, d)))
 
   /** Scale-stress probes (Profile-only, the z-family convention):

@@ -2635,6 +2635,118 @@ object Relational {
         col("w2").as("pseudo_median_x2_cents"))
   }
 
+  /** a47 — MANN–WHITNEY U (Wilcoxon rank-sum) per event type:
+    * weekend vs weekday value distributions compared by exact combined
+    * midranks. The nonparametric two-sample location test that
+    * complements the drift family's KS (a33) — rank-sum is the test a
+    * pipeline runs when "did the weekend traffic shift the spend
+    * distribution" must not be answered by a mean over heavy tails.
+    * All integers: midranks are kept ×2 (min-rank window + tie count,
+    * so ties get exact half-ranks without decimals), U statistics
+    * follow as ×2 values, and the rank-biserial effect size is a
+    * floor-division ppm via the positive-mod subtraction applied in
+    * BOTH engines (each engine's native integer division truncates
+    * toward zero; subtracting the positive mod first makes the
+    * operand exactly divisible, so both compute the true floor).
+    * Weekend is derived from the epoch
+    * day index ((day + 3) % 7 ≥ 5 — day 0 = Thursday), identical
+    * integer arithmetic in both engines, immune to the engines'
+    * dayofweek() numbering mismatch. One shuffle on event_type for the
+    * rank window, then a bounded per-type rollup. */
+  def a47MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+        .as("cents"),
+      (expr("((unix_micros(ts) div 86400000000) + 3) % 7") >= 5)
+        .as("weekend"))
+    val wRank = Window.partitionBy("event_type").orderBy("cents")
+    val ranked = ev
+      .withColumn("rk", rank().over(wRank))
+      .withColumn("ctie", count(lit(1))
+        .over(Window.partitionBy("event_type", "cents")))
+      .withColumn("midrank2", expr("2 * rk + ctie - 1"))
+    ranked.groupBy("event_type")
+      .agg(
+        sum(when(col("weekend"), 1L).otherwise(0L)).as("n_we"),
+        sum(when(!col("weekend"), 1L).otherwise(0L)).as("n_wd"),
+        sum(when(col("weekend"), col("midrank2")).otherwise(0L))
+          .as("r2_we"))
+      .select(col("event_type"), col("n_we"), col("n_wd"),
+        expr("r2_we - n_we * (n_we + 1)").as("u2_we"),
+        expr("2 * n_we * n_wd - (r2_we - n_we * (n_we + 1))")
+          .as("u2_wd"))
+      .withColumn("rb_ppm", expr(
+        """cast((((u2_we - u2_wd) * 1000000)
+          |  - ((((((u2_we - u2_wd) * 1000000) % (2 * n_we * n_wd))
+          |    + (2 * n_we * n_wd)) % (2 * n_we * n_wd)))
+          |) div (2 * n_we * n_wd) as bigint)""".stripMargin))
+  }
+
+  /** a48 — KENDALL RANK CORRELATION (tau-a) of daily revenue against
+    * the calendar per event type: exact concordant/discordant pair
+    * census over the same calendar²-bounded daily-aggregate pair space
+    * as a45's Theil–Sen (the slope estimator and its rank-correlation
+    * significance input share one derivation shape). Days are distinct
+    * within a type so x-ties are impossible; y-ties (equal daily cents)
+    * are counted and excluded from both nc and nd, and tau is the
+    * floor-division ppm of (nc − nd)/n0 via the positive-mod
+    * subtraction in both engines since tau is signed. */
+  def a48KendallTau(s: SparkSession, d: String): DataFrame = {
+    val pts = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        when(col("b.c") > col("a.c"), 1L).otherwise(0L).as("nc"),
+        when(col("b.c") < col("a.c"), 1L).otherwise(0L).as("nd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("nc")).as("nc"),
+        sum(col("nd")).as("nd"))
+      .select(col("event_type"), col("n_pairs"), col("nc"), col("nd"),
+        (col("n_pairs") - col("nc") - col("nd")).as("n_ties"),
+        expr("""cast((((nc - nd) * 1000000)
+          |  - (((((nc - nd) * 1000000) % n_pairs) + n_pairs)
+          |    % n_pairs)) div n_pairs as bigint)""".stripMargin)
+          .as("tau_ppm"))
+  }
+
+  /** w37 — SURVIVAL LEDGER (Kaplan–Meier input table) over user
+    * lifetimes: per lifetime-week, the at-risk population, observed
+    * churn events, right-censored exits, and the discrete hazard in
+    * ppm — the survival-analysis feed a retention model consumes.
+    * Lifetime = weeks between a user's first and last event day;
+    * users whose last activity falls within 14 days of the
+    * observation-window end are censored (still alive), not churned —
+    * the right-censoring distinction that makes naive "days since
+    * last seen" churn rates biased. At-risk counts come from a
+    * reverse cumulative sum over the week grid (calendar-bounded, the
+    * a8 documented-boundedness rule for the unpartitioned window);
+    * everything else is one user-level aggregate. Hazard is exact
+    * integer ppm (churn and risk are counts, so plain div is safe). */
+  def w37Survival(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val life = days.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .crossJoin(broadcast(days.agg(max(col("day")).as("dend"))))
+      .select(expr("(d1 - d0) div 7").as("week"),
+        (col("dend") - col("d1") < 14).as("censored"))
+    val grid = life.groupBy("week")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    grid
+      .withColumn("n_risk", sum(col("n_churn") + col("n_censored"))
+        .over(Window.orderBy(col("week").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("week"), col("n_risk"), col("n_churn"),
+        col("n_censored"),
+        expr("n_churn * 1000000 div n_risk").as("hazard_ppm"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -3012,6 +3124,9 @@ object Relational {
     "a44_cramers_v" -> a44CramersV _,
     "a45_theil_sen" -> a45TheilSen _,
     "a46_hodges_lehmann" -> a46HodgesLehmann _,
+    "a47_mann_whitney" -> a47MannWhitney _,
+    "a48_kendall_tau" -> a48KendallTau _,
+    "w37_survival" -> w37Survival _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,

@@ -1549,6 +1549,40 @@ object TextOps {
           .as("keep"))
   }
 
+  /** t65 — TEMPERATURE-SCALED MIX PLANNER (the published multilingual
+    * sampling recipe: p_i ∝ n_i^α with α = 0.5, the mBERT/XLM-R
+    * exponentiated-share smoothing): per source, the target share,
+    * planned token allocation against the t53 half-corpus budget, the
+    * implied sampling rate, and the epoch multiplier for upsampled
+    * tails. sqrt is IEEE-exact (correctly rounded in both engines), so
+    * floor(sqrt(n)) is bit-stable; everything after it is integer
+    * arithmetic with decimal(38,0)/HUGEINT cross-multiplication so a
+    * 100-TB token count cannot overflow the planning products. One
+    * aggregate over the corpus; output is source-cardinality-bounded. */
+  def t65MixPlanner(s: SparkSession, d: String): DataFrame = {
+    val perSrc = documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)"))
+    val tot = perSrc.agg(sum(col("weight")).as("wsum"),
+      expr("sum(n_tokens) div 2").as("budget"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("cast(cast(weight as decimal(38,0)) * 1000000 div wsum " +
+          "as bigint)").as("target_share_ppm"),
+        expr("cast(cast(budget as decimal(38,0)) * weight div wsum " +
+          "as bigint)").as("planned_tokens"),
+        expr("least(1000000, cast(cast(cast(budget as decimal(38,0)) " +
+          "* weight div wsum as decimal(38,0)) * 1000000 " +
+          "div n_tokens as bigint))").as("sample_rate_ppm"),
+        expr("cast(cast(cast(budget as decimal(38,0)) * weight " +
+          "div wsum as decimal(38,0)) * 1000 div n_tokens as bigint)")
+          .as("epochs_milli"))
+  }
+
   /** t39: one BPE TRAINING MERGE iteration (Sennrich et al. 2016) —
     * t30 counts the pairs, this op CLOSES the trainer's inner loop:
     * pick the most frequent adjacent pair, apply the merge corpus-wide,
@@ -2464,6 +2498,7 @@ object TextOps {
     "t61_lsh_cost" -> t61LshCost _,
     "t62_fertility" -> t62Fertility _,
     "t64_calibration" -> t64Calibration _,
+    "t65_mix_planner" -> t65MixPlanner _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

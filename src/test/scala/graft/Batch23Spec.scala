@@ -189,6 +189,33 @@ class Batch23Spec extends SparkSuite {
     assert(gotHits == wantHits)
   }
 
+  test("t65 mix planner: shares sum to ~1e6, allocation respects the " +
+    "half-corpus budget and the temperature smoothing flattens shares") {
+    val out = TextOps.t65MixPlanner(spark, sf).collect()
+    assert(out.nonEmpty)
+    val shareSum = out.map(_.getAs[Long]("target_share_ppm")).sum
+    assert(shareSum > 1000000L - out.length && shareSum <= 1000000L)
+    val totTok = out.map(_.getAs[Long]("n_tokens")).sum
+    val planned = out.map(_.getAs[Long]("planned_tokens")).sum
+    assert(planned <= totTok / 2 && planned > totTok / 2 - out.length)
+    out.foreach(r => assert(r.getAs[Long]("sample_rate_ppm") <= 1000000L))
+    // alpha = 0.5 smoothing guarantees ORDER PRESERVATION and RATIO
+    // COMPRESSION (share_i/share_j = sqrt(n_i/n_j) <= n_i/n_j), not
+    // per-source betweenness vs uniform — a source between the
+    // arithmetic and quadratic mean of sqrt(n) legitimately exceeds
+    // both its proportional and the uniform share.
+    val byTok = out.sortBy(_.getAs[Long]("n_tokens"))
+    val shares = byTok.map(_.getAs[Long]("target_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    val (nMin, nMax) =
+      (byTok.head.getAs[Long]("n_tokens"), byTok.last.getAs[Long]("n_tokens"))
+    val ratioSm = shares.last.toDouble / shares.head
+    val ratioPr = nMax.toDouble / nMin
+    assert(ratioSm <= ratioPr + 1e-9 &&
+      math.abs(ratioSm - math.sqrt(ratioPr)) / math.sqrt(ratioPr) < 0.01,
+      s"smoothed extreme-ratio $ratioSm vs proportional $ratioPr")
+  }
+
   test("w36 late audit: two-level frontier equals a sequential " +
     "driver-side replay") {
     val got = Relational.w36LateAudit(spark, sf).collect()
