@@ -603,6 +603,32 @@ object SparkEntry {
          |  CAST(coalesce(60 // u.rnk, 0) AS BIGINT) AS rr_x60
          |FROM g LEFT JOIN u ON g.method = u.method
          |  AND g.query_id = u.query_id AND g.cand_id = u.cand_id""",
+    // e28: same three method CTEs as e26; the integer milli discount
+    // table and graded gains make every value exact, IDCG = 10273
+    "e28_ndcg" ->
+      s"""WITH exact AS (SELECT query_id, cand_id, rnk AS ex_rnk
+         |    FROM ($e1Sql) x),
+         |  u AS (
+         |    SELECT 'e5_ivf' AS method, query_id, cand_id, rnk
+         |    FROM (${ivfSql(
+               "SELECT vec_id AS centroid_id, embedding AS cv " +
+                 "FROM embeddings WHERE vec_id < 16")}) m5
+         |    UNION ALL
+         |    SELECT 'e8_pq' AS method, query_id, cand_id, rnk
+         |    FROM ($ivfPqSql) m8
+         |    UNION ALL
+         |    SELECT 'e14_rerank' AS method, query_id, cand_id, rnk
+         |    FROM ($e14Sql) m14),
+         |  sc AS (SELECT u.method, u.query_id,
+         |    (CASE u.rnk WHEN 1 THEN 1000 WHEN 2 THEN 631
+         |      WHEN 3 THEN 500 WHEN 4 THEN 431 ELSE 387 END)
+         |    * coalesce(6 - e.ex_rnk, 0) AS term
+         |  FROM u LEFT JOIN exact e ON u.query_id = e.query_id
+         |    AND u.cand_id = e.cand_id)
+         |SELECT method, query_id,
+         |  CAST(sum(term) AS BIGINT) AS dcg_milli,
+         |  CAST(sum(term) * 1000000 // 10273 AS BIGINT) AS ndcg_ppm
+         |FROM sc GROUP BY 1, 2""",
     "e15_recall_eval" ->
       s"""WITH exact AS (SELECT query_id, cand_id FROM ($e1Sql) x),
          |  u AS (
@@ -2221,7 +2247,8 @@ object SparkEntry {
         |FROM rk r JOIN nm USING (event_type)
         |WHERE r.rk = (nm.n_pairs + 1) // 2""",
     // a47: combined x2 midranks re-derived via min-rank + tie-count
-    // windows; DuckDB's flooring // matches Spark's positive-mod div
+    // windows; signed rb_ppm uses the positive-mod floor-division form
+    // on both sides (both engines' native int division truncates)
     "a47_mann_whitney" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -2297,6 +2324,57 @@ object SparkEntry {
         |  CAST(n_censored AS BIGINT) AS n_censored,
         |  CAST(n_churn * 1000000 // n_risk AS BIGINT) AS hazard_ppm
         |FROM rs""",
+    // w38: direct self-join re-derivation; all division operands are
+    // non-negative so native truncating division agrees cross-engine
+    "w38_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT a.event_type, abs(a.c - f.c) AS ae,
+        |    abs(a.c) + abs(f.c) AS den, a.c - f.c AS err
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND a.day = f.day + 7),
+        |ag AS (SELECT event_type, count(*) AS n_scored,
+        |    sum(ae) AS sum_ae, sum(err) AS bias_cents,
+        |    sum(CASE WHEN den > 0 THEN ae * 2000000 // den
+        |      ELSE 0 END) AS sum_sm
+        |  FROM sc GROUP BY 1)
+        |SELECT event_type, CAST(n_scored AS BIGINT) AS n_scored,
+        |  CAST(sum_ae // n_scored AS BIGINT) AS mae_cents,
+        |  CAST(sum_sm // n_scored AS BIGINT) AS smape_ppm,
+        |  CAST(bias_cents AS BIGINT) AS bias_cents
+        |FROM ag""",
+    // v6: midpoint-day split + two-column unpivot; shares re-derived
+    // with the same non-negative integer ppm arithmetic
+    "v6_category_drift" ->
+      """WITH base AS (SELECT
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    o_orderstatus, o_orderpriority FROM orders),
+        |thr AS (SELECT (min(day) + max(day)) // 2 AS thr FROM base),
+        |cat AS (SELECT 'orderstatus' AS col_name,
+        |    o_orderstatus AS category, day <= thr.thr AS early
+        |  FROM base CROSS JOIN thr
+        |  UNION ALL SELECT 'orderpriority', o_orderpriority,
+        |    day <= thr.thr FROM base CROSS JOIN thr),
+        |cnt AS (SELECT col_name, category,
+        |    sum(CASE WHEN early THEN 1 ELSE 0 END) AS n_early,
+        |    sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS n_late
+        |  FROM cat GROUP BY 1, 2),
+        |tot AS (SELECT col_name, sum(n_early) AS tot_early,
+        |    sum(n_late) AS tot_late FROM cnt GROUP BY 1)
+        |SELECT c.col_name, c.category,
+        |  CAST(c.n_early AS BIGINT) AS n_early,
+        |  CAST(c.n_late AS BIGINT) AS n_late,
+        |  CAST(c.n_early * 1000000 // t.tot_early AS BIGINT)
+        |    AS share_early_ppm,
+        |  CAST(c.n_late * 1000000 // t.tot_late AS BIGINT)
+        |    AS share_late_ppm,
+        |  CAST(c.n_late * 1000000 // t.tot_late
+        |    - c.n_early * 1000000 // t.tot_early AS BIGINT)
+        |    AS delta_ppm
+        |FROM cnt c JOIN tot t USING (col_name)""",
     // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
     // //), one final sqrt over identical inputs
     "a44_cramers_v" ->
@@ -4709,6 +4787,55 @@ object SparkEntry {
         |  CAST((CAST(budget AS HUGEINT) * weight // wsum) * 1000
         |    // n_tokens AS BIGINT) AS epochs_milli
         |FROM w CROSS JOIN tot""",
+    // t66: exact-pair CTE (t13's) + t12's bucket CTE, then the same
+    // eval-side contamination census; exactness of the LSH pair set
+    // is what t13 pins every run
+    "t66_split_leakage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh
+        |    GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  bk AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - i)))) AS BIGINT) % 100 AS bkt
+        |    FROM documents),
+        |  spl AS (SELECT doc_id, CASE WHEN bkt < 90 THEN 'train'
+        |    WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |    FROM bk),
+        |  und AS (SELECT doc_a, doc_b FROM pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |  cont AS (SELECT sa.split, und.doc_a FROM und
+        |    JOIN spl sa ON und.doc_a = sa.doc_id
+        |    JOIN spl sb ON und.doc_b = sb.doc_id
+        |    WHERE sa.split IN ('val', 'test') AND sb.split = 'train'
+        |    GROUP BY 1, 2),
+        |  cc AS (SELECT split, count(*) AS n_contaminated FROM cont
+        |    GROUP BY 1),
+        |  sz AS (SELECT split, count(*) AS n_docs FROM spl
+        |    WHERE split IN ('val', 'test') GROUP BY 1)
+        |SELECT sz.split, CAST(sz.n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(cc.n_contaminated, 0) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(coalesce(cc.n_contaminated, 0) * 1000000 // sz.n_docs
+        |    AS BIGINT) AS leakage_ppm
+        |FROM sz LEFT JOIN cc ON sz.split = cc.split""",
     // t14: trigram derivation + 3-gram-overlap contamination re-derived
     // independently (DuckDB list functions vs Spark HOFs)
     "t14_decontaminate" ->

@@ -2747,6 +2747,44 @@ object Relational {
         expr("n_churn * 1000000 div n_risk").as("hazard_ppm"))
   }
 
+  /** w38 — SEASONAL-NAIVE FORECAST BACKTEST: the baseline every
+    * capacity/forecast model must beat — predict each day's revenue
+    * per event type as the revenue seven days earlier, scored over
+    * every day that HAS a t−7 ancestor. Emits the standard backtest
+    * scorecard in exact integers: MAE in cents (plain div — absolute
+    * errors are non-negative), sMAPE in ppm (per-day term
+    * 2·|a−f|/(|a|+|f|) scaled ×1e6 then floor-averaged; the |a|+|f|
+    * denominator makes the term well-defined and non-negative so no
+    * signed-division reconciliation is needed), and the signed total
+    * bias as a SUM (no division — keeps it exact without the
+    * positive-mod dance). One self-join on (event_type, day−7): at
+    * scale both sides hash-partition on the same key and the join is
+    * exchange-aligned with the daily rollup that feeds it. */
+  def w38SeasonalBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    daily.as("a").join(daily.as("f"),
+        col("a.event_type") === col("f.event_type") &&
+          col("a.day") === col("f.day") + 7)
+      .select(col("a.event_type").as("event_type"),
+        abs(col("a.c") - col("f.c")).as("ae"),
+        (abs(col("a.c")) + abs(col("f.c"))).as("den"),
+        (col("a.c") - col("f.c")).as("err"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ae")).as("sum_ae"),
+        sum(col("err")).as("bias_cents"),
+        sum(when(col("den") > 0,
+          expr("ae * 2000000 div den")).otherwise(0L)).as("sum_sm"))
+      .select(col("event_type"), col("n_scored"),
+        expr("sum_ae div n_scored").as("mae_cents"),
+        expr("sum_sm div n_scored").as("smape_ppm"),
+        col("bias_cents"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -3127,6 +3165,7 @@ object Relational {
     "a47_mann_whitney" -> a47MannWhitney _,
     "a48_kendall_tau" -> a48KendallTau _,
     "w37_survival" -> w37Survival _,
+    "w38_seasonal_backtest" -> w38SeasonalBacktest _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,

@@ -883,6 +883,35 @@ object Similarity {
       .unionByName(rr("e14_rerank", e14Rerank(s, d)))
   }
 
+  /** e28 — nDCG@5 RANKING AUDIT: the graded companion to e26's MRR —
+    * each serving path's top-5 scored against the exact ranking with
+    * graded relevance (exact rank r ⇒ gain 6−r, non-top-5 ⇒ 0) and
+    * position discounts. The 1/log2(r+1) discount is frozen as an
+    * integer milli TABLE (1000, 631, 500, 431, 387) so no runtime log
+    * enters either engine and the gate hashes exact integers; the
+    * ideal DCG is the constant 10273 milli (Σ (6−r)·disc(r)), making
+    * ndcg_ppm an exact integer ratio. O(queries) like e26: three
+    * bounded top-5 plans left-joined to the exact top-5. */
+  def e28Ndcg(s: SparkSession, d: String): DataFrame = {
+    val exact = e1CosineTopK(s, d)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("ex_rnk"))
+    val discount = expr("""CASE rnk WHEN 1 THEN 1000 WHEN 2 THEN 631
+      WHEN 3 THEN 500 WHEN 4 THEN 431 ELSE 387 END""")
+    def terms(name: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("cand_id"), col("rnk"))
+        .join(exact, Seq("query_id", "cand_id"), "left")
+        .select(lit(name).as("method"), col("query_id"),
+          (discount * coalesce(lit(6) - col("ex_rnk"), lit(0)))
+            .as("term"))
+    terms("e5_ivf", e5IvfAnn(s, d))
+      .unionByName(terms("e8_pq", e8IvfPqAnn(s, d)))
+      .unionByName(terms("e14_rerank", e14Rerank(s, d)))
+      .groupBy("method", "query_id")
+      .agg(sum(col("term")).cast("long").as("dcg_milli"))
+      .withColumn("ndcg_ppm",
+        expr("cast(dcg_milli * 1000000 div 10273 as bigint)"))
+  }
+
   /** e16 — MATRYOSHKA (truncated-dimension) two-stage retrieval
     * (Kusupati et al. 2022: MRL embeddings nest, so the FIRST d' dims
     * are themselves a valid embedding): stage 1 scores the whole corpus
@@ -1181,6 +1210,7 @@ object Similarity {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e26_mrr" -> e26Mrr _,
+    "e28_ndcg" -> e28Ndcg _,
     "e27_semantic_decontam" -> e27SemanticDecontam _,
     "e25_pq_distortion" -> ((s: SparkSession, d: String) =>
       e25PqDistortion(s, d)),

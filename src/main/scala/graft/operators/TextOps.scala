@@ -1583,6 +1583,38 @@ object TextOps {
           .as("epochs_milli"))
   }
 
+  /** t66 — TRAIN/EVAL SPLIT LEAKAGE AUDIT: the check a pipeline runs
+    * AFTER splitting (t12) and deduplicating (t7) — how many val/test
+    * documents still have a near-duplicate sitting in train? Exact
+    * dedup can't catch these (t12 buckets by content hash, so exact
+    * dups land in the SAME split by construction — a property this
+    * audit also certifies: near-dup leakage is the only kind left).
+    * Per eval split: size, contaminated-doc count (distinct docs with
+    * ≥1 train near-dup from the verified LSH pair set), leakage ppm.
+    * Composes two memoized relations (split assignment, LSH pairs) —
+    * the audit costs one bounded join, not a re-derivation. */
+  def t66SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = t12HashSplit(s, d).select(col("doc_id"), col("split"))
+    val pr = lshPairs(s, d).select("doc_a", "doc_b")
+    val und = pr.unionByName(
+      pr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val contam = und
+      .join(sp.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(sp.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .filter(col("split_a").isin("val", "test") &&
+        col("split_b") === "train")
+      .select(col("split_a").as("split"), col("doc_a"))
+      .distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_contaminated"))
+    sp.filter(col("split").isin("val", "test"))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(contam, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        expr("coalesce(n_contaminated, 0) * 1000000 div n_docs")
+          .as("leakage_ppm"))
+  }
+
   /** t39: one BPE TRAINING MERGE iteration (Sennrich et al. 2016) —
     * t30 counts the pairs, this op CLOSES the trainer's inner loop:
     * pick the most frequent adjacent pair, apply the merge corpus-wide,
@@ -2499,6 +2531,7 @@ object TextOps {
     "t62_fertility" -> t62Fertility _,
     "t64_calibration" -> t64Calibration _,
     "t65_mix_planner" -> t65MixPlanner _,
+    "t66_split_leakage" -> t66SplitLeakage _,
     "t57_survivorship" -> t57Survivorship _,
     "t56_datasheet" -> t56Datasheet _,
     "t54_ngram_novelty" -> t54NgramNovelty _,

@@ -194,7 +194,52 @@ object Validation {
         nation(s, d), "n_nationkey", "n_regionkey"))
   }
 
+  /** v6 — CATEGORICAL PROFILE DRIFT between the early and late halves
+    * of the order history (split at the midpoint day of the observed
+    * range — a pure integer function of min/max, no quantile pass):
+    * per tracked categorical column and category, the count and share
+    * ppm in each period and the signed share delta. This is the
+    * schema-profile diff a governance layer alerts on ("priority mix
+    * shifted 3 points since backfill") — the categorical complement to
+    * a32's numeric KS drift. Shares are non-negative (plain div);
+    * the delta is a subtraction of two ppm integers, never a signed
+    * division, so no floor-semantics reconciliation is needed. One
+    * scan of orders unpivoted into (column, category) pairs; the
+    * per-column totals join is category-bounded → broadcast. */
+  def v6CategoryDrift(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      expr("unix_micros(cast(o_orderdate as timestamp)) " +
+        "div 86400000000").as("day"),
+      col("o_orderstatus"), col("o_orderpriority"))
+    val thr = base.agg(
+      expr("(min(day) + max(day)) div 2").as("thr"))
+    val cat = base
+      .select(col("day"), explode(array(
+        struct(lit("orderstatus").as("col_name"),
+          col("o_orderstatus").as("category")),
+        struct(lit("orderpriority").as("col_name"),
+          col("o_orderpriority").as("category")))).as("c"))
+      .select(col("day"), col("c.col_name"), col("c.category"))
+      .crossJoin(broadcast(thr))
+      .select(col("col_name"), col("category"),
+        (col("day") <= col("thr")).as("early"))
+    val counts = cat.groupBy("col_name", "category")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val totals = counts.groupBy("col_name")
+      .agg(sum(col("n_early")).as("tot_early"),
+        sum(col("n_late")).as("tot_late"))
+    counts.join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"), col("category"),
+        col("n_early"), col("n_late"),
+        expr("n_early * 1000000 div tot_early").as("share_early_ppm"),
+        expr("n_late * 1000000 div tot_late").as("share_late_ppm"),
+        expr("n_late * 1000000 div tot_late" +
+          " - n_early * 1000000 div tot_early").as("delta_ppm"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_category_drift" -> v6CategoryDrift _,
     "v1_expectations" -> v1Expectations _,
     "v2_quarantine" -> v2Quarantine _,
     "v3_kanonymity" -> ((s: SparkSession, d: String) =>
