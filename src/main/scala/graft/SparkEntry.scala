@@ -279,6 +279,34 @@ object SparkEntry {
   private def tsOracles: Map[String, String] = Map(
     // ts24: same lag + wrap-guarded backward-step rule over the PES
     // header dump
+    // ts25: P2 timing checks re-derived from the same dumps — lag
+    // windows per PID, identical tick thresholds and wrap guards
+    "ts25_tr101290_p2" -> {
+      s"""WITH pc AS (SELECT pid, pcr,
+         |    coalesce(af_discontinuity, FALSE) AS disc,
+         |    pcr - lag(pcr) OVER (PARTITION BY pid ORDER BY seq)
+         |      AS delta
+         |  FROM ${tsrel("packets")} WHERE pcr IS NOT NULL),
+         |pcd AS (SELECT * FROM pc WHERE delta > 0),
+         |pt AS (SELECT pid,
+         |    pts - lag(pts) OVER (PARTITION BY pid ORDER BY seq)
+         |      AS delta
+         |  FROM ${tsrel("pes_headers")} WHERE pts IS NOT NULL),
+         |ptd AS (SELECT * FROM pt
+         |  WHERE delta > 0 AND delta < 4294967296)
+         |SELECT 'p2_3a_pcr_repetition' AS check_id,
+         |  CAST(coalesce(sum(CASE WHEN delta > 1080000 AND NOT disc
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad,
+         |  CAST(count(*) AS BIGINT) AS n_obs FROM pcd
+         |UNION ALL SELECT 'p2_3b_pcr_discontinuity',
+         |  CAST(coalesce(sum(CASE WHEN delta > 2700000 AND NOT disc
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM pcd
+         |UNION ALL SELECT 'p2_5_pts_repetition',
+         |  CAST(coalesce(sum(CASE WHEN delta > 63000 THEN 1
+         |    ELSE 0 END), 0) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM ptd"""
+    },
     "ts24_pts_monotonic" -> {
       s"""WITH p AS (SELECT seq, pid, pts FROM ${tsrel("pes_headers")}
          |  WHERE pts IS NOT NULL),
@@ -2375,6 +2403,55 @@ object SparkEntry {
         |    - c.n_early * 1000000 // t.tot_early AS BIGINT)
         |    AS delta_ppm
         |FROM cnt c JOIN tot t USING (col_name)""",
+    // a49: one HUGEINT cross-multiplied ratio (the decimal(38,0)
+    // twin), no intermediate floors; all operands non-negative
+    "a49_dow_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS tot_days,
+        |    sum(c) AS tot_cents FROM daily GROUP BY 1),
+        |dw AS (SELECT event_type, (day + 3) % 7 AS dow,
+        |    count(*) AS n_days, sum(c) AS sum_cents
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT dw.event_type, CAST(dw.dow AS BIGINT) AS dow,
+        |  CAST(dw.n_days AS BIGINT) AS n_days,
+        |  CAST(dw.sum_cents // dw.n_days AS BIGINT) AS mean_cents,
+        |  CAST(CAST(dw.sum_cents AS HUGEINT) * tot.tot_days * 1000000
+        |    // (CAST(dw.n_days AS HUGEINT) * tot.tot_cents)
+        |    AS BIGINT) AS index_ppm
+        |FROM dw JOIN tot USING (event_type)""",
+    // v7: both exact lower medians re-derived via rank selection; all
+    // deviations absolute so native division semantics agree
+    "v7_robust_outliers" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_days FROM daily
+        |  GROUP BY 1),
+        |md AS (SELECT event_type, c AS median_cents FROM (
+        |    SELECT event_type, c, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY c) AS rk FROM daily) r
+        |  JOIN n USING (event_type)
+        |  WHERE rk = (n_days + 1) // 2),
+        |dv AS (SELECT daily.event_type, abs(c - median_cents) AS dev,
+        |    median_cents FROM daily JOIN md USING (event_type)),
+        |mad AS (SELECT event_type, dev AS mad_cents FROM (
+        |    SELECT event_type, dev, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY dev) AS rk FROM dv) r
+        |  JOIN n USING (event_type)
+        |  WHERE rk = (n_days + 1) // 2)
+        |SELECT dv.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(dv.median_cents) AS BIGINT) AS median_cents,
+        |  CAST(max(mad.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN dv.dev > 3 * mad.mad_cents THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad USING (event_type) GROUP BY 1""",
     // a44: same exact-integer per-cell chi2 terms (HUGEINT, truncating
     // //), one final sqrt over identical inputs
     "a44_cramers_v" ->

@@ -2785,6 +2785,37 @@ object Relational {
         col("bias_cents"))
   }
 
+  /** a49 — DAY-OF-WEEK SEASONALITY PROFILE per event type: the
+    * multiplicative weekly index a capacity planner or a forecast
+    * model (w38's successor) consumes — for each (type, weekday), how
+    * many observed days, the floor-mean daily revenue, and the
+    * seasonal index in ppm: dow-mean / overall-mean, computed as ONE
+    * cross-multiplied integer ratio (sum·total_days·1e6 over
+    * n_days·total_sum) in decimal(38,0)/HUGEINT so no intermediate
+    * floor bias enters — the two-division form would lose up to a
+    * cent of precision per division. Weekday comes from the epoch-day
+    * index ((day+3)%7, Monday=0), the a47 engine-neutral derivation.
+    * All operands non-negative → native truncating division agrees
+    * cross-engine without the positive-mod form. */
+  def a49DowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("tot_days"), sum(col("c")).as("tot_cents"))
+    daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sum_cents"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        expr("sum_cents div n_days").as("mean_cents"),
+        expr("cast(cast(sum_cents as decimal(38,0)) * tot_days " +
+          "* 1000000 div (cast(n_days as decimal(38,0)) * tot_cents) " +
+          "as bigint)").as("index_ppm"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -3166,6 +3197,7 @@ object Relational {
     "a48_kendall_tau" -> a48KendallTau _,
     "w37_survival" -> w37Survival _,
     "w38_seasonal_backtest" -> w38SeasonalBacktest _,
+    "a49_dow_seasonality" -> a49DowSeasonality _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,

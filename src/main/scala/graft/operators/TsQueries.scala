@@ -661,7 +661,55 @@ object TsQueries {
           col("prev") - col("pts"))).as("max_backstep_90k"))
   }
 
+  /** ts25 — TR 101 290 PRIORITY-2 TIMING ROLLUP, completing ts23's P1
+    * table with the clock-side checks a monitoring probe reports next:
+    * 2.3a PCR repetition (consecutive PCRs of a PID more than 40 ms
+    * apart — 1 080 000 ticks at 27 MHz — without a signalled
+    * discontinuity), 2.3b PCR discontinuity (a jump past 100 ms with
+    * the AF discontinuity_indicator unset — the flagged-jump fixture
+    * case is the legal one), and 2.5 PTS repetition (consecutive PTSs
+    * of an ES more than 700 ms — 63 000 ticks at 90 kHz — apart).
+    * PCR-accuracy (2.4, ±500 ns vs a reference clock) needs a clock
+    * model a passive file probe doesn't have — out of scope, like the
+    * reference's probe. Same (check_id, n_bad, n_obs) contract as
+    * ts23; both walks are one lag window per PID over layers the lake
+    * already shares, wrap-guarded the same way as ts20/ts24. */
+  def ts25Tr101290P2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def one(check: String, bad: org.apache.spark.sql.Column,
+        obs: org.apache.spark.sql.Column)(df: DataFrame) =
+      df.agg(coalesce(bad, lit(0L)).cast("long").as("n_bad"),
+          coalesce(obs, lit(0L)).cast("long").as("n_obs"))
+        .select(lit(check).as("check_id"), col("n_bad"), col("n_obs"))
+
+    val wd = Window.partitionBy("pid").orderBy("seq")
+    val pcr = pkts(s).toDF().filter(col("af.pcr").isNotNull)
+      .select(col("pid"), col("seq"), col("af.pcr").as("pcr"),
+        coalesce(col("af.discontinuity"), lit(false)).as("disc"))
+      .withColumn("delta", col("pcr") - lag(col("pcr"), 1).over(wd))
+      .filter(col("delta") > 0)
+    val rep = one("p2_3a_pcr_repetition",
+      sum(when(col("delta") > 1080000L && !col("disc"), 1L)
+        .otherwise(0L)), count(lit(1)))(pcr)
+    val disc = one("p2_3b_pcr_discontinuity",
+      sum(when(col("delta") > 2700000L && !col("disc"), 1L)
+        .otherwise(0L)), count(lit(1)))(pcr)
+    val pes = pkts(s)
+      .filter(p => p.pusi && p.hasPayload)
+      .flatMap { p =>
+        graft.ts.PesCodec.parseHeader(p.payload)
+          .flatMap(h => h.pts.map(t => (p.seq, p.pid, t)))
+      }.toDF("seq", "pid", "pts")
+      .withColumn("delta", col("pts") - lag(col("pts"), 1).over(wd))
+      .filter(col("delta") > 0 && col("delta") < 4294967296L)
+    val ptsRep = one("p2_5_pts_repetition",
+      sum(when(col("delta") > 63000L, 1L).otherwise(0L)),
+      count(lit(1)))(pes)
+    rep.unionByName(disc).unionByName(ptsRep)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts25_tr101290_p2" -> ts25Tr101290P2 _,
     "ts24_pts_monotonic" -> ts24PtsMonotonic _,
     "ts23_tr101290" -> ts23Tr101290 _,
     "ts22_pts_pcr_lead" -> ts22PtsPcrLead _,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -238,7 +239,49 @@ object Validation {
           " - n_early * 1000000 div tot_early").as("delta_ppm"))
   }
 
+  /** v7 — ROBUST OUTLIER SCREEN over daily revenue per event type:
+    * the median/MAD (median absolute deviation) gate that replaces the
+    * mean/stddev z-score when the series itself may contain the
+    * outliers being hunted (a single corrupt backfill day inflates a
+    * stddev enough to hide itself — the classic masking failure; the
+    * MAD's 50% breakdown point doesn't care). Flags days where
+    * |x − median| > 3·MAD and reports per type: day count, exact
+    * lower-median cents, exact MAD cents, outlier count. Both medians
+    * are exact lower-median rank selections (the a45/a46 pattern —
+    * row_number against (n+1) div 2), so every value is an integer
+    * and the oracle agrees bit-for-bit; deviations are absolute
+    * values, so no signed-division reconciliation anywhere. Two
+    * windows over the calendar-bounded daily grid. */
+  def v7RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val wMed = Window.partitionBy("event_type").orderBy("c")
+    val med = daily.withColumn("rk", row_number().over(wMed))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(expr("rk = (n_days + 1) div 2"))
+      .select(col("event_type"), col("c").as("median_cents"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("c") - col("median_cents")))
+    val wMad = Window.partitionBy("event_type").orderBy("dev")
+    val mad = dev.withColumn("rk", row_number().over(wMad))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(expr("rk = (n_days + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_robust_outliers" -> v7RobustOutliers _,
     "v6_category_drift" -> v6CategoryDrift _,
     "v1_expectations" -> v1Expectations _,
     "v2_quarantine" -> v2Quarantine _,
