@@ -2423,6 +2423,129 @@ object SparkEntry {
         |    // (CAST(dw.n_days AS HUGEINT) * tot.tot_cents)
         |    AS BIGINT) AS index_ppm
         |FROM dw JOIN tot USING (event_type)""",
+    // a50: the identical md5(event_id ':' rep) ordering replays the
+    // same 100 permutations; cross-multiplied stats run HUGEINT so
+    // every >= comparison is exact (engine side: DECIMAL(38,0))
+    "a50_permutation_test" ->
+      """WITH pe AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS weekend
+        |  FROM events),
+        |obs AS (SELECT event_type,
+        |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS n_we,
+        |    sum(CASE WHEN weekend THEN 0 ELSE 1 END) AS n_wd,
+        |    sum(CASE WHEN weekend THEN cents ELSE 0 END) AS s_we,
+        |    sum(cents) AS s_tot
+        |  FROM pe GROUP BY 1),
+        |fan AS (SELECT pe.event_type, pe.event_id, pe.cents, r.r,
+        |    md5(CAST(pe.event_id AS VARCHAR) || ':'
+        |      || CAST(r.r AS VARCHAR)) AS h
+        |  FROM pe CROSS JOIN range(100) r(r)),
+        |rk AS (SELECT event_type, r, cents, row_number() OVER (
+        |    PARTITION BY event_type, r ORDER BY h, event_id) AS rk
+        |  FROM fan),
+        |s1 AS (SELECT rk.event_type, rk.r,
+        |    sum(CASE WHEN rk.rk <= obs.n_we THEN rk.cents ELSE 0 END)
+        |      AS s1
+        |  FROM rk JOIN obs ON rk.event_type = obs.event_type
+        |  GROUP BY 1, 2),
+        |st AS (SELECT s1.event_type,
+        |    CASE WHEN abs(CAST(s1.s1 AS HUGEINT) * obs.n_wd
+        |        - CAST(obs.s_tot - s1.s1 AS HUGEINT) * obs.n_we)
+        |      >= abs(CAST(obs.s_we AS HUGEINT) * obs.n_wd
+        |        - CAST(obs.s_tot - obs.s_we AS HUGEINT) * obs.n_we)
+        |      THEN 1 ELSE 0 END AS ge
+        |  FROM s1 JOIN obs ON s1.event_type = obs.event_type)
+        |SELECT o.event_type, CAST(o.n_we AS BIGINT) AS n_we,
+        |  CAST(o.n_wd AS BIGINT) AS n_wd,
+        |  CAST(abs(CAST(o.s_we AS HUGEINT) * o.n_wd
+        |      - CAST(o.s_tot - o.s_we AS HUGEINT) * o.n_we) * 1000000
+        |    // (CAST(o.n_we AS HUGEINT) * o.n_wd) AS BIGINT)
+        |    AS obs_absdiff_micro,
+        |  CAST(CASE WHEN CAST(o.s_we AS HUGEINT) * o.n_wd
+        |      > CAST(o.s_tot - o.s_we AS HUGEINT) * o.n_we THEN 1
+        |    WHEN CAST(o.s_we AS HUGEINT) * o.n_wd
+        |      < CAST(o.s_tot - o.s_we AS HUGEINT) * o.n_we THEN -1
+        |    ELSE 0 END AS INTEGER) AS obs_sign,
+        |  CAST(count(*) AS BIGINT) AS n_reps,
+        |  CAST(sum(st.ge) AS BIGINT) AS n_ge,
+        |  CAST((sum(st.ge) + 1) * 1000000 // (count(*) + 1) AS BIGINT)
+        |    AS p_ppm
+        |FROM st JOIN obs o ON st.event_type = o.event_type
+        |GROUP BY 1, 2, 3, 4, 5""",
+    // a51: var18 is the tie-corrected Mann-Kendall variance ×18 (an
+    // exact integer); the 5% call is the ×18·10^4 cross-multiplied
+    // z² inequality — no sqrt on either engine
+    "a51_mann_kendall" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.event_type,
+        |    CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM pts
+        |  GROUP BY 1),
+        |ti AS (SELECT event_type,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tie18
+        |  FROM (SELECT event_type, c, count(*) AS t FROM pts
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT nd.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+        |  s.s_stat,
+        |  CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |    - ti.tie18 AS BIGINT) AS var18,
+        |  CASE WHEN s.s_stat <> 0
+        |      AND 180000 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1)
+        |      >= 38416 * (nd.n_days * (nd.n_days - 1)
+        |        * (2 * nd.n_days + 5) - ti.tie18)
+        |    THEN CASE WHEN s.s_stat > 0 THEN 'increasing'
+        |      ELSE 'decreasing' END
+        |    ELSE 'none' END AS trend
+        |FROM nd JOIN s ON nd.event_type = s.event_type
+        |JOIN ti ON nd.event_type = ti.event_type""",
+    // w39: four floored micro-means (positive sums, so // = floor on
+    // both engines) then pure integer subtraction for the DiD
+    "w39_diff_in_diff" ->
+      """WITH pe AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cut AS (SELECT min(day) + (max(day) - min(day) + 1) // 2
+        |    AS cutoff FROM pe),
+        |cells AS (SELECT user_id % 2 = 1 AS treated,
+        |    day >= cutoff AS post, count(*) AS n, sum(cents) AS s
+        |  FROM pe, cut GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n,
+        |    CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS m
+        |  FROM cells)
+        |SELECT
+        |  CAST(sum(CASE WHEN treated AND NOT post THEN n END)
+        |    AS BIGINT) AS n_t_pre,
+        |  CAST(sum(CASE WHEN treated AND post THEN n END)
+        |    AS BIGINT) AS n_t_post,
+        |  CAST(sum(CASE WHEN NOT treated AND NOT post THEN n END)
+        |    AS BIGINT) AS n_c_pre,
+        |  CAST(sum(CASE WHEN NOT treated AND post THEN n END)
+        |    AS BIGINT) AS n_c_post,
+        |  CAST(sum(CASE WHEN treated AND NOT post THEN m END)
+        |    AS BIGINT) AS m_t_pre_micro,
+        |  CAST(sum(CASE WHEN treated AND post THEN m END)
+        |    AS BIGINT) AS m_t_post_micro,
+        |  CAST(sum(CASE WHEN NOT treated AND NOT post THEN m END)
+        |    AS BIGINT) AS m_c_pre_micro,
+        |  CAST(sum(CASE WHEN NOT treated AND post THEN m END)
+        |    AS BIGINT) AS m_c_post_micro,
+        |  CAST((sum(CASE WHEN treated AND post THEN m END)
+        |      - sum(CASE WHEN treated AND NOT post THEN m END))
+        |    - (sum(CASE WHEN NOT treated AND post THEN m END)
+        |      - sum(CASE WHEN NOT treated AND NOT post THEN m END))
+        |    AS BIGINT) AS did_micro
+        |FROM m""",
     // v7: both exact lower medians re-derived via rank selection; all
     // deviations absolute so native division semantics agree
     "v7_robust_outliers" ->
@@ -4460,6 +4583,56 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
         |  >= 0.5""",
+    // t67: the pair set is t7's exact-jaccard reconstruction (the t13
+    // recall contract makes the engine's LSH set identical); clipped
+    // gram counts re-derived from the same trim+\s+ tokenization
+    "t67_ngram_precision" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM tok)),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh
+        |    GROUP BY doc_id),
+        |  ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      count(*) AS inter
+        |    FROM sh a JOIN sh b
+        |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2),
+        |  pairs AS (SELECT doc_a, doc_b FROM ix
+        |    JOIN sizes sa ON doc_a = sa.doc_id
+        |    JOIN sizes sb ON doc_b = sb.doc_id
+        |    WHERE CAST(inter AS DOUBLE)
+        |      / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+        |  uc AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2),
+        |  bc AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS g FROM tok)
+        |    GROUP BY 1, 2),
+        |  c1 AS (SELECT p.doc_a, p.doc_b,
+        |      sum(least(a.c, b.c)) AS clip1
+        |    FROM pairs p JOIN uc a ON a.doc_id = p.doc_a
+        |    JOIN uc b ON b.doc_id = p.doc_b AND b.g = a.g
+        |    GROUP BY 1, 2),
+        |  c2 AS (SELECT p.doc_a, p.doc_b,
+        |      sum(least(a.c, b.c)) AS clip2
+        |    FROM pairs p JOIN bc a ON a.doc_id = p.doc_a
+        |    JOIN bc b ON b.doc_id = p.doc_b AND b.g = a.g
+        |    GROUP BY 1, 2),
+        |  lens AS (SELECT doc_id, len(t) AS n1 FROM tok)
+        |SELECT p.doc_a, p.doc_b, CAST(l.n1 AS INTEGER) AS n_tokens_a,
+        |  CAST(coalesce(c1.clip1, 0) AS BIGINT) AS clip1,
+        |  CAST(coalesce(c1.clip1, 0) * 1000000 // l.n1 AS BIGINT)
+        |    AS p1_ppm,
+        |  CAST(coalesce(c2.clip2, 0) * 1000000
+        |    // greatest(l.n1 - 1, 1) AS BIGINT) AS p2_ppm
+        |FROM pairs p
+        |LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
+        |LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
+        |JOIN lens l ON l.doc_id = p.doc_a""",
     // the LSH recall contract: the exact pair count re-derived in SQL,
     // and the miss count PINNED to 0 — if banding ever loses a true
     // pair, the Spark side reports >0 and this row goes red

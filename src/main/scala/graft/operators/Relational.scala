@@ -2816,6 +2816,150 @@ object Relational {
           "as bigint)").as("index_ppm"))
   }
 
+  /** a50 — PERMUTATION TEST for the weekend-vs-weekday mean spend gap
+    * per event type: the exact-resampling significance test that
+    * complements a47's rank-sum — "is the observed mean difference
+    * larger than chance relabelings of the same rows?". 100
+    * deterministic permutations: each rep orders rows by
+    * md5(event_id ':' rep) within (event_type, rep) and takes the
+    * first n_we rows as the pseudo weekend group, so group SIZES are
+    * preserved exactly (a true permutation, not a Bernoulli
+    * relabeling) and both engines replay the identical shuffle from
+    * the identical hash bytes (the t12 md5 parity contract). The test
+    * statistic |s1·n_wd − s0·n_we| (the mean gap cross-multiplied to
+    * clear both denominators) runs in DECIMAL(38,0) here and HUGEINT
+    * in the oracle, so every comparison is exact;
+    * p = (#{stat_r ≥ stat_obs} + 1)/(R + 1) as a floor ppm.
+    * Scale: the rep fanout is a map-side explode (R·N narrow rows);
+    * the per-rep rank is PARTITIONED on (event_type, rep) — R
+    * independent sorts per type, never a single-partition window. At
+    * 100 TB that sort is the honest cost of exact size-preserving
+    * permutation; the Bernoulli-relabeling variant (hash threshold,
+    * no sort) is the documented cheap alternative. */
+  def a50PermutationTest(s: SparkSession, d: String): DataFrame = {
+    val reps = 100
+    val ev = events(s, d).select(col("event_type"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+        .as("cents"),
+      (expr("((unix_micros(ts) div 86400000000) + 3) % 7") >= 5)
+        .as("weekend"))
+    val obs = ev.groupBy("event_type").agg(
+      sum(when(col("weekend"), 1L).otherwise(0L)).as("n_we"),
+      sum(when(!col("weekend"), 1L).otherwise(0L)).as("n_wd"),
+      sum(when(col("weekend"), col("cents")).otherwise(0L)).as("s_we"),
+      sum(col("cents")).as("s_tot"))
+    val fan = ev.select(col("event_type"), col("event_id"), col("cents"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("r"))
+      .withColumn("h", md5(concat(col("event_id").cast("string"),
+        lit(":"), col("r").cast("string")).cast("binary")))
+    val wr = Window.partitionBy("event_type", "r")
+      .orderBy(col("h"), col("event_id"))
+    val s1 = fan.withColumn("rk", row_number().over(wr))
+      .join(broadcast(obs.select(col("event_type"), col("n_we"))),
+        Seq("event_type"))
+      .groupBy("event_type", "r")
+      .agg(sum(when(col("rk") <= col("n_we"), col("cents"))
+        .otherwise(0L)).as("s1"))
+    val stat = "abs(cast(%s as decimal(38,0)) * n_wd " +
+      "- cast(s_tot - %s as decimal(38,0)) * n_we)"
+    s1.join(broadcast(obs), Seq("event_type"))
+      .withColumn("ge", expr(stat.format("s1", "s1")) >=
+        expr(stat.format("s_we", "s_we")))
+      .groupBy("event_type", "n_we", "n_wd", "s_we", "s_tot")
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(col("ge"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("n_we"), col("n_wd"),
+        expr("cast(" + stat.format("s_we", "s_we") +
+          " * 1000000 div (cast(n_we as decimal(38,0)) * n_wd) " +
+          "as bigint)").as("obs_absdiff_micro"),
+        expr("cast(case when cast(s_we as decimal(38,0)) * n_wd > " +
+          "cast(s_tot - s_we as decimal(38,0)) * n_we then 1 " +
+          "when cast(s_we as decimal(38,0)) * n_wd < " +
+          "cast(s_tot - s_we as decimal(38,0)) * n_we then -1 " +
+          "else 0 end as int)").as("obs_sign"),
+        col("n_reps"), col("n_ge"),
+        expr("(n_ge + 1) * 1000000 div (n_reps + 1)").as("p_ppm"))
+  }
+
+  /** a51 — MANN–KENDALL trend test over daily revenue per event type:
+    * the nonparametric "is there a monotone trend" screen whose slope
+    * estimate is a45's Theil–Sen. S = Σ_{i<j} sign(c_j − c_i) over
+    * the same calendar²-bounded daily pair space as a45; the
+    * tie-corrected variance is kept ×18 so it is an exact integer
+    * (var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)), and the 5%
+    * significance call is the cross-multiplied integer inequality
+    * 180000·(|S|−1)² ≥ 38416·var18 (both sides of z² ≥ 1.96² scaled
+    * by 18·10⁴) — no sqrt, no float, bit-identical in both engines. */
+  def a51MannKendall(s: SparkSession, d: String): DataFrame = {
+    val pts = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    val sStat = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long"))
+        .as("s_stat"))
+    val nD = pts.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = pts.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    nD.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18")
+          .as("var18"))
+      .withColumn("trend", expr(
+        "case when s_stat <> 0 and 180000 * (abs(s_stat) - 1) " +
+          "* (abs(s_stat) - 1) >= 38416 * var18 then " +
+          "case when s_stat > 0 then 'increasing' " +
+          "else 'decreasing' end else 'none' end"))
+  }
+
+  /** w39 — DIFFERENCE-IN-DIFFERENCES over purchase spend: treated
+    * cohort = odd user ids, post period = the data-derived midpoint
+    * day (min + span/2, deterministic from the table itself). Four
+    * (treated × post) cells in ONE pass — n, cents sum, and a floored
+    * micro-cents mean (sums are positive, so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree; products run DECIMAL(38,0) /
+    * HUGEINT) — then the DiD estimate as pure integer subtraction of
+    * the four floored means. The causal-analytics rollup an events
+    * pipeline runs for any cohort launch; at 100 TB it is one
+    * map-side-combined aggregate over a 4-row grid plus a 1-row
+    * broadcast for the cutoff. */
+  def w39DiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val pe = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+    val cut = pe.agg(
+      expr("min(day) + (max(day) - min(day) + 1) div 2").as("cutoff"))
+    val cells = pe.crossJoin(broadcast(cut))
+      .select((col("user_id") % 2 === 1).as("treated"),
+        (col("day") >= col("cutoff")).as("post"), col("cents"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("m", expr(
+        "cast(cast(s as decimal(38,0)) * 1000000 div n as bigint)"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      sum(when(col("treated") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(true, false, "n").as("n_t_pre"),
+        cell(true, true, "n").as("n_t_post"),
+        cell(false, false, "n").as("n_c_pre"),
+        cell(false, true, "n").as("n_c_post"),
+        cell(true, false, "m").as("m_t_pre_micro"),
+        cell(true, true, "m").as("m_t_post_micro"),
+        cell(false, false, "m").as("m_c_pre_micro"),
+        cell(false, true, "m").as("m_c_post_micro"))
+      .withColumn("did_micro", expr(
+        "(m_t_post_micro - m_t_pre_micro) " +
+          "- (m_c_post_micro - m_c_pre_micro)"))
+  }
+
   def w31Stickiness(s: SparkSession, d: String): DataFrame = {
     // one user-day derivation for BOTH counters: the explode keeps the
     // origin day, the (user, report-day) rollup remembers whether any
@@ -3198,6 +3342,9 @@ object Relational {
     "w37_survival" -> w37Survival _,
     "w38_seasonal_backtest" -> w38SeasonalBacktest _,
     "a49_dow_seasonality" -> a49DowSeasonality _,
+    "a50_permutation_test" -> a50PermutationTest _,
+    "a51_mann_kendall" -> a51MannKendall _,
+    "w39_diff_in_diff" -> w39DiffInDiff _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,

@@ -1524,6 +1524,50 @@ object TextOps {
       .limit(topK)
   }
 
+  /** t67 — BLEU-STYLE N-GRAM PRECISION over the near-dup candidate
+    * pairs: for each LSH pair (a < b), the modified (clipped) unigram
+    * and bigram precision of a against b — Σ_g min(cnt_a(g), cnt_b(g))
+    * over a's gram count, as floor ppm. The eval-metric view of the
+    * dedup family: jaccard (t7) says "how much shingle SET overlap",
+    * clipped precision says "how much of a's actual token mass b
+    * reproduces", which is what a contamination or paraphrase audit
+    * reports. Tokenization is the t2/t7 contract (trim + \s+ split,
+    * case-preserved). Scale: gram counts are per-doc bounded rows;
+    * the pair relation is the already-bounded LSH candidate set; both
+    * clip joins shuffle on (doc, gram) — never a corpus×corpus
+    * product, and payload text never rides past the explode. */
+  def t67NgramPrecision(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val docs = documents(s, d)
+    val uni = docs.select(col("doc_id"), explode(toks).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val big = docs.select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("doc_id"), size(toks).as("n1"))
+    val pairs = lshPairs(s, d).select("doc_a", "doc_b")
+    def clip(cnt: DataFrame, out: String) = pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("g"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("g"),
+        col("c").as("cb")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as(out))
+    pairs
+      .join(clip(uni, "clip1"), Seq("doc_a", "doc_b"), "left")
+      .join(clip(big, "clip2"), Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("doc_id").as("doc_a"), col("n1")),
+        Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n1").as("n_tokens_a"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        expr("coalesce(clip1, 0) * 1000000 div n1").as("p1_ppm"),
+        expr("coalesce(clip2, 0) * 1000000 div greatest(n1 - 1, 1)")
+          .as("p2_ppm"))
+  }
+
   /** t31: DOMAIN MIXING — rebalance the corpus to uniform source
     * shares by hash-rate downsampling every source to the smallest
     * one's size (keep-rate n_min/n_src). The accept test is pure
@@ -2595,5 +2639,6 @@ object TextOps {
     "t8_simhash" -> t8SimHash _,
     "t12_hash_split" -> t12HashSplit _,
     "t13_lsh_recall" -> t13LshRecall _,
+    "t67_ngram_precision" -> t67NgramPrecision _,
   )
 }
