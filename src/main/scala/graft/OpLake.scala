@@ -141,6 +141,12 @@ object OpLake {
     // these verbatim; the Spark side recomputes batch a34Ewma, so the
     // hash gate IS stream≡batch recurrence parity across seams
     save(streaming.TwsOps.ewmaReplay(s, d), "stream_ewma")
+    // the STREAMING Page–Hinkley emissions (32-byte count/sum/stat/min
+    // state across a day-ordered 5-batch replay) — the a53 oracle
+    // reads these verbatim; the Spark side recomputes the batch δ=0
+    // prefix-window series, so the hash gate IS stream≡batch drift-
+    // detector parity across seams
+    save(streaming.TwsOps.phReplay(s, d), "stream_ph")
     // a27's quantized decay table (pow computed once in Spark)
     save(operators.Relational.a27DecayWeights(s, d), "a27_decay")
   }

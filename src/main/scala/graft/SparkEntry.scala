@@ -2546,6 +2546,210 @@ object SparkEntry {
         |      - sum(CASE WHEN NOT treated AND NOT post THEN m END))
         |    AS BIGINT) AS did_micro
         |FROM m""",
+    // a52: running-mean deviations floored identically (// = div on
+    // positive operands); the per-type overall mean runs HUGEINT
+    "a52_page_hinkley" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type,
+        |    (CAST(sum(x) AS HUGEINT) * 1000000 // count(*)) // 20
+        |      AS delta_micro,
+        |    (CAST(sum(x) AS HUGEINT) * 1000000 // count(*)) // 2
+        |      AS lambda_micro
+        |  FROM daily GROUP BY 1),
+        |ser AS (SELECT event_type, day, x,
+        |    row_number() OVER w AS t, sum(x) OVER w AS st
+        |  FROM daily WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |tm AS (SELECT ser.event_type, ser.day, tot.delta_micro,
+        |    tot.lambda_micro,
+        |    ser.x * 1000000 - (ser.st * 1000000 // ser.t)
+        |      - tot.delta_micro AS term
+        |  FROM ser JOIN tot ON ser.event_type = tot.event_type),
+        |m1 AS (SELECT event_type, day, delta_micro, lambda_micro,
+        |    sum(term) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM tm),
+        |m2 AS (SELECT event_type, day, delta_micro, lambda_micro, m,
+        |    m - min(m) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM m1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(delta_micro) AS BIGINT) AS delta_micro,
+        |  CAST(max(lambda_micro) AS BIGINT) AS lambda_micro,
+        |  CAST(max(ph) AS BIGINT) AS max_ph_micro,
+        |  CAST(coalesce(min(CASE WHEN ph >= lambda_micro THEN day END),
+        |    -1) AS BIGINT) AS alarm_day
+        |FROM m2 GROUP BY 1""",
+    // a54: pairs never cross day-of-week seasons; S and var18 summed
+    // over seasons, same cross-multiplied 5% inequality as a51
+    "a54_seasonal_mk" ->
+      """WITH pts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (SELECT event_type, day, (day + 3) % 7 AS dow, c
+        |  FROM pts),
+        |s AS (SELECT a.event_type,
+        |    CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_raw
+        |  FROM pd a JOIN pd b ON a.event_type = b.event_type
+        |    AND a.dow = b.dow AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, dow, count(*) AS ns FROM pd
+        |  GROUP BY 1, 2),
+        |ti AS (SELECT event_type, dow,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tie18
+        |  FROM (SELECT event_type, dow, c, count(*) AS t FROM pd
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |v AS (SELECT nd.event_type, CAST(sum(nd.ns) AS BIGINT)
+        |      AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(nd.ns * (nd.ns - 1) * (2 * nd.ns + 5)
+        |      - ti.tie18) AS BIGINT) AS var18_total
+        |  FROM nd JOIN ti ON nd.event_type = ti.event_type
+        |    AND nd.dow = ti.dow
+        |  GROUP BY 1)
+        |SELECT v.event_type, v.n_days, v.n_seasons,
+        |  CAST(coalesce(s.s_raw, 0) AS BIGINT) AS s_total,
+        |  v.var18_total,
+        |  CASE WHEN coalesce(s.s_raw, 0) <> 0
+        |      AND 180000 * (abs(coalesce(s.s_raw, 0)) - 1)
+        |        * (abs(coalesce(s.s_raw, 0)) - 1)
+        |      >= 38416 * v.var18_total
+        |    THEN CASE WHEN s.s_raw > 0 THEN 'increasing'
+        |      ELSE 'decreasing' END
+        |    ELSE 'none' END AS trend
+        |FROM v LEFT JOIN s ON v.event_type = s.event_type""",
+    // w40: the Holt recurrence replayed as a recursive CTE. DuckDB's
+    // `//` TRUNCATES toward zero on negatives (like Spark `div`), so
+    // both halvings use the positive-mod subtraction — the same true
+    // FLOOR the engine computes (b goes negative between upswings)
+    "w40_holt_backtest" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |r AS (
+        |  SELECT event_type, rn, day, x, x AS l,
+        |      CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS f
+        |    FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.x,
+        |      (((i.x + r.l + r.b)
+        |        - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) AS l,
+        |      (((r.b + (((i.x + r.l + r.b)
+        |          - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) - r.l)
+        |        - ((((r.b + (((i.x + r.l + r.b)
+        |          - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) - r.l)
+        |            % 2) + 2) % 2)) // 2) AS b,
+        |      r.l + r.b AS f
+        |    FROM r JOIN idx i ON i.event_type = r.event_type
+        |      AND i.rn = r.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(x AS BIGINT) AS cents,
+        |  CAST(f AS BIGINT) AS forecast_cents,
+        |  CAST(abs(x - f) AS BIGINT) AS abs_err_cents
+        |FROM r WHERE rn >= 2""",
+    // a56: (x·n − S)² > 9·(n·Q − S²) — the ±3σ band cross-multiplied
+    // into HUGEINT (engine: DECIMAL(38,0)); no sqrt on either side
+    "a56_spc_chart" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS qx
+        |  FROM daily GROUP BY 1),
+        |sc AS (SELECT d.event_type, d.day, t.n, t.sx,
+        |    (CAST(d.x AS HUGEINT) * t.n - t.sx)
+        |      * (CAST(d.x AS HUGEINT) * t.n - t.sx)
+        |      > 9 * (t.n * t.qx - t.sx * t.sx) AS sig
+        |  FROM daily d JOIN tot t ON d.event_type = t.event_type)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |  CAST(max(sx // n) AS BIGINT) AS mean_cents,
+        |  CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_signals,
+        |  CAST(coalesce(min(CASE WHEN sig THEN day END), -1)
+        |    AS BIGINT) AS first_signal_day
+        |FROM sc GROUP BY 1""",
+    // a57: exact ×n² covariance numerators as decimal text (HUGEINT /
+    // DECIMAL(38,0) render identically); the lag fanout replays the
+    // same 0..7 aligned-day join
+    "a57_lead_lag" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |fan AS (SELECT a.event_type AS et_a, a.day, a.x AS xa,
+        |    l.lag_days, a.day + l.lag_days AS day_b
+        |  FROM daily a CROSS JOIN
+        |    (SELECT unnest(range(0, 8)) AS lag_days) l),
+        |j AS (SELECT f.et_a, b.event_type AS et_b, f.lag_days,
+        |    f.xa, b.x AS yb
+        |  FROM fan f JOIN daily b ON b.day = f.day_b
+        |    AND b.event_type <> f.et_a)
+        |SELECT et_a, et_b, CAST(lag_days AS BIGINT) AS lag_days,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(CAST(count(*) AS HUGEINT)
+        |      * sum(CAST(xa AS HUGEINT) * yb)
+        |    - sum(CAST(xa AS HUGEINT)) * sum(CAST(yb AS HUGEINT))
+        |    AS VARCHAR) AS cov_n2
+        |FROM j GROUP BY 1, 2, 3""",
+    // a55: the full a50 replay as a CTE, then the integer BH step-up
+    // (p_ppm·m ≤ 50000·k) over the m-row hypothesis grid
+    "a55_bh_fdr" ->
+      """WITH pe AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS weekend
+        |  FROM events),
+        |obs AS (SELECT event_type,
+        |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS n_we,
+        |    sum(CASE WHEN weekend THEN 0 ELSE 1 END) AS n_wd,
+        |    sum(CASE WHEN weekend THEN cents ELSE 0 END) AS s_we,
+        |    sum(cents) AS s_tot
+        |  FROM pe GROUP BY 1),
+        |fan AS (SELECT pe.event_type, pe.event_id, pe.cents, r.r,
+        |    md5(CAST(pe.event_id AS VARCHAR) || ':'
+        |      || CAST(r.r AS VARCHAR)) AS h
+        |  FROM pe CROSS JOIN range(100) r(r)),
+        |rk AS (SELECT event_type, r, cents, row_number() OVER (
+        |    PARTITION BY event_type, r ORDER BY h, event_id) AS rk
+        |  FROM fan),
+        |s1 AS (SELECT rk.event_type, rk.r,
+        |    sum(CASE WHEN rk.rk <= obs.n_we THEN rk.cents ELSE 0 END)
+        |      AS s1
+        |  FROM rk JOIN obs ON rk.event_type = obs.event_type
+        |  GROUP BY 1, 2),
+        |st AS (SELECT s1.event_type,
+        |    CASE WHEN abs(CAST(s1.s1 AS HUGEINT) * obs.n_wd
+        |        - CAST(obs.s_tot - s1.s1 AS HUGEINT) * obs.n_we)
+        |      >= abs(CAST(obs.s_we AS HUGEINT) * obs.n_wd
+        |        - CAST(obs.s_tot - obs.s_we AS HUGEINT) * obs.n_we)
+        |      THEN 1 ELSE 0 END AS ge
+        |  FROM s1 JOIN obs ON s1.event_type = obs.event_type),
+        |p50 AS (SELECT st.event_type,
+        |    CAST((sum(st.ge) + 1) * 1000000 // (count(*) + 1)
+        |      AS BIGINT) AS p_ppm
+        |  FROM st GROUP BY 1),
+        |kr AS (SELECT event_type, p_ppm,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS k,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM p50),
+        |km AS (SELECT max(CASE WHEN p_ppm * m <= 50000 * k THEN k
+        |    END) AS kmax FROM kr)
+        |SELECT kr.event_type, kr.p_ppm, kr.k, kr.m,
+        |  CAST(50000 * kr.k // kr.m AS BIGINT) AS bh_threshold_ppm,
+        |  kr.k <= coalesce(km.kmax, 0) AS rejected
+        |FROM kr, km""",
     // v7: both exact lower medians re-derived via rank selection; all
     // deviations absolute so native division semantics agree
     "v7_robust_outliers" ->
@@ -3135,6 +3339,16 @@ object SparkEntry {
          |  CAST(cents AS BIGINT) AS cents,
          |  CAST(ewma_cents AS BIGINT) AS ewma_cents
          |FROM ${oprel("stream_ewma")}""",
+    // a53: oracle = the transformWithState Page–Hinkley replay's
+    // emissions read verbatim; Spark side recomputes the batch δ=0
+    // prefix-window series — hash match proves stream ≡ batch drift
+    // detection across micro-batch seams
+    "a53_stream_ph" ->
+      s"""SELECT event_type, CAST(day AS BIGINT) AS day,
+         |  CAST(cents AS BIGINT) AS cents,
+         |  CAST(m_micro AS BIGINT) AS m_micro,
+         |  CAST(ph_micro AS BIGINT) AS ph_micro
+         |FROM ${oprel("stream_ph")}""",
     // t57: clusters re-derived via recursive reachability, election
     // re-derived as max-chars-then-min-id (explicit tie semantics)
     "t57_survivorship" ->
@@ -4633,6 +4847,29 @@ object SparkEntry {
         |LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
         |LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
         |JOIN lens l ON l.doc_id = p.doc_a""",
+    // t68: cum_vocab(d) = #{tokens with first doc <= d}; the chunk
+    // width is data-derived so the checkpoint grid stays ~128 rows
+    "t68_heaps_law" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (SELECT (max(doc_id) // 128) + 1 AS w FROM tok),
+        |pd AS (SELECT doc_id, len(t) AS ntok FROM tok),
+        |fd AS (SELECT g, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1),
+        |tc AS (SELECT doc_id // w.w AS chunk, sum(ntok) AS toks,
+        |    count(*) AS nd
+        |  FROM pd, w GROUP BY 1),
+        |vc AS (SELECT first_doc // w.w AS chunk, count(*) AS voc
+        |  FROM fd, w GROUP BY 1)
+        |SELECT CAST(tc.chunk AS BIGINT) AS chunk,
+        |  CAST(sum(tc.nd) OVER cum AS BIGINT) AS cum_docs,
+        |  CAST(sum(tc.toks) OVER cum AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(vc.voc, 0)) OVER cum AS BIGINT)
+        |    AS cum_vocab
+        |FROM tc LEFT JOIN vc ON tc.chunk = vc.chunk
+        |WINDOW cum AS (ORDER BY tc.chunk ROWS BETWEEN UNBOUNDED
+        |  PRECEDING AND CURRENT ROW)""",
     // the LSH recall contract: the exact pair count re-derived in SQL,
     // and the miss count PINNED to 0 — if banding ever loses a true
     // pair, the Spark side reports >0 and this row goes red

@@ -2918,6 +2918,255 @@ object Relational {
           "else 'decreasing' end else 'none' end"))
   }
 
+  /** a52 — PAGE–HINKLEY drift report per event type: the sequential
+    * change detector that complements a33's fixed-mean CUSUM — each
+    * day's deviation is taken against the RUNNING mean (so the
+    * statistic adapts to slow drift and fires on abrupt shifts), minus
+    * a data-derived allowance δ (5% of the overall daily mean), with
+    * the alarm when m_t − min_{i≤t} m_i ≥ λ (50% of the overall daily
+    * mean). All integer micro-cents: running means are floored
+    * identically in both engines (positive sums, `div` = `//`), the
+    * per-type overall mean runs DECIMAL(38,0)/HUGEINT. Windows are
+    * PARTITIONED per type over the calendar-bounded daily rollup. */
+  def a52PageHinkley(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("stot"))
+      .select(col("event_type"),
+        expr("(cast(stot as decimal(38,0)) * 1000000 div nd) div 20")
+          .cast("long").as("delta_micro"),
+        expr("(cast(stot as decimal(38,0)) * 1000000 div nd) div 2")
+          .cast("long").as("lambda_micro"))
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wSeq))
+      .withColumn("st", sum(col("x")).over(wCum))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("term", expr(
+        "x * 1000000 - (st * 1000000 div t) - delta_micro"))
+      .withColumn("m", sum(col("term")).over(wCum))
+      .withColumn("ph", col("m") - min(col("m")).over(wCum))
+      .groupBy("event_type")
+      .agg(max(col("t")).cast("long").as("n_days"),
+        max(col("delta_micro")).as("delta_micro"),
+        max(col("lambda_micro")).as("lambda_micro"),
+        max(col("ph")).as("max_ph_micro"),
+        min(when(col("ph") >= col("lambda_micro"), col("day")))
+          .as("alarm0"))
+      .select(col("event_type"), col("n_days"), col("delta_micro"),
+        col("lambda_micro"), col("max_ph_micro"),
+        coalesce(col("alarm0"), lit(-1L)).as("alarm_day"))
+  }
+
+  /** a53 — the ONLINE Page–Hinkley series (δ = 0, the bare running-
+    * mean deviation detector): batch recompute of the exact per-day
+    * (m, ph) emissions the transformWithState replay dumps to OpLake —
+    * the a53 oracle reads that dump verbatim, so the hash gate IS the
+    * 13th stream ≡ batch parity row (24 bytes of per-key state across
+    * micro-batch seams vs two partitioned prefix windows here). */
+  def a53PhSeries(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wSeq))
+      .withColumn("st", sum(col("x")).over(wCum))
+      .withColumn("term", expr("x * 1000000 - (st * 1000000 div t)"))
+      .withColumn("m_micro", sum(col("term")).over(wCum))
+      .withColumn("ph_micro",
+        col("m_micro") - min(col("m_micro")).over(wCum))
+      .select(col("event_type"), col("day"), col("x").as("cents"),
+        col("m_micro"), col("ph_micro"))
+  }
+
+  /** a54 — SEASONAL MANN–KENDALL per event type: a51's trend test
+    * computed within each day-of-week season (pairs never cross
+    * seasons, so weekly cycles can't masquerade as trend), S and the
+    * ×18 tie-corrected variance summed over the 7 seasons, and the
+    * same cross-multiplied 5% integer inequality on the totals. The
+    * pair space shrinks to Σ_s n_s² — strictly cheaper than a51. */
+  def a54SeasonalMk(s: SparkSession, d: String): DataFrame = {
+    val pts = events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val sStat = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.dow") === col("b.dow") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long"))
+        .as("s_raw"))
+    val nD = pts.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("ns"))
+    val ties = pts.groupBy("event_type", "dow", "c")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type", "dow")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    nD.join(ties, Seq("event_type", "dow"))
+      .groupBy("event_type")
+      .agg(sum(col("ns")).as("n_days"),
+        count(lit(1)).as("n_seasons"),
+        sum(expr("ns * (ns - 1) * (2 * ns + 5) - tie18"))
+          .as("var18_total"))
+      .join(sStat, Seq("event_type"), "left")
+      .withColumn("s_total", coalesce(col("s_raw"), lit(0L)))
+      .withColumn("trend", expr(
+        "case when s_total <> 0 and 180000 * (abs(s_total) - 1) " +
+          "* (abs(s_total) - 1) >= 38416 * var18_total then " +
+          "case when s_total > 0 then 'increasing' " +
+          "else 'decreasing' end else 'none' end"))
+      .select(col("event_type"), col("n_days"), col("n_seasons"),
+        col("s_total"), col("var18_total"), col("trend"))
+  }
+
+  /** w40 — HOLT LINEAR-TREND BACKTEST per event type: double
+    * exponential smoothing with α = β = 1/2 (exact halving, so the
+    * whole recurrence stays in integers) over the daily revenue
+    * series, scored by one-step-ahead absolute errors from day 2 on —
+    * the forecasting leg the seasonal backtest (w38) doesn't cover
+    * (w38 predicts from season means; Holt tracks level + trend).
+    * The recurrence l' = ⌊(x + l + b)/2⌋, b' = ⌊(b + l' − l)/2⌋ runs
+    * as a single codegen'd `aggregate` fold over the per-type
+    * calendar-bounded day array (the a34 pattern); halving uses the
+    * positive-mod floor form because b can go negative (truncating
+    * `div` ≠ flooring `//` there — the shared-semantics rule). */
+  def w40HoltBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    // fd2(v) = floor(v / 2) for either sign
+    def fd2(v: String) = s"((($v) - (((($v) % 2) + 2) % 2)) div 2)"
+    val newL = fd2("e.x + acc.l + acc.b")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("ser"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(ser,
+           |  named_struct('init', false, 'l', cast(0 as bigint),
+           |    'b', cast(0 as bigint),
+           |    'out', cast(array() as array<struct<
+           |      day:bigint,x:bigint,f:bigint>>)),
+           |  (acc, e) -> if(not acc.init,
+           |    named_struct('init', true, 'l', e.x,
+           |      'b', cast(0 as bigint), 'out', acc.out),
+           |    named_struct('init', true,
+           |      'l', $newL,
+           |      'b', ${fd2(s"acc.b + $newL - acc.l")},
+           |      'out', array_append(acc.out, named_struct(
+           |        'day', e.day, 'x', e.x,
+           |        'f', acc.l + acc.b)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.x").as("cents"), col("r.f").as("forecast_cents"),
+        abs(col("r.x") - col("r.f")).as("abs_err_cents"))
+  }
+
+  /** a55 — BENJAMINI–HOCHBERG step-up over the a50 permutation
+    * p-values: the multiple-testing correction a monitoring pipeline
+    * applies before alerting on per-segment tests (5 hypotheses here,
+    * one per event type). Pure integer step-up at FDR 5%: a p is
+    * BH-significant iff its ascending rank k (ties broken by type for
+    * determinism) satisfies p_ppm·m ≤ 50000·k for SOME k' ≥ k passing
+    * — i.e. rank ≤ k_max. Windows run over the hypothesis grid (m
+    * rows), never over data. */
+  def a55BhFdr(s: SparkSession, d: String): DataFrame = {
+    val p = a50PermutationTest(s, d)
+      .select(col("event_type"), col("p_ppm"))
+    val wRank = Window.orderBy(col("p_ppm"), col("event_type"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    p.withColumn("k", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("kmax", max(when(
+        col("p_ppm") * col("m") <= lit(50000L) * col("k"), col("k")))
+        .over(wAll))
+      .select(col("event_type"), col("p_ppm"), col("k"), col("m"),
+        expr("50000 * k div m").as("bh_threshold_ppm"),
+        (col("k") <= coalesce(col("kmax"), lit(0L))).as("rejected"))
+  }
+
+  /** a56 — SHEWHART CONTROL CHART (individuals, 3σ) per event type:
+    * the limit-based SPC screen that complements the SEQUENTIAL
+    * detectors (a33 CUSUM, a34/a35 EWMA, a52/a53 Page–Hinkley) — a
+    * day signals when it leaves the ±3σ band around the per-type
+    * mean. Entirely integer: the test is the cross-multiplied square
+    * (x·n − S)² > 9·(n·Q − S²) (both sides of (x−μ)² > 9σ² scaled by
+    * n², population σ), run in DECIMAL(38,0) here and HUGEINT in the
+    * oracle — no sqrt, no float, no tie ambiguity. One bounded rollup
+    * plus one broadcast-joined scan. */
+  def a56SpcChart(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val tot = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("x").cast("decimal(38,0)") * col("x")))
+        .as("qx"))
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("sig", expr(
+        "(cast(x as decimal(38,0)) * n - sx) " +
+          "* (cast(x as decimal(38,0)) * n - sx) " +
+          "> 9 * (n * qx - sx * sx)"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        expr("cast(max(sx div n) as bigint)").as("mean_cents"),
+        sum(when(col("sig"), 1L).otherwise(0L)).as("n_signals"),
+        coalesce(min(when(col("sig"), col("day"))), lit(-1L))
+          .as("first_signal_day"))
+  }
+
+  /** a57 — LEAD–LAG CROSS-COVARIANCE table: for every ordered pair of
+    * distinct event types and lag 0..7 days, the covariance numerator
+    * n·Σ(x_a·y_b) − Σx_a·Σy_b over the lag-aligned daily revenue
+    * overlap (y is read `lag` days AFTER x) — the "which metric leads
+    * which" diagnostic behind funnel causality hunches. Kept as the
+    * exact ×n² integer numerator (DECIMAL(38,0)/HUGEINT), so no
+    * division and no float; the lag fanout is a map-side explode and
+    * the aligned join BROADCASTS the calendar-bounded daily grid. */
+  def a57LeadLag(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val fan = daily
+      .select(col("event_type").as("et_a"), col("day"),
+        col("x").as("xa"),
+        explode(expr("sequence(0L, 7L)")).as("lag_days"))
+      .withColumn("day_b", col("day") + col("lag_days"))
+    val b = daily.select(col("event_type").as("et_b"),
+      col("day").as("day_b"), col("x").as("yb"))
+    fan.join(broadcast(b),
+        fan("day_b") === b("day_b") && col("et_a") =!= col("et_b"))
+      .groupBy("et_a", "et_b", "lag_days")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xa").cast("decimal(38,0)")).as("sx"),
+        sum(col("yb").cast("decimal(38,0)")).as("sy"),
+        sum(col("xa").cast("decimal(38,0)") * col("yb")).as("sxy"))
+      .select(col("et_a"), col("et_b"), col("lag_days"),
+        col("n_days"),
+        expr("cast(n_days * sxy - sx * sy as decimal(38,0))")
+          .cast("string").as("cov_n2"))
+  }
+
   /** w39 — DIFFERENCE-IN-DIFFERENCES over purchase spend: treated
     * cohort = odd user ids, post period = the data-derived midpoint
     * day (min + span/2, deterministic from the table itself). Four
@@ -3345,6 +3594,16 @@ object Relational {
     "a50_permutation_test" -> a50PermutationTest _,
     "a51_mann_kendall" -> a51MannKendall _,
     "w39_diff_in_diff" -> w39DiffInDiff _,
+    "a52_page_hinkley" -> a52PageHinkley _,
+    "w40_holt_backtest" -> w40HoltBacktest _,
+    "a55_bh_fdr" -> a55BhFdr _,
+    "a56_spc_chart" -> a56SpcChart _,
+    "a57_lead_lag" -> a57LeadLag _,
+    // a53: the SPARK side is the batch δ=0 PH series; the oracle reads
+    // the transformWithState replay's OpLake dump verbatim — hash
+    // match = stream ≡ batch Page–Hinkley across micro-batch seams
+    "a53_stream_ph" -> a53PhSeries _,
+    "a54_seasonal_mk" -> a54SeasonalMk _,
     "w35_concurrency_pctile" -> w35ConcurrencyPctile _,
     "w36_late_audit" -> w36LateAudit _,
     "w31_stickiness" -> w31Stickiness _,

@@ -1568,6 +1568,46 @@ object TextOps {
           .as("p2_ppm"))
   }
 
+  /** t68 — HEAPS-LAW VOCABULARY GROWTH: cumulative corpus tokens vs
+    * cumulative distinct vocabulary along the doc_id order, at ≤128
+    * data-derived checkpoints (chunk width = max_id/128 + 1, a ceiling
+    * division, so the checkpoint GRID is bounded at any corpus size —
+    * the windows run over ≤128 rows, never over docs). The curve a
+    * tokenizer/vocab
+    * team reads before sizing a BPE merge budget. The trick that
+    * keeps it one-pass relational: cum_vocab(d) = #{tokens whose
+    * FIRST document ≤ d} — a min-aggregate per token then a bounded
+    * grid rollup, no sequential scan and no distinct-over-window. */
+  def t68HeapsLaw(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val docs = documents(s, d)
+    // ceiling width: chunk = doc_id div w ≤ 127, so the grid is ≤128
+    // rows at ANY corpus size
+    val width = docs.agg(expr(
+      "(max(doc_id) div 128) + 1").as("w"))
+    val perDoc = docs.select(col("doc_id"),
+      size(toks).cast("long").as("ntok"))
+    val firstDoc = docs.select(col("doc_id"), explode(toks).as("g"))
+      .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val tokChunk = perDoc.crossJoin(broadcast(width))
+      .select(expr("doc_id div w").as("chunk"), col("ntok"))
+      .groupBy("chunk")
+      .agg(sum(col("ntok")).as("toks"), count(lit(1)).as("nd"))
+    val vocChunk = firstDoc.crossJoin(broadcast(width))
+      .select(expr("first_doc div w").as("chunk"))
+      .groupBy("chunk").agg(count(lit(1)).as("voc"))
+    // grid-bounded windows: ≤129 checkpoint rows by construction
+    val wg = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokChunk.join(vocChunk, Seq("chunk"), "left")
+      .withColumn("cum_docs", sum(col("nd")).over(wg))
+      .withColumn("cum_tokens", sum(col("toks")).over(wg))
+      .withColumn("cum_vocab",
+        sum(coalesce(col("voc"), lit(0L))).over(wg))
+      .select(col("chunk"), col("cum_docs"), col("cum_tokens"),
+        col("cum_vocab"))
+  }
+
   /** t31: DOMAIN MIXING — rebalance the corpus to uniform source
     * shares by hash-rate downsampling every source to the smallest
     * one's size (keep-rate n_min/n_src). The accept test is pure
@@ -2640,5 +2680,6 @@ object TextOps {
     "t12_hash_split" -> t12HashSplit _,
     "t13_lsh_recall" -> t13LshRecall _,
     "t67_ngram_precision" -> t67NgramPrecision _,
+    "t68_heaps_law" -> t68HeapsLaw _,
   )
 }

@@ -1157,6 +1157,100 @@ object TwsOps {
     out.toDF()
   }
 
+  // ---- streaming Page–Hinkley (a53 = streaming a53PhSeries) ---------
+
+  case class PhIn(event_type: String, day: Long, x: Long)
+  case class PhState(t: Long, s: Long, m: Long, minm: Long)
+  case class PhHit(event_type: String, day: Long, cents: Long,
+    m_micro: Long, ph_micro: Long)
+
+  /** The δ=0 Page–Hinkley detector as an online per-key machine: 32
+    * bytes of state (count, sum, statistic, running minimum) no matter
+    * how long the series. term = x·10⁶ − floor(S·10⁶/t) uses Java long
+    * division on positive operands ≡ Spark `div` ≡ DuckDB `//`, so the
+    * emitted (m, ph) series is bit-identical to the batch prefix-window
+    * fold — including across micro-batch seams, since the state
+    * persists. Rows within a batch are day-sorted per key. */
+  class PhProcessor extends StatefulProcessor[String, PhIn, PhHit] {
+    @transient private var state: ValueState[PhState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PhState](
+        "ph", Encoders.product[PhState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PhIn],
+        timerValues: TimerValues): Iterator[PhHit] = {
+      var st = Option(state.get())
+        .getOrElse(PhState(0L, 0L, 0L, Long.MaxValue))
+      val out = Vector.newBuilder[PhHit]
+      rows.toArray.sortBy(_.day).foreach { r =>
+        val t = st.t + 1
+        val sSum = st.s + r.x
+        val m = st.m + (r.x * 1000000L - sSum * 1000000L / t)
+        val minm = math.min(st.minm, m)
+        out += PhHit(key, r.day, r.x, m, m - minm)
+        st = PhState(t, sSum, m, minm)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  def phStreamTws(daily: org.apache.spark.sql.DataFrame)
+      : Dataset[PhHit] = {
+    import daily.sparkSession.implicits._
+    daily.selectExpr("event_type", "day", "x")
+      .as[PhIn]
+      .groupByKey(_.event_type)
+      .transformWithState(new PhProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic day-ordered multi-batch replay of the per-type
+    * daily revenue rollup through [[phStreamTws]] — the producer
+    * behind the a53 parity row: OpLake dumps the per-day (m, ph)
+    * emissions, the oracle reads them verbatim, and batch
+    * `a53PhSeries` must hash-match — stream ≡ batch Page–Hinkley with
+    * state spanning seams. */
+  def phReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val daily = graft.Tables.events(s, d)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 as day",
+        "cast(floor(value * 100 + 0.5) as bigint) as cents")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum("cents").as("x"))
+      .as[(String, Long, Long)]
+      .collect().sortBy(e => (e._2, e._1))
+    val mem = MemoryStream[(String, Long, Long)]
+    val name = s"ph_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = phStreamTws(mem.toDS().toDF("event_type", "day", "x"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val out =
+      try {
+        daily.grouped(math.max(1, daily.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        s.table(name).as[PhHit].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    out.toDF()
+  }
+
   // ---- streaming sliding median (w33 = streaming w25) ---------------
 
   case class MedIn(user_id: Long, tsus: Long, event_id: Long,
