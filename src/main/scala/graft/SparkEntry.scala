@@ -2423,9 +2423,11 @@ object SparkEntry {
         |    // (CAST(dw.n_days AS HUGEINT) * tot.tot_cents)
         |    AS BIGINT) AS index_ppm
         |FROM dw JOIN tot USING (event_type)""",
-    // a50: the identical md5(event_id ':' rep) ordering replays the
-    // same 100 permutations; cross-multiplied stats run HUGEINT so
-    // every >= comparison is exact (engine side: DECIMAL(38,0))
+    // a50: the identical 48-bit md5(event_id ':' rep) key (12 hex
+    // chars, digit-wise rebuild = Spark's conv — the t12 parity
+    // contract, exact since 16^11 < 2^53) replays the same 100
+    // permutations; cross-multiplied stats run HUGEINT so every >=
+    // comparison is exact (engine side: DECIMAL(38,0))
     "a50_permutation_test" ->
       """WITH pe AS (SELECT event_id, event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -2439,8 +2441,12 @@ object SparkEntry {
         |    sum(cents) AS s_tot
         |  FROM pe GROUP BY 1),
         |fan AS (SELECT pe.event_type, pe.event_id, pe.cents, r.r,
-        |    md5(CAST(pe.event_id AS VARCHAR) || ':'
-        |      || CAST(r.r AS VARCHAR)) AS h
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5(CAST(pe.event_id AS VARCHAR) || ':'
+        |          || CAST(r.r AS VARCHAR)),
+        |          CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (12 - i)))) AS BIGINT) AS h
         |  FROM pe CROSS JOIN range(100) r(r)),
         |rk AS (SELECT event_type, r, cents, row_number() OVER (
         |    PARTITION BY event_type, r ORDER BY h, event_id) AS rk
@@ -2702,6 +2708,66 @@ object SparkEntry {
         |    - sum(CAST(xa AS HUGEINT)) * sum(CAST(yb AS HUGEINT))
         |    AS VARCHAR) AS cov_n2
         |FROM j GROUP BY 1, 2, 3""",
+    // a58: baskets re-derived from raw lineitem x part; lift runs
+    // HUGEINT (engine: DECIMAL(38,0)); the >= 5 support floor is part
+    // of the declared contract
+    "a58_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand
+        |      AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+        |nb AS (SELECT brand, count(*) AS n FROM ob GROUP BY 1),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    count(*) AS n_ab
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pr.brand_a, pr.brand_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nbb.n AS BIGINT) AS n_b,
+        |  CAST(pr.n_ab AS BIGINT) AS n_ab,
+        |  CAST(no.n_orders AS BIGINT) AS n_orders,
+        |  CAST(pr.n_ab * 1000000 // na.n AS BIGINT) AS conf_ppm,
+        |  CAST(CAST(pr.n_ab AS HUGEINT) * no.n_orders * 1000000
+        |    // (CAST(na.n AS HUGEINT) * nbb.n) AS BIGINT) AS lift_ppm
+        |FROM pr
+        |JOIN nb na ON na.brand = pr.brand_a
+        |JOIN nb nbb ON nbb.brand = pr.brand_b
+        |CROSS JOIN no""",
+    // e29: milli-quantized per-(batch, dim) integer sums are order-
+    // free; means floor via the positive-mod form (sums go negative);
+    // cosine-squared is the sqrt-free HUGEINT ratio
+    "e29_embedding_drift" ->
+      """WITH w AS (SELECT (max(vec_id) // 16) + 1 AS w
+        |  FROM embeddings),
+        |q0 AS (SELECT e.vec_id // w.w AS batch,
+        |    unnest(range(1, len(e.embedding) + 1)) AS i,
+        |    unnest(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings e CROSS JOIN w),
+        |q AS (SELECT batch, i - 1 AS dim,
+        |    CAST(floor(x * 1000 + 0.5) AS BIGINT) AS q FROM q0),
+        |sums AS (SELECT batch, dim, sum(q) AS sq, count(*) AS n
+        |  FROM q GROUP BY 1, 2),
+        |m AS (SELECT batch, dim, n,
+        |    (sq - (((sq % n) + n) % n)) // n AS m
+        |  FROM sums),
+        |pr AS (SELECT a.batch AS batch_a, a.n AS n_a, b.n AS n_b,
+        |    a.m AS ma, b.m AS mb
+        |  FROM m a JOIN m b ON b.batch = a.batch + 1
+        |    AND b.dim = a.dim),
+        |agg AS (SELECT batch_a, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    sum(CAST(ma AS HUGEINT) * mb) AS dot,
+        |    sum(CAST(ma AS HUGEINT) * ma) AS na2,
+        |    sum(CAST(mb AS HUGEINT) * mb) AS nb2
+        |  FROM pr GROUP BY 1)
+        |SELECT CAST(batch_a AS BIGINT) AS batch_a,
+        |  CAST(batch_a + 1 AS BIGINT) AS batch_b,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+        |    ELSE 0 END AS INTEGER) AS dot_sign,
+        |  CAST(dot * dot * 1000000
+        |    // (greatest(na2, 1) * greatest(nb2, 1)) AS BIGINT)
+        |    AS cos2_ppm
+        |FROM agg""",
     // a55: the full a50 replay as a CTE, then the integer BH step-up
     // (p_ppm·m ≤ 50000·k) over the m-row hypothesis grid
     "a55_bh_fdr" ->
@@ -2717,8 +2783,12 @@ object SparkEntry {
         |    sum(cents) AS s_tot
         |  FROM pe GROUP BY 1),
         |fan AS (SELECT pe.event_type, pe.event_id, pe.cents, r.r,
-        |    md5(CAST(pe.event_id AS VARCHAR) || ':'
-        |      || CAST(r.r AS VARCHAR)) AS h
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5(CAST(pe.event_id AS VARCHAR) || ':'
+        |          || CAST(r.r AS VARCHAR)),
+        |          CAST(i AS INTEGER), 1)) - 1)
+        |        * (16 ** (12 - i)))) AS BIGINT) AS h
         |  FROM pe CROSS JOIN range(100) r(r)),
         |rk AS (SELECT event_type, r, cents, row_number() OVER (
         |    PARTITION BY event_type, r ORDER BY h, event_id) AS rk

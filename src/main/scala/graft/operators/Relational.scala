@@ -2836,8 +2836,20 @@ object Relational {
     * 100 TB that sort is the honest cost of exact size-preserving
     * permutation; the Bernoulli-relabeling variant (hash threshold,
     * no sort) is the documented cheap alternative. */
-  def a50PermutationTest(s: SparkSession, d: String): DataFrame = {
-    val reps = 100
+  // NOT memo-pinned: both pinning paths (.cache() and eager
+  // localCheckpoint) compile the 10M-row fan WITHOUT adaptive
+  // execution and ran 3-4x slower than the bare AQE plan (measured
+  // 15-20 s pinned vs 5.3 s bare at sf0.1); a55 re-running the bare
+  // sweep is cheaper than any pinned single run.
+  def a50PermutationTest(s: SparkSession, d: String): DataFrame =
+    a50Of(s, d, 100)
+
+  /** The a50 machinery with a caller-chosen permutation count — the
+    * z29 probe runs it at 10× reps to measure that the (type, rep)-
+    * partitioned rank scales linearly in R (R independent sorts, no
+    * single-partition window anywhere). */
+  private[graft] def a50Of(s: SparkSession, d: String, reps: Int)
+      : DataFrame = {
     val ev = events(s, d).select(col("event_type"), col("event_id"),
       (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
         .as("cents"),
@@ -2850,8 +2862,16 @@ object Relational {
       sum(col("cents")).as("s_tot"))
     val fan = ev.select(col("event_type"), col("event_id"), col("cents"),
         explode(expr(s"sequence(0, ${reps - 1})")).as("r"))
-      .withColumn("h", md5(concat(col("event_id").cast("string"),
-        lit(":"), col("r").cast("string")).cast("binary")))
+      // 48-bit numeric sort key off the md5 (12 hex chars, exact in
+      // both engines — the t12 parity contract; 16^11 < 2^53 so even
+      // the oracle's digit-wise double rebuild is exact): sorting
+      // longs instead of 32-char strings is what keeps the R
+      // independent per-(type, rep) sorts cheap, and the event_id
+      // tie-break keeps the total order deterministic regardless
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(concat(cast(event_id as string)" +
+          ", ':', cast(r as string)) as binary)), 1, 12), 16, 10) " +
+          "as bigint)"))
     val wr = Window.partitionBy("event_type", "r")
       .orderBy(col("h"), col("event_id"))
     val s1 = fan.withColumn("rk", row_number().over(wr))
@@ -3165,6 +3185,47 @@ object Relational {
         col("n_days"),
         expr("cast(n_days * sxy - sx * sy as decimal(38,0))")
           .cast("string").as("cov_n2"))
+  }
+
+  /** a58 — ASSOCIATION RULES over order baskets: brand→brand
+    * support/confidence/lift from co-purchases (the 1-item→1-item
+    * apriori rules of market-basket analysis). Baskets are orders,
+    * items are part BRANDS (bounded domain, so the rule grid is
+    * ~brand² regardless of corpus size); the pair join is per-order
+    * (items-per-order is a small constant at any scale, so the
+    * self-join never goes quadratic in the fact table). Exact ppm:
+    * confidence = n_ab·10⁶ div n_a, lift = n_ab·N·10⁶ div (n_a·n_b)
+    * in DECIMAL(38,0)/HUGEINT. Rules below 5 co-orders are cut (same
+    * loud-constant convention as a13's heavy-hitter floor). */
+  def a58AssocRules(s: SparkSession, d: String): DataFrame = {
+    val ob = lineitem(s, d)
+      .join(broadcast(part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = ob.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val nBrand = ob.groupBy("brand").agg(count(lit(1)).as("n"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") &&
+          col("a.brand") =!= col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"),
+        col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(nBrand.select(col("brand").as("brand_a"),
+        col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(nBrand.select(col("brand").as("brand_b"),
+        col("n").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_orders"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr("cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_ppm"))
   }
 
   /** w39 — DIFFERENCE-IN-DIFFERENCES over purchase spend: treated
@@ -3484,6 +3545,13 @@ object Relational {
 
   /** Scale-stress probes (Profile-only, the z-family convention). */
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // a50's permutation fan at 10× the rep count: R independent
+    // (type, rep)-partitioned sorts — wall time must scale ~linearly
+    // in R (the "no single-partition window" claim measured), while
+    // n_we/n_wd stay the observed group sizes and n_reps = 1000
+    "z29_a50_10x" -> ((s: SparkSession, d: String) =>
+      a50Of(s, d,
+        sys.env.getOrElse("GRAFT_A50_REPS", "1000").toInt)),
     // 20 disjoint user-space replicas with IDENTICAL timestamps: every
     // replica's sessions align in time, so the stress peak must be
     // exactly stressReps × the base peak at the SAME instant — a
@@ -3599,6 +3667,7 @@ object Relational {
     "a55_bh_fdr" -> a55BhFdr _,
     "a56_spc_chart" -> a56SpcChart _,
     "a57_lead_lag" -> a57LeadLag _,
+    "a58_assoc_rules" -> a58AssocRules _,
     // a53: the SPARK side is the batch δ=0 PH series; the oracle reads
     // the transformWithState replay's OpLake dump verbatim — hash
     // match = stream ≡ batch Page–Hinkley across micro-batch seams

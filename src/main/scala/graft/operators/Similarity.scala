@@ -883,6 +883,56 @@ object Similarity {
       .unionByName(rr("e14_rerank", e14Rerank(s, d)))
   }
 
+  /** e29 — EMBEDDING-DRIFT MONITOR across ingest batches: the corpus
+    * is sliced into ≤16 vec_id-derived batches (width = max_id/16 + 1,
+    * the t68 ceiling-division trick, so the batch GRID is bounded at
+    * any corpus size) and consecutive batch MEAN vectors are compared
+    * by cosine² — the "did the embedding distribution move between
+    * ingests" alarm a vector pipeline runs before trusting a new
+    * shard. Exactness discipline: components quantize to milli-units
+    * FIRST (floor(x·1000 + 0.5), the cents convention), per-(batch,
+    * dim) integer sums are order-free, the mean floors via the
+    * positive-mod form (sums go negative), and cosine² is the
+    * sqrt-free integer ratio dot²·10⁶ div (‖a‖²·‖b‖²) — flooring the
+    * means bounds every later product under DECIMAL(38,0)/HUGEINT at
+    * ANY corpus size (means don't grow with batch row count). One
+    * posexplode + two bounded rollups; dims × 16 rows shuffle, never
+    * vectors. */
+  def e29EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val width = emb.agg(expr("(max(vec_id) div 16) + 1").as("w"))
+    val q = emb.crossJoin(broadcast(width))
+      .select(expr("vec_id div w").as("batch"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("batch"), col("dim"),
+        // promote to double BEFORE scaling — float*1000 would round in
+        // float precision and diverge from the oracle's DOUBLE math
+        expr("cast(floor(cast(x as double) * 1000 + 0.5) as bigint)")
+          .as("q"))
+    val sums = q.groupBy("batch", "dim")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(sq - (((sq % n) + n) % n)) div n"))
+    val pairs = sums.select(col("batch"), col("dim"), col("m"),
+        col("n"))
+      .as("a")
+      .join(sums.select((col("batch") - 1).as("batch"),
+        col("dim"), col("m").as("mb"), col("n").as("nb")).as("b"),
+        Seq("batch", "dim"))
+    pairs.groupBy(col("batch").as("batch_a"))
+      .agg(max(col("n")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(expr("cast(m as decimal(38,0)) * mb")).as("dot"),
+        sum(expr("cast(m as decimal(38,0)) * m")).as("na2"),
+        sum(expr("cast(mb as decimal(38,0)) * mb")).as("nb2"))
+      .select(col("batch_a"), (col("batch_a") + 1).as("batch_b"),
+        col("n_a"), col("n_b"),
+        expr("cast(case when dot > 0 then 1 when dot < 0 then -1 " +
+          "else 0 end as int)").as("dot_sign"),
+        expr("cast(dot * dot * 1000000 div " +
+          "(greatest(na2, 1) * greatest(nb2, 1)) as bigint)")
+          .as("cos2_ppm"))
+  }
+
   /** e28 — nDCG@5 RANKING AUDIT: the graded companion to e26's MRR —
     * each serving path's top-5 scored against the exact ranking with
     * graded relevance (exact rank r ⇒ gain 6−r, non-top-5 ⇒ 0) and
@@ -1211,6 +1261,7 @@ object Similarity {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e26_mrr" -> e26Mrr _,
     "e28_ndcg" -> e28Ndcg _,
+    "e29_embedding_drift" -> e29EmbeddingDrift _,
     "e27_semantic_decontam" -> e27SemanticDecontam _,
     "e25_pq_distortion" -> ((s: SparkSession, d: String) =>
       e25PqDistortion(s, d)),
