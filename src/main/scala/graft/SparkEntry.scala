@@ -281,6 +281,21 @@ object SparkEntry {
     // header dump
     // ts25: P2 timing checks re-derived from the same dumps — lag
     // windows per PID, identical tick thresholds and wrap guards
+    // ts26: every column re-derived from the dumped per-packet
+    // payload lengths; overhead = 184·n − payload (4-byte header out)
+    "ts26_mux_budget" ->
+      s"""WITH per AS (SELECT pid, count(*) AS n,
+         |    sum(coalesce(payload_len, 0)) AS payload_bytes
+         |  FROM ${tsrel("packets")} GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM per)
+         |SELECT pid, CAST(per.n AS BIGINT) AS n_packets,
+         |  CAST(per.n * 188 AS BIGINT) AS bytes,
+         |  CAST(per.payload_bytes AS BIGINT) AS payload_bytes,
+         |  CAST(per.n * 184 - per.payload_bytes AS BIGINT)
+         |    AS overhead_bytes,
+         |  CAST(per.n * 1000000 // t.tot AS BIGINT) AS share_ppm,
+         |  pid = 8191 AS is_null_pid
+         |FROM per, t""",
     "ts25_tr101290_p2" -> {
       s"""WITH pc AS (SELECT pid, pcr,
          |    coalesce(af_discontinuity, FALSE) AS disc,
@@ -2708,6 +2723,82 @@ object SparkEntry {
         |    - sum(CAST(xa AS HUGEINT)) * sum(CAST(yb AS HUGEINT))
         |    AS VARCHAR) AS cov_n2
         |FROM j GROUP BY 1, 2, 3""",
+    // a59: the fully cross-multiplied d² ratio in HUGEINT (engine:
+    // DECIMAL(38,0)); pooled SAMPLE variance, no sqrt on either side
+    "a59_effect_size" ->
+      """WITH pe AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS weekend
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN weekend THEN 0 ELSE 1 END) AS n0,
+        |    sum(CASE WHEN weekend THEN CAST(cents AS HUGEINT)
+        |      ELSE 0 END) AS s1,
+        |    sum(CASE WHEN weekend THEN 0
+        |      ELSE CAST(cents AS HUGEINT) END) AS s0,
+        |    sum(CASE WHEN weekend
+        |      THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q1,
+        |    sum(CASE WHEN weekend THEN 0
+        |      ELSE CAST(cents AS HUGEINT) * cents END) AS q0
+        |  FROM pe GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n0 AS BIGINT) AS n0,
+        |  CAST(CASE WHEN s1 * n0 > s0 * n1 THEN 1
+        |    WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END AS INTEGER)
+        |    AS gap_sign,
+        |  CAST((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
+        |    * (n1 + n0 - 2) * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n0
+        |      * (n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0)))
+        |    AS BIGINT) AS d2_ppm
+        |FROM g""",
+    // w41: the w40 recursion replayed, scored ×10 pinball at q=.5/.9
+    // against the lag-1 random-walk baseline
+    "w41_pinball_eval" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |r AS (
+        |  SELECT event_type, rn, day, x, x AS l,
+        |      CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS f
+        |    FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.x,
+        |      (((i.x + r.l + r.b)
+        |        - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) AS l,
+        |      (((r.b + (((i.x + r.l + r.b)
+        |          - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) - r.l)
+        |        - ((((r.b + (((i.x + r.l + r.b)
+        |          - ((((i.x + r.l + r.b) % 2) + 2) % 2)) // 2) - r.l)
+        |            % 2) + 2) % 2)) // 2) AS b,
+        |      r.l + r.b AS f
+        |    FROM r JOIN idx i ON i.event_type = r.event_type
+        |      AND i.rn = r.rn + 1),
+        |holt AS (SELECT event_type, day,
+        |    greatest(5 * (x - f), (5 - 10) * (x - f)) AS h50,
+        |    greatest(9 * (x - f), (9 - 10) * (x - f)) AS h90
+        |  FROM r WHERE rn >= 2),
+        |nv AS (SELECT event_type, day,
+        |    greatest(5 * (x - prev), (5 - 10) * (x - prev)) AS n50,
+        |    greatest(9 * (x - prev), (9 - 10) * (x - prev)) AS n90
+        |  FROM (SELECT event_type, day, x, lag(x) OVER (
+        |      PARTITION BY event_type ORDER BY day) AS prev
+        |    FROM daily)
+        |  WHERE prev IS NOT NULL)
+        |SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+        |  CAST(sum(h.h50) AS BIGINT) AS holt_p50_x10,
+        |  CAST(sum(h.h90) AS BIGINT) AS holt_p90_x10,
+        |  CAST(sum(n.n50) AS BIGINT) AS naive_p50_x10,
+        |  CAST(sum(n.n90) AS BIGINT) AS naive_p90_x10,
+        |  sum(h.h50) < sum(n.n50) AS holt_beats_naive
+        |FROM holt h JOIN nv n ON h.event_type = n.event_type
+        |  AND h.day = n.day
+        |GROUP BY 1""",
     // a58: baskets re-derived from raw lineitem x part; lift runs
     // HUGEINT (engine: DECIMAL(38,0)); the >= 5 support floor is part
     // of the declared contract

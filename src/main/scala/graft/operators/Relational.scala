@@ -3096,6 +3096,86 @@ object Relational {
         abs(col("r.x") - col("r.f")).as("abs_err_cents"))
   }
 
+  /** a59 — COHEN'S d EFFECT SIZE (weekend vs weekday spend per event
+    * type): the magnitude report that belongs next to a47's rank-sum
+    * and a50's permutation p — "significant" without "how big" is how
+    * monitoring pipelines cry wolf. Kept sqrt-free and exact: d² in
+    * ppm via the fully cross-multiplied integer ratio
+    * d²·10⁶ = 10⁶·(S₁n₀−S₀n₁)²·(n₁+n₀−2) div
+    * [n₁n₀·(n₀(n₁Q₁−S₁²) + n₁(n₀Q₀−S₀²))] (pooled SAMPLE variance),
+    * plus the gap sign. DECIMAL(38,0)/HUGEINT keeps the numerator
+    * exact through the declared sf envelope (≤ sf0.3 — past that the
+    * ×10⁶ square exceeds 38 digits; the documented fix is pre-
+    * aggregating cents to daily grain first, which divides S by ~10³). */
+  def a59EffectSize(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+        .as("cents"),
+      (expr("((unix_micros(ts) div 86400000000) + 3) % 7") >= 5)
+        .as("weekend"))
+    ev.groupBy("event_type").agg(
+        sum(when(col("weekend"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("weekend"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("weekend"), col("cents")).otherwise(0L))
+          .cast("decimal(38,0)").as("s1"),
+        sum(when(!col("weekend"), col("cents")).otherwise(0L))
+          .cast("decimal(38,0)").as("s0"),
+        sum(when(col("weekend"),
+          col("cents").cast("decimal(38,0)") * col("cents"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(!col("weekend"),
+          col("cents").cast("decimal(38,0)") * col("cents"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q0"))
+      .select(col("event_type"), col("n1"), col("n0"),
+        expr("cast(case when s1 * n0 > s0 * n1 then 1 " +
+          "when s1 * n0 < s0 * n1 then -1 else 0 end as int)")
+          .as("gap_sign"),
+        expr("cast((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1) " +
+          "* (n1 + n0 - 2) * 1000000 div " +
+          "(cast(n1 as decimal(38,0)) * n0 " +
+          "* (n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0))) " +
+          "as bigint)").as("d2_ppm"))
+  }
+
+  /** w41 — PINBALL-LOSS FORECAST EVAL: w40's Holt one-step-ahead
+    * forecasts scored under quantile (pinball) loss at q = 0.5 and
+    * q = 0.9, against the NAIVE random-walk baseline (f = yesterday)
+    * — the MASE-style "does the model beat persistence" gate a
+    * forecasting pipeline runs before trusting a model. Losses are
+    * held ×10 so both quantiles are exact integers:
+    * 10·L_q(y,f) = max(10q·(y−f), (10q−10)·(y−f)). One lag window
+    * over the calendar-bounded daily rollup for the baseline; the
+    * Holt leg reuses the w40 fold. */
+  def w41PinballEval(s: SparkSession, d: String): DataFrame = {
+    def pin(qx10: Int, err: String) =
+      s"greatest($qx10 * ($err), ($qx10 - 10) * ($err))"
+    val holt = w40HoltBacktest(s, d)
+      .select(col("event_type"), col("day"),
+        expr(pin(5, "cents - forecast_cents")).as("h50"),
+        expr(pin(9, "cents - forecast_cents")).as("h90"))
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val naive = daily
+      .withColumn("prev", lag(col("x"), 1).over(wSeq))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("day"),
+        expr(pin(5, "x - prev")).as("n50"),
+        expr(pin(9, "x - prev")).as("n90"))
+    holt.join(naive, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(col("h50")).as("holt_p50_x10"),
+        sum(col("h90")).as("holt_p90_x10"),
+        sum(col("n50")).as("naive_p50_x10"),
+        sum(col("n90")).as("naive_p90_x10"))
+      .withColumn("holt_beats_naive",
+        col("holt_p50_x10") < col("naive_p50_x10"))
+  }
+
   /** a55 — BENJAMINI–HOCHBERG step-up over the a50 permutation
     * p-values: the multiple-testing correction a monitoring pipeline
     * applies before alerting on per-segment tests (5 hypotheses here,
@@ -3668,6 +3748,8 @@ object Relational {
     "a56_spc_chart" -> a56SpcChart _,
     "a57_lead_lag" -> a57LeadLag _,
     "a58_assoc_rules" -> a58AssocRules _,
+    "w41_pinball_eval" -> w41PinballEval _,
+    "a59_effect_size" -> a59EffectSize _,
     // a53: the SPARK side is the batch δ=0 PH series; the oracle reads
     // the transformWithState replay's OpLake dump verbatim — hash
     // match = stream ≡ batch Page–Hinkley across micro-batch seams

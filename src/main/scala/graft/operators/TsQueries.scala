@@ -708,8 +708,37 @@ object TsQueries {
     rep.unionByName(disc).unionByName(ptsRep)
   }
 
+  /** ts26 — MUX BANDWIDTH BUDGET per PID: packets, total bytes
+    * (n·188), payload bytes, overhead bytes (header + AF + AF
+    * stuffing = 188·n − 4·n − payload) and the mux share in ppm, with
+    * the null PID (8191) flagged — the "where does my multiplex
+    * bandwidth go" report a remux (E5/ts16) is sized from. One
+    * partial-aggregated rollup over the shared packet lake plus a
+    * 1-row broadcast total; the oracle re-derives every column from
+    * the dumped per-packet payload lengths. */
+  def ts26MuxBudget(s: SparkSession, d: String): DataFrame = {
+    val per = pkts(s).toDF()
+      .select(col("pid"),
+        coalesce(length(col("payload")), lit(0)).cast("long")
+          .as("plen"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_packets"),
+        sum(col("plen")).as("payload_bytes"))
+    val tot = per.agg(sum(col("n_packets")).as("tot_packets"))
+    per.crossJoin(broadcast(tot))
+      .select(col("pid"), col("n_packets"),
+        (col("n_packets") * 188L).as("bytes"),
+        col("payload_bytes"),
+        (col("n_packets") * 184L - col("payload_bytes"))
+          .as("overhead_bytes"),
+        expr("n_packets * 1000000 div tot_packets").as("share_ppm"),
+        (col("pid") === 8191).as("is_null_pid"))
+      .orderBy(col("pid"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts25_tr101290_p2" -> ts25Tr101290P2 _,
+    "ts26_mux_budget" -> ts26MuxBudget _,
     "ts24_pts_monotonic" -> ts24PtsMonotonic _,
     "ts23_tr101290" -> ts23Tr101290 _,
     "ts22_pts_pcr_lead" -> ts22PtsPcrLead _,
