@@ -3241,8 +3241,11 @@ object Relational {
     * exact ×n² integer numerator (DECIMAL(38,0)/HUGEINT), so no
     * division and no float; the lag fanout is a map-side explode and
     * the aligned join BROADCASTS the calendar-bounded daily grid. */
-  def a57LeadLag(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+  def a57LeadLag(s: SparkSession, d: String): DataFrame =
+    a57Of(events(s, d))
+
+  private[operators] def a57Of(ev: DataFrame): DataFrame = {
+    val daily = ev
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
@@ -3632,6 +3635,18 @@ object Relational {
     "z29_a50_10x" -> ((s: SparkSession, d: String) =>
       a50Of(s, d,
         sys.env.getOrElse("GRAFT_A50_REPS", "1000").toInt)),
+    // a57 at 20× event replication (ids unused by the derivation, so
+    // plain row copies): daily sums scale ×20, hence every cov_n2
+    // must be EXACTLY 400× the base run — a closed-form check that
+    // the lag-aligned broadcast join shape survives fact-table growth
+    // while the daily grid (the broadcast side) stays calendar-bounded
+    "z31_a57_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until TextOps.stressReps)
+        .map(_ => events(s, d)
+          .select(col("event_type"), col("ts"), col("value")))
+        .reduce(_ unionByName _)
+      a57Of(reps)
+    }),
     // 20 disjoint user-space replicas with IDENTICAL timestamps: every
     // replica's sessions align in time, so the stress peak must be
     // exactly stressReps × the base peak at the SAME instant — a

@@ -579,6 +579,18 @@ object TextOps {
   /** Sub-plan probes for hotspot profiling (wired into `graft.Profile`
     * only — not part of the driver-visible query surface). */
   def diag: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // t68 at 20× doc replication (distinct ids, identical text): the
+    // checkpoint grid stays ≤128 rows by the ceiling-width rule, the
+    // final cum_tokens is exactly 20× the base corpus, and the final
+    // cum_vocab EQUALS the base vocabulary (clones add tokens, never
+    // types) — the Heaps-curve shape a dedup-starved corpus shows
+    "z30_t68_20x" -> ((s: SparkSession, d: String) => {
+      val reps = (0 until stressReps).map(i => documents(s, d)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      heapsOf(reps)
+    }),
     "z1_sh_relation" -> ((s: SparkSession, d: String) =>
       shingleExploded(s, d)),
     // LSH scale stress: the sf corpus replicated 20× (distinct doc_ids;
@@ -1578,9 +1590,11 @@ object TextOps {
     * keeps it one-pass relational: cum_vocab(d) = #{tokens whose
     * FIRST document ≤ d} — a min-aggregate per token then a bounded
     * grid rollup, no sequential scan and no distinct-over-window. */
-  def t68HeapsLaw(s: SparkSession, d: String): DataFrame = {
+  def t68HeapsLaw(s: SparkSession, d: String): DataFrame =
+    heapsOf(documents(s, d))
+
+  private[operators] def heapsOf(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    val docs = documents(s, d)
     // ceiling width: chunk = doc_id div w ≤ 127, so the grid is ≤128
     // rows at ANY corpus size
     val width = docs.agg(expr(
