@@ -3281,26 +3281,37 @@ object Relational {
     * in DECIMAL(38,0)/HUGEINT. Rules below 5 co-orders are cut (same
     * loud-constant convention as a13's heavy-hitter floor). */
   def a58AssocRules(s: SparkSession, d: String): DataFrame = {
-    val ob = lineitem(s, d)
+    // ONE fact pass: per-order brand sets, then a bounded per-order
+    // pair explode that keeps the DIAGONAL — the (a, a) rows count
+    // per-brand order support and Σ n_aa distinct baskets, so the
+    // single grid relation carries pair counts, brand counts AND the
+    // basket total (the naive ob-self-join shape re-scans the fact
+    // table for each of the three; Explain showed it derived `ob`
+    // twice)
+    val baskets = lineitem(s, d)
       .join(broadcast(part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
-    val nOrders = ob.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val nBrand = ob.groupBy("brand").agg(count(lit(1)).as("n"))
-    val pairs = ob.as("a").join(ob.as("b"),
-        col("a.ok") === col("b.ok") &&
-          col("a.brand") =!= col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"),
-        col("b.brand").as("brand_b"))
+      .groupBy("ok").agg(collect_set(col("brand")).as("bs"))
+    val grid = baskets
+      .select(explode(col("bs")).as("brand_a"), col("bs"))
+      .select(col("brand_a"), explode(col("bs")).as("brand_b"))
+      .groupBy("brand_a", "brand_b")
       .agg(count(lit(1)).as("n_ab"))
+    // the diagonal rows (a, a) ARE the per-brand order supports
+    val diag = grid.filter(col("brand_a") === col("brand_b"))
+      .select(col("brand_a").as("brand"), col("n_ab").as("n"))
+    // basket count is NOT recoverable from the grid (Σ n_aa counts
+    // basket-brand memberships) — one extra bounded aggregate over
+    // the basket relation
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = grid.filter(col("brand_a") =!= col("brand_b"))
       .filter(col("n_ab") >= 5)
     pairs
-      .join(broadcast(nBrand.select(col("brand").as("brand_a"),
+      .join(broadcast(diag.select(col("brand").as("brand_a"),
         col("n").as("n_a"))), Seq("brand_a"))
-      .join(broadcast(nBrand.select(col("brand").as("brand_b"),
+      .join(broadcast(diag.select(col("brand").as("brand_b"),
         col("n").as("n_b"))), Seq("brand_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
