@@ -46,17 +46,26 @@ object Bench {
     // still contributes its wall time, but its name lands in `errors`
     // (and on stderr) so a red bench is diagnosable from the JSON alone
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // process CPU time alongside wall: on a contended sandbox, wall
+    // inflates while cpu doesn't — a row with cpu/wall far below the
+    // query's parallelism is self-labelling as CPU starvation, not a
+    // plan regression (the round-7 driver-vs-idle 2.9x ambiguity)
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // stderr marker so log warnings (cache, WindowExec, ...) are
         // attributable to the query that produced them
         System.err.println(s"[bench] run $name")
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name FAILED: $e")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9)
     }.toMap
     // The driver keeps only the LAST ~2000 chars of stdout; a full
     // 178-query map (~6 KB) gets its head truncated and the line never
@@ -72,24 +81,38 @@ object Bench {
       "e1_cosine_topk", "e5_ivf_ann", "e8_ivf_pq", "e15_recall_eval",
       "t42_stream_dedup", "w13_stream_funnel", "w16_stream_retention",
       "m6_media_neardup", "sc4_bit_ops")
-    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${r3(v)}"""))
+    def row(wc: (Double, Double)): String =
+      s"""{"wall":${r3(wc._1)},"cpu":${r3(wc._2)}}"""
+    val qs = headline.flatMap(k => results.get(k).map(v => s""""$k":${row(v)}"""))
       .mkString("{", ",", "}")
     val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${row(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val (slowName, slowSec) =
-      if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+      if (results.nonEmpty) results.maxBy(_._2._1) else ("", (0.0, 0.0))
+    val load = osBean.getSystemLoadAverage
+    val ncpu = Runtime.getRuntime.availableProcessors
+    // the contention read, spelled out IN the artifact: wall is billed
+    // to the query; cpu is the whole JVM's process-CPU delta over the
+    // same span. A healthy parallel query has cpu >= wall (up to
+    // ncpu x). wall >> cpu on a query whose plan is CPU-bound means
+    // the sandbox starved the JVM of cores — compare cpu, not wall,
+    // across environments before calling a regression.
+    val readme = "wall=elapsed sec; cpu=process-CPU sec over the same " +
+      "span (parallel plans: cpu>=wall when unstarved); wall>>cpu " +
+      "=> host contention, compare cpu across runs"
     val fullPath = "target/bench_full.json"
     try {
       val w = new java.io.PrintWriter(fullPath)
-      try w.println(s"""{"sf":"$sfDir","queries":$fullJson,"errors":$errJson}""")
+      try w.println(s"""{"sf":"$sfDir","readme":"$readme","load_avg":${r3(load)},"ncpu":$ncpu,"queries":$fullJson,"errors":$errJson}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean_sec":${r3(mean)},"max":{"${slowName}":${r3(slowSec)}},"queries":$qs,"errors":$errJson,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"mean_sec":${r3(mean)},"cpu_sec_total":${r3(cpuTotal)},"load_avg":${r3(load)},"ncpu":$ncpu,"readme":"$readme","max":{"${slowName}":${r3(slowSec._1)}},"queries":$qs,"errors":$errJson,"full":"$fullPath","sf":"$sfDir"}""")
     SessionMemo.clearAll()
     spark.stop()
   }

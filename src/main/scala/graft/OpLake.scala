@@ -20,16 +20,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OpLake {
 
-  /** Fixed absolute dump location — referenced by the oracle SQL text. */
-  val DumpDir = "/root/repo/target/opdump"
+  /** Dump location — referenced by the oracle SQL text (SparkEntry reads
+    * it per `oracleSql` call, so resetting it regenerates the paths).
+    * Verify re-points it under its own outDir so two concurrent Verify
+    * runs can never race each other's dumps (the round-7 m12 hazard). */
+  @volatile var DumpDir = "/root/repo/target/opdump"
 
-  @volatile private var dumpedFor: String = null
+  @volatile private var dumpedFor: (String, String) = null
 
-  /** Materialize the artifact relations once per JVM for the given sf
-    * dir (Verify calls this before running the query surface). */
+  /** Materialize the artifact relations once per JVM per (sf dir, dump
+    * root) pair (Verify calls this before running the query surface). */
   def ensureDumped(s: SparkSession, sfDir: String): Unit =
-    if (dumpedFor != sfDir) synchronized {
-      if (dumpedFor != sfDir) { writeDumps(s, sfDir); dumpedFor = sfDir }
+    if (dumpedFor != ((sfDir, DumpDir))) synchronized {
+      if (dumpedFor != ((sfDir, DumpDir))) {
+        writeDumps(s, sfDir); dumpedFor = (sfDir, DumpDir)
+      }
     }
 
   private def save(df: DataFrame, name: String): Unit =

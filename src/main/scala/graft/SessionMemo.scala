@@ -48,6 +48,27 @@ final class SessionMemo[V](onEvict: V => Unit) {
   }
 }
 
+/** DataFrame memo that OWNS the cache registration: builders hand back
+  * a BARE plan and the memo pins it — one idiom, one owner. The
+  * assertion catches the round-6 "already cached" warning class at its
+  * source: a builder that caches inside a memoized build double-
+  * registers the plan with the CacheManager the moment anything
+  * re-derives it. */
+final class CachedDfMemo {
+  private val inner = SessionMemo.forDataFrames()
+  def apply(s: SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    inner(s, key) {
+      val df = build
+      require(
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        s"memo '$key': built plan is already cached — the memo is the " +
+          "single cache owner; drop the inner .cache()")
+      df.cache()
+    }
+}
+
 object SessionMemo {
   private val all =
     new java.util.concurrent.ConcurrentLinkedQueue[SessionMemo[_]]()
@@ -56,6 +77,9 @@ object SessionMemo {
   def forDataFrames(): SessionMemo[org.apache.spark.sql.DataFrame] =
     new SessionMemo[org.apache.spark.sql.DataFrame](df =>
       df.unpersist(blocking = false))
+
+  /** Caching variant — see [[CachedDfMemo]]. */
+  def forCachedDataFrames(): CachedDfMemo = new CachedDfMemo
 
   /** Evict every memo in the JVM (Bench/Verify teardown). */
   def clearAll(): Unit = all.forEach(_.clear())

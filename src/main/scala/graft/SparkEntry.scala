@@ -30,12 +30,12 @@ object SparkEntry {
   // fixed path; the oracle recomputes every ts-query from those dumps —
   // winner-version selection, joins and windows re-derived in SQL, so
   // the relational semantics are independently checked.
-  private val TsDump = graft.ts.TsLake.DumpDir
+  private def TsDump = graft.ts.TsLake.DumpDir
   private def tsrel(n: String) = s"read_parquet('$TsDump/$n/*.parquet')"
 
   // Engine-specific artifact dumps (simhash signatures, LSH buckets,
   // trained centroids, HLL estimates) — same pattern, non-TS queries.
-  private val OpDump = graft.OpLake.DumpDir
+  private def OpDump = graft.OpLake.DumpDir
   private def oprel(n: String) = s"read_parquet('$OpDump/$n/*.parquet')"
 
   /** Winner-version CTE chain replicating `TsPipeline.latestTables` over
@@ -2242,9 +2242,10 @@ object SparkEntry {
         |  ON g.event_type = cells.event_type AND g.dow = cells.dow
         |CROSS JOIN n""",
     // a45: same day-grid aggregation + the shared-semantics floor
-    // division (subtract the positive mod, then divide — Spark div
-    // truncates, DuckDB // floors; on exactly-divisible operands they
-    // agree), exact lower-median rank selection
+    // division (subtract the positive mod, then divide — BOTH Spark
+    // div and DuckDB // truncate toward zero; on exactly-divisible
+    // operands truncation equals true floor), exact lower-median rank
+    // selection
     "a45_theil_sen" ->
       """WITH pts AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -2316,10 +2317,11 @@ object SparkEntry {
         |  CAST(n_wd AS BIGINT) AS n_wd,
         |  CAST(u2_we AS BIGINT) AS u2_we,
         |  CAST(u2_wd AS BIGINT) AS u2_wd,
+        |  CASE WHEN n_we = 0 OR n_wd = 0 THEN NULL ELSE
         |  CAST(((u2_we - u2_wd) * 1000000
         |    - ((((u2_we - u2_wd) * 1000000) % (2 * n_we * n_wd)
         |      + 2 * n_we * n_wd) % (2 * n_we * n_wd)))
-        |    // (2 * n_we * n_wd) AS BIGINT) AS rb_ppm
+        |    // (2 * n_we * n_wd) AS BIGINT) END AS rb_ppm
         |FROM u""",
     // a48: a45's daily pair space, concordant/discordant census;
     // flooring // on the signed tau matches the positive-mod div
@@ -2748,11 +2750,14 @@ object SparkEntry {
         |  CAST(CASE WHEN s1 * n0 > s0 * n1 THEN 1
         |    WHEN s1 * n0 < s0 * n1 THEN -1 ELSE 0 END AS INTEGER)
         |    AS gap_sign,
+        |  CASE WHEN n1 = 0 OR n0 = 0 OR
+        |    (n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0)) = 0
+        |  THEN NULL ELSE
         |  CAST((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
         |    * (n1 + n0 - 2) * 1000000
         |    // (CAST(n1 AS HUGEINT) * n0
         |      * (n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0)))
-        |    AS BIGINT) AS d2_ppm
+        |    AS BIGINT) END AS d2_ppm
         |FROM g""",
     // w41: the w40 recursion replayed, scored ×10 pinball at q=.5/.9
     // against the lag-1 random-walk baseline
@@ -3105,6 +3110,90 @@ object SparkEntry {
          |  wh.bytes_unique_whole,
          |  wh.bytes_unique_whole - ca.bytes_unique AS cdc_extra_saved
          |FROM ca JOIN tot USING (format) JOIN wh USING (format)""",
+    // m12b: the split itself, re-derived from RAW parquet — the gear
+    // table from its LCG (256-step recursion), then the per-byte
+    // h←2h+gear[b] / FNV-1a recursion over the hex-rendered payload
+    // (20-doc sample, first KiB); unsigned math in HUGEINT mod 2^64,
+    // two's-complement back to BIGINT at the end. NO engine dump is
+    // read: a CdcChunk boundary/hash drift goes red here even when
+    // every downstream accounting hash still reconciles.
+    "m12b_cdc_split_audit" ->
+      """WITH RECURSIVE
+        |gear(i, x) AS (
+        |  SELECT 0, CAST((CAST(11400714819323198485 AS HUGEINT)
+        |      * 6364136223846793005 + 1442695040888963407)
+        |    % 18446744073709551616 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT i + 1, CAST((x * 6364136223846793005
+        |      + 1442695040888963407)
+        |    % 18446744073709551616 AS HUGEINT)
+        |  FROM gear WHERE i < 255),
+        |docs AS (
+        |  SELECT doc_id, substring(hex(encode(text)), 1, 2048) AS hx
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  ORDER BY doc_id LIMIT 20),
+        |step(doc_id, pos, strt, gh, fh, cut) AS (
+        |  SELECT d.doc_id, 0, 0, g.x,
+        |    CAST((((CAST(14695981039346656037 AS HUGEINT) // 256) * 256
+        |        + xor(CAST(CAST(14695981039346656037 AS HUGEINT) % 256
+        |                AS BIGINT),
+        |              (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 1, 1)) - 1) * 16
+        |            + (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2, 1)) - 1)))
+        |      * 1099511628211) % 18446744073709551616 AS HUGEINT),
+        |    false
+        |  FROM docs d
+        |  JOIN gear g ON g.i =
+        |      (strpos('0123456789ABCDEF', substring(d.hx, 1, 1)) - 1)
+        |        * 16
+        |    + (strpos('0123456789ABCDEF', substring(d.hx, 2, 1)) - 1)
+        |  WHERE length(d.hx) >= 2
+        |  UNION ALL
+        |  SELECT st.doc_id, st.pos + 1,
+        |    CASE WHEN st.cut THEN st.pos + 1 ELSE st.strt END,
+        |    CAST(((CASE WHEN st.cut THEN 0 ELSE st.gh END) * 2 + g.x)
+        |      % 18446744073709551616 AS HUGEINT),
+        |    CAST((((CASE WHEN st.cut
+        |            THEN CAST(14695981039346656037 AS HUGEINT)
+        |            ELSE st.fh END // 256) * 256
+        |        + xor(CAST(CASE WHEN st.cut
+        |                THEN CAST(14695981039346656037 AS HUGEINT)
+        |                ELSE st.fh END % 256 AS BIGINT),
+        |              (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2 * (st.pos + 1) + 1, 1)) - 1)
+        |                * 16
+        |            + (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2 * (st.pos + 1) + 2, 1)) - 1)))
+        |      * 1099511628211) % 18446744073709551616 AS HUGEINT),
+        |    ((st.pos + 1) - (CASE WHEN st.cut THEN st.pos + 1
+        |         ELSE st.strt END) + 1 >= 16
+        |     AND CAST(((CASE WHEN st.cut THEN 0 ELSE st.gh END) * 2
+        |         + g.x) % 18446744073709551616 AS HUGEINT) % 64 = 0)
+        |    OR (st.pos + 1) - (CASE WHEN st.cut THEN st.pos + 1
+        |         ELSE st.strt END) + 1 >= 256
+        |  FROM step st
+        |  JOIN docs d ON d.doc_id = st.doc_id
+        |  JOIN gear g ON g.i =
+        |      (strpos('0123456789ABCDEF',
+        |         substring(d.hx, 2 * (st.pos + 1) + 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF',
+        |         substring(d.hx, 2 * (st.pos + 1) + 2, 1)) - 1)
+        |  WHERE 2 * (st.pos + 1) + 2 <= length(d.hx)),
+        |chunks AS (
+        |  SELECT doc_id, strt AS off, pos - strt + 1 AS len, fh
+        |  FROM step WHERE cut
+        |  UNION ALL
+        |  SELECT doc_id, strt, pos - strt + 1, fh
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY pos DESC) AS rn FROM step)
+        |  WHERE rn = 1 AND NOT cut)
+        |SELECT doc_id, CAST(off AS BIGINT) AS off,
+        |  CAST(len AS BIGINT) AS len,
+        |  CAST(CASE WHEN fh >= 9223372036854775808
+        |    THEN fh - 18446744073709551616 ELSE fh END AS BIGINT)
+        |    AS hash
+        |FROM chunks""",
     "m10_cas_savings" ->
       """WITH g AS (SELECT source AS format, md5(text) AS h,
         |    octet_length(encode(text)) AS n_bytes, count(*) AS cnt

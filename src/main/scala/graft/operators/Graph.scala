@@ -39,13 +39,12 @@ object Graph {
     * operation (the pair self-joins, g6's part-degree groupBy+join)
     * exchange-free. At cluster scale this relation IS the graph's
     * storage layout — a bucketed edge table. */
-  private val memo = graft.SessionMemo.forDataFrames()
+  private val memo = graft.SessionMemo.forCachedDataFrames()
   private[graft] def psRel(s: SparkSession, d: String): DataFrame =
     memo(s, d + "#ps")(graft.Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
       .distinct()
-      .repartition(col("p"))
-      .cache())
+      .repartition(col("p")))
 
   /** The co-occurrence pair relation (s_a < s_b, shared-part support)
     * both g3 and g4 consume — one self-join per session, not two.
@@ -59,7 +58,6 @@ object Graph {
           col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
         .groupBy(col("a.sup").as("s_a"), col("b.sup").as("s_b"))
         .agg(count(lit(1)).as("n_shared"))
-        .cache()
     }
 
   /** Undirected bipartite part↔supplier graph from distinct lineitem
@@ -91,7 +89,7 @@ object Graph {
     * instead of each consumer re-pinning the identical plan. */
   private[graft] def edgesBySrc(s: SparkSession, d: String): DataFrame =
     memo(s, d + "#edges_src")(
-      edgesOf(s, d).repartition(col("src")).cache())
+      edgesOf(s, d).repartition(col("src")))
 
   /** `edges` must arrive partitioned on src and pinned (cache or
     * checkpoint) by the CALLER — g1/g5 share [[edgesBySrc]]; the z23/
@@ -227,8 +225,7 @@ object Graph {
     memo(s, d + "#bb_edges")(coPairs(s, d)
       .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
       .limit(2000)
-      .select("s_a", "s_b")
-      .cache())
+      .select("s_a", "s_b"))
 
   /** The degree-ordered orientation of [[backboneEdges]]: each edge
     * directed from its lower-(deg, id) endpoint (total order packed
@@ -257,7 +254,6 @@ object Graph {
             .as("v"),
           when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
             .as("kv"))
-        .cache()
     }
 
   /** g9 — LOCAL CLUSTERING COEFFICIENTS on the g4 backbone: the

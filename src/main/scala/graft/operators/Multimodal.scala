@@ -108,7 +108,8 @@ object Multimodal {
         explode(sequence(lit(0),
           greatest(lit(0),
             // integer division: plain `/` goes through Double in Spark
-            // but rounds in DuckDB — `div` floors identically everywhere
+            // but rounds in DuckDB — `div` truncates identically in
+            // both engines (operands non-negative, so truncate = floor)
             expr(s"cast((n_bytes - 1) div ${frameLen * stride} as int)")))))
       .select(
         col("doc_id"), col("frame_idx"),
@@ -217,7 +218,7 @@ object Multimodal {
     // expensive stage and BOTH consumers read it — m6's own report and
     // m8's closure — so the sweep pays pair-gen once, not twice
     pairMemo(s, d + "#m6")(
-      TextOps.bandedHammingPairs(m6Sigs(s, d)).cache())
+      TextOps.bandedHammingPairs(m6Sigs(s, d)))
 
   /** m7 — SHARED-SEGMENT media near-dup (scene-level): two assets are
     * related if they share ≥2 identical 1-s segments (m5's 256-B grid)
@@ -261,7 +262,7 @@ object Multimodal {
     * [[graft.SessionMemo]] — same lifecycle as Graph's psRel/coPairs,
     * so warm-up + timed runs share one cache entry instead of
     * re-caching an already-cached plan. */
-  private val pairMemo = graft.SessionMemo.forDataFrames()
+  private val pairMemo = graft.SessionMemo.forCachedDataFrames()
 
   def m8AssetClusters(s: SparkSession, d: String): DataFrame = {
     // the m6 pair-gen is the expensive part (signature scan + banded
@@ -373,6 +374,27 @@ object Multimodal {
           .as("cdc_extra_saved"))
   }
 
+  /** m12b — SPLIT-SEMANTICS AUDIT: the chunk BOUNDARIES themselves,
+    * independently recomputable. m12's oracle re-derives the dedup
+    * accounting from the dumped chunk relation — it trusts the split.
+    * This query removes that trust edge on a bounded sample: both
+    * sides chunk the first KiB of a deterministic 20-doc sample — the
+    * engine through the codegen'd [[graft.functions.CdcChunk]]
+    * expression, the oracle by re-running the gear-hash recursion
+    * (LCG gear table, h←2h+gear[b], 6-bit mask, min 16 / max 256,
+    * FNV-1a chunk ids) from the RAW parquet bytes in a recursive CTE.
+    * A drift in CdcChunk's boundary or hash rule goes red here even
+    * if every downstream accounting hash still reconciles. */
+  def m12bCdcSplitAudit(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .orderBy("doc_id").limit(20)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunk(
+          expr("substring(media, 1, 1024)"))).as("c"))
+      .select(col("doc_id"), col("c.off").cast("long").as("off"),
+        col("c.len").cast("long").as("len"), col("c.hash").as("hash"))
+
   /** m13 — the STREAM≡BATCH parity row for the CHUNK store (the
     * twelfth parity row; the m-family's second): batch recompute of
     * the per-chunk-instance store/dedup-hit decision — an instance is
@@ -388,9 +410,11 @@ object Multimodal {
     * (hash, doc_id, off) triples — the same hash shuffle m12 pays. */
   def m13StreamChunkIngest(s: SparkSession, d: String): DataFrame = {
     val ch = m12Chunks(s, d)
-    val firsts = ch.groupBy("format", "hash")
+    // (format, hash, len) — the chunk store's identity key; len keeps
+    // a same-hash different-length collision from aliasing two chunks
+    val firsts = ch.groupBy("format", "hash", "len")
       .agg(min(struct(col("doc_id"), col("off"))).as("f"))
-    ch.join(firsts, Seq("format", "hash"))
+    ch.join(firsts, Seq("format", "hash", "len"))
       .select(col("doc_id"), col("format"),
         col("off").cast("long").as("off"),
         (col("doc_id") === col("f.doc_id") &&
@@ -444,6 +468,7 @@ object Multimodal {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_cdc_dedup" -> m12CdcDedup _,
+    "m12b_cdc_split_audit" -> m12bCdcSplitAudit _,
     "m13_stream_chunks" -> m13StreamChunkIngest _,
     "m11_stream_cas" -> m11StreamCas _,
     "m10_cas_savings" -> m10CasSavings _,

@@ -2576,23 +2576,29 @@ object Relational {
     * floor division (see inline note), and the median is the exact
     * lower-median rank selection — no float anywhere, bit-stable
     * cross-engine. */
-  def a45TheilSen(s: SparkSession, d: String): DataFrame = {
-    val pts = events(s, d).select(col("event_type"),
+  def a45TheilSen(s: SparkSession, d: String): DataFrame =
+    theilSenOf(events(s, d).select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
           .as("cents"))
-      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c")))
+
+  /** The Theil–Sen pair/slope/median derivation over a prepared
+    * (event_type, day, c) daily grid — shared by a45 and the z34
+    * 10-year-calendar probe. */
+  private[graft] def theilSenOf(pts: DataFrame): DataFrame = {
     val slopes = pts.as("a").join(pts.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
       .select(col("a.event_type").as("event_type"),
         ((col("b.c") - col("a.c")) * lit(1000000L)).as("num"),
         (col("b.day") - col("a.day")).as("den"))
-      // exact floor division in shared-semantics integer ops: Spark's
-      // `div` truncates toward zero while DuckDB's `//` floors, so a
-      // raw num div den would diverge on negative slopes; subtracting
-      // the positive mod first makes the operand exactly divisible,
-      // where truncation and floor agree
+      // exact floor division in shared-semantics integer ops: BOTH
+      // Spark's `div` and DuckDB's `//` truncate toward zero (NOT
+      // floor), so a raw num div den computes the wrong thing on
+      // negative slopes in both engines; subtracting the positive mod
+      // first makes the operand exactly divisible, where truncation
+      // equals true floor — the repo convention for signed ratios
       .select(col("event_type"), expr(
         "(num - (((num % den) + den) % den)) div den").as("slope_micro"))
     val w = Window.partitionBy("event_type").orderBy("slope_micro")
@@ -2675,11 +2681,16 @@ object Relational {
         expr("r2_we - n_we * (n_we + 1)").as("u2_we"),
         expr("2 * n_we * n_wd - (r2_we - n_we * (n_we + 1))")
           .as("u2_wd"))
+      // NULL, not an error, when one group is empty: Spark returns
+      // NULL on x % 0 while DuckDB raises — the contract must be
+      // engine-neutral on degenerate data (all-weekend / all-weekday
+      // event types), so both sides guard explicitly
       .withColumn("rb_ppm", expr(
-        """cast((((u2_we - u2_wd) * 1000000)
+        """if(n_we = 0 or n_wd = 0, cast(null as bigint),
+          |cast((((u2_we - u2_wd) * 1000000)
           |  - ((((((u2_we - u2_wd) * 1000000) % (2 * n_we * n_wd))
           |    + (2 * n_we * n_wd)) % (2 * n_we * n_wd)))
-          |) div (2 * n_we * n_wd) as bigint)""".stripMargin))
+          |) div (2 * n_we * n_wd) as bigint))""".stripMargin))
   }
 
   /** a48 — KENDALL RANK CORRELATION (tau-a) of daily revenue against
@@ -3130,11 +3141,17 @@ object Relational {
         expr("cast(case when s1 * n0 > s0 * n1 then 1 " +
           "when s1 * n0 < s0 * n1 then -1 else 0 end as int)")
           .as("gap_sign"),
-        expr("cast((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1) " +
+        // NULL when the pooled variance (or a group) is degenerate —
+        // Spark NULLs on div-by-zero where DuckDB errors, so the
+        // engine-neutral contract guards explicitly on both sides
+        expr("if(n1 = 0 or n0 = 0 or " +
+          "(n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0)) = 0, " +
+          "cast(null as bigint), " +
+          "cast((s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1) " +
           "* (n1 + n0 - 2) * 1000000 div " +
           "(cast(n1 as decimal(38,0)) * n0 " +
           "* (n0 * (n1 * q1 - s1 * s1) + n1 * (n0 * q0 - s0 * s0))) " +
-          "as bigint)").as("d2_ppm"))
+          "as bigint))").as("d2_ppm"))
   }
 
   /** w41 — PINBALL-LOSS FORECAST EVAL: w40's Holt one-step-ahead
@@ -3658,6 +3675,21 @@ object Relational {
         .reduce(_ unionByName _)
       a57Of(reps)
     }),
+    // a45's pair space on a 10-YEAR synthetic calendar: 5 types ×
+    // 3650 days → exactly 3650·3649/2 = 6 659 425 slope pairs per
+    // type — the calendar²-bound exercised where days² is no longer
+    // small (the sf grids top out near a year). Deterministic linear
+    // trend (1000 cents/day) + bounded LCG noise, so the median slope
+    // is pinned near 10⁹ micro-cents/day and the pair count is exact
+    // closed form. The derivation is byte-identical to a45's
+    // (theilSenOf) — only the input grid is synthetic.
+    "z34_a45_3650d" -> ((s: SparkSession, _: String) =>
+      theilSenOf(s.range(0, 3650).select(
+          explode(array(Seq("click", "view", "purchase", "signup",
+            "error").map(lit): _*)).as("event_type"),
+          col("id").as("day"))
+        .withColumn("c",
+          expr("1000 * day + (day * 2654435761) % 997")))),
     // 20 disjoint user-space replicas with IDENTICAL timestamps: every
     // replica's sessions align in time, so the stress peak must be
     // exactly stressReps × the base peak at the SAME instant — a

@@ -178,7 +178,7 @@ object Settings {
     * (session, dir) — k5 (create responses) and k6 (list projection)
     * both read it; it is tiny (one row per user), so the cache is a few
     * KB. Evicted via [[graft.SessionMemo]]. */
-  private val registryMemo = graft.SessionMemo.forDataFrames()
+  private val registryMemo = graft.SessionMemo.forCachedDataFrames()
 
   /** Warm the memoized registry (the daemon's in-memory instance array,
     * `stream_procs.c:53` — a GET/POST reads it, never re-parses request
@@ -231,7 +231,6 @@ object Settings {
         .withColumn("http_code",
           when(col("proc_name").isNotNull, 201).otherwise(404))
         .drop("pnum", "ok", "run", "off")
-        .cache()
     }
 
   def k5InstanceCreate(s: SparkSession, d: String): DataFrame =

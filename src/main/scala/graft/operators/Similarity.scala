@@ -192,12 +192,12 @@ object Similarity {
     * single plan: once for cell radii, once for the scan side). At
     * cluster scale this relation IS the index build — computed once,
     * persisted (e10), served many times. */
-  private val assignMemo = graft.SessionMemo.forDataFrames()
+  private val assignMemo = graft.SessionMemo.forCachedDataFrames()
   private[graft] def assignedRel(s: SparkSession, d: String,
       k: Int = 16): DataFrame =
     assignMemo(s, s"$d#assigned-k$k")(
       assignToCentroids(embeddings(s, d),
-        centroidsOf(embeddings(s, d), k)).cache())
+        centroidsOf(embeddings(s, d), k)))
 
   /** The e21 per-vector audit relation: each corpus vector with its
     * assigned list and the fixed-point similarity to that list's

@@ -153,9 +153,9 @@ object TsQueries {
     * session: ts9/ts10/ts11 all read the PCR span and the per-program
     * bitrate tenths. Eviction (stopped sessions, clearAll hook) lives in
     * [[graft.SessionMemo]]. */
-  private val memo = graft.SessionMemo.forDataFrames()
+  private val memo = graft.SessionMemo.forCachedDataFrames()
   private def memoized(s: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = memo(s, key)(build.cache())
+      build: => DataFrame): DataFrame = memo(s, key)(build)
 
   /** Stream duration (one row: span_s) from the PCR timelines: sane
     * positive deltas (≤1 s; larger = discontinuity, skipped —

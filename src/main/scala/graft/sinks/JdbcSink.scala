@@ -91,12 +91,28 @@ object JdbcSink {
     * standard exactly-once-to-JDBC recipe for Structured Streaming,
     * whose own guarantee stops at at-least-once delivery of each
     * (epochId, data) pair to foreachBatch. Returns true when the
-    * epoch was applied, false when the ledger skipped it. */
+    * epoch was applied, false when the ledger skipped it.
+    *
+    * The ledger's `epoch_id` is a PRIMARY KEY and the INSERT is the
+    * commit point: two racing appliers of the same epoch can both
+    * pass the pre-check and both (idempotently) upsert, but exactly
+    * one wins the ledger insert — the loser's duplicate-key error is
+    * the skip signal, not a failure. NOTE: the ledger is per TABLE
+    * and Structured Streaming epoch ids restart at 0 per checkpoint
+    * location, so two DIFFERENT queries must not share one target
+    * table — their unrelated epoch 0s would collide in the ledger. */
   def exactlyOnceBatch(df: DataFrame, keyCol: String, url: String,
       table: String, epochId: Long): Boolean = {
     ensureTable(url, table, df.schema)
-    ensureTable(url, s"${table}_epochs", StructType(Seq(
-      StructField("epoch_id", LongType))))
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE ${table}_epochs (epoch_id BIGINT PRIMARY KEY)")
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    } finally conn0.close()
     val conn = DriverManager.getConnection(url)
     val seen =
       try {
@@ -116,11 +132,16 @@ object JdbcSink {
         val st = c2.prepareStatement(
           s"INSERT INTO ${table}_epochs VALUES (?)")
         st.setLong(1, epochId)
-        st.executeUpdate()
-        st.close()
+        try { st.executeUpdate(); st.close(); true }
+        catch {
+          // 23505 = duplicate key: a concurrent applier committed this
+          // epoch between our check and our insert — a skip, not an
+          // error (the double upsert above was idempotent)
+          case e: java.sql.SQLException if e.getSQLState == "23505" =>
+            st.close(); false
+        }
       } finally c2.close()
-    }
-    !seen
+    } else false
   }
 
   /** The `bson_compare` readback step (`:313-336`): re-read the batch's

@@ -1460,17 +1460,22 @@ object TwsOps {
     * chunks hit storage. Keying includes the format (a per-pool store)
     * so the accounting reconciles exactly with m12's per-format
     * unique-bytes — short chunk hashes CAN legitimately recur across
-    * formats. The m13 parity row proves the cross-batch chunk state
-    * equals batch first-instance accounting exactly. */
+    * formats — AND the length, so a 64-bit FNV-1a collision between
+    * different-length chunks can never store one chunk while counting
+    * the other's bytes as a hit (m12's accounting groups per
+    * (format, hash, len); the reconciliation must be structurally
+    * true, not collision-probabilistic). The m13 parity row proves
+    * the cross-batch chunk state equals batch first-instance
+    * accounting exactly. */
   class ChunkStoreProcessor
-      extends StatefulProcessor[(String, Long), ChunkIn, ChunkOut] {
+      extends StatefulProcessor[(String, Long, Long), ChunkIn, ChunkOut] {
     @transient private var seen: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean](
         "seen", Encoders.scalaBoolean, TTLConfig.NONE)
 
-    override def handleInputRows(h: (String, Long),
+    override def handleInputRows(h: (String, Long, Long),
         rows: Iterator[ChunkIn],
         timerValues: TimerValues): Iterator[ChunkOut] = {
       val out = Vector.newBuilder[ChunkOut]
@@ -1489,7 +1494,7 @@ object TwsOps {
     import chunks.sparkSession.implicits._
     chunks.selectExpr("h", "doc_id", "format", "len", "off", "seq")
       .as[ChunkIn]
-      .groupByKey(r => (r.format, r.h))
+      .groupByKey(r => (r.format, r.h, r.len))
       .transformWithState(new ChunkStoreProcessor,
         TimeMode.None(), OutputMode.Append())
   }

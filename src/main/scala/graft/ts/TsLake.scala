@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TsLake {
 
-  /** Fixed absolute dump location — referenced by the oracle SQL text. */
-  val DumpDir = "/root/repo/target/tsdump"
+  /** Dump location — referenced by the oracle SQL text (SparkEntry reads
+    * it per `oracleSql` call, so resetting it regenerates the paths).
+    * Verify re-points it under its own outDir so two concurrent Verify
+    * runs can never race each other's dumps (the round-7 m12 hazard). */
+  @volatile var DumpDir = "/root/repo/target/tsdump"
 
   private val cache =
     new graft.SessionMemo[(Dataset[TsPacket], Dataset[PsiSection])]({
@@ -37,12 +40,14 @@ object TsLake {
       (pk, secs)
     }
 
-  @volatile private var dumped = false
+  @volatile private var dumpedTo: String = null
 
-  /** Materialize the decoded relations once per JVM (Verify calls this
-    * before running the query surface). */
+  /** Materialize the decoded relations once per JVM per dump root
+    * (Verify calls this before running the query surface). */
   def ensureDumped(s: SparkSession): Unit =
-    if (!dumped) synchronized { if (!dumped) { writeDumps(s); dumped = true } }
+    if (dumpedTo != DumpDir) synchronized {
+      if (dumpedTo != DumpDir) { writeDumps(s); dumpedTo = DumpDir }
+    }
 
   private def writeDumps(s: SparkSession): Unit = {
     import s.implicits._

@@ -144,6 +144,56 @@ object TsPipeline {
       }
   }
 
+  /** z32 — MULTI-INSTANCE isolation shape: the reference daemon caps
+    * 64 concurrent stream-processor instances (`main/stream_procs.c:
+    * 53`), each with private PAT/PMT state; here N tagged replays of
+    * the capture run through ONE pipeline invocation with the
+    * instance id joined into every shuffle key ((inst, pid) assembly
+    * runs; inst-offset table keys downstream) — the multi-tenant
+    * partitioning a 100-TB deployment actually runs, where "64
+    * processes" becomes "64 key-spaces in the same jobs". Instance i
+    * starts i packets into the stream, so every instance carries
+    * DIFFERENT in-flight assembly state; any state leakage between
+    * instances (a run-boundary bug, a shared buffer) corrupts that
+    * instance's sections and fails its CRC/version gates — visible as
+    * a per-instance PAT/PMT diff in MultiInstanceSpec. Returns
+    * sections with pid packed as inst·0x2000 + pid (pids are 13-bit,
+    * collision-free), so [[latestTables]]'s (pid, tableId, ext)
+    * windows are per-instance for free; callers recover
+    * inst = pid >> 13, pid = pid & 0x1FFF. */
+  def multiInstanceSections(spark: SparkSession, n: Int)
+      : Dataset[PsiSection] = {
+    import spark.implicits._
+    val pk = packets(spark)
+    val patSecs = sections(pk.filter(_.pid == 0))
+    val pmtPids = patSecs.flatMap(PsiCodec.decodePat _)
+      .filter(_.programNumber != 0).map(_.referencePid)
+      .distinct().collect().toSet
+    val psiPids = pmtPids + 0 + 0x11
+    pk.filter(p => psiPids.contains(p.pid))
+      .flatMap(p =>
+        (0 until n).iterator.filter(_ <= p.seq).map(i => (i, p)))
+      .repartition(col("_1"), col("_2.pid"))
+      .sortWithinPartitions(col("_1"), col("_2.pid"), col("_2.seq"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Iterator[PsiSection]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[PsiSection] = {
+            val inst = buf.head._1
+            val pid = buf.head._2.pid
+            val run = new Iterator[TsPacket] {
+              def hasNext: Boolean = buf.hasNext &&
+                buf.head._1 == inst && buf.head._2.pid == pid
+              def next(): TsPacket = buf.next()._2
+            }
+            SectionAssembler.assemble(pid, run)
+              .map(s => s.copy(pid = (inst << 13) | s.pid))
+          }
+        }.flatten
+      }
+  }
+
   /** F2 + R5/R6 — dynamic PSI routing, batch analog: assemble PID 0
     * first, read the PAT's referenced PIDs (a tiny dimension — the one
     * legitimate driver-side collect), then assemble {PAT, SDT, PMT PIDs}.

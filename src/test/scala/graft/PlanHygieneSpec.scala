@@ -189,6 +189,98 @@ class PlanHygieneSpec extends SparkSuite {
       s"non-hashable output columns:\n${offenders.mkString("\n")}")
   }
 
+  test("no query plans a CartesianProduct, and every " +
+    "BroadcastNestedLoopJoin builds from a provably-bounded side") {
+    // The join-shape tripwire: an equi-condition that stops resolving
+    // (a renamed column, a type mismatch Catalyst can't equate) turns
+    // a hash join into a nested-loop/cartesian silently — fine at
+    // sf0.001, fatal at 100 TB. Checked on the STATIC physical plan
+    // (no execution): these shapes arise at planning time, and AQE
+    // only ever converts TOWARD hash/broadcast-hash joins.
+    //
+    // CartesianProduct: forbidden outright, whitelist none.
+    // BroadcastNestedLoopJoin: the repo's scalar-composition idiom
+    // (crossJoin a keyless-aggregate total, a driver-built query
+    // vector, a k-row model) IS a BNLJ and is O(n) — legal exactly
+    // when the BUILD side is structurally bounded: its subtree is
+    // capped by a grouping-keyless aggregate (≤1 row), a limit, or a
+    // driver-local relation. A BNLJ whose build side is a raw scan
+    // (corpus-scaled) fails here.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.joins._
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty || p.children.forall(bounded)
+      case _: LocalTableScanExec => true
+      case l: GlobalLimitExec => l.limit <= 100000
+      case l: LocalLimitExec => l.limit <= 100000
+      case _: TakeOrderedAndProjectExec => true
+      case m: columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      // a reused exchange's original occurrence is checked where it
+      // was planned
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        true
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    def loops(p: SparkPlan): Seq[String] = p.collect {
+      case c: CartesianProductExec => Seq("CartesianProduct")
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+            b.left
+          case _ => b.right
+        }
+        if (bounded(build)) Nil
+        else Seq(s"BNLJ(unbounded build: ${build.nodeName})")
+    }.flatten
+    // Queries whose BNLJ build side is bounded by the DATA CONTRACT
+    // rather than plan structure — audited one by one (round 8), every
+    // one a documented-boundedness class (the a8 rule):
+    //  - e-family + t24: the probe/query set — a pushed-down filter on
+    //    the embeddings scan (≤ tens of rows by the query contract);
+    //  - ts10/ts11/ts16: PSI dimension tables (programs/PIDs — a mux
+    //    carries a handful);
+    //  - a26/a38/a43/a44: calendar- or cell-grid aggregates
+    //    (week/dow/type grids);
+    //  - w32: the single candidate median bucket of a bucket-grid
+    //    histogram (one row per group by construction).
+    // The set is FROZEN: a new query planning an unproven BNLJ — or
+    // one of these losing its bound — must be audited here by name.
+    val audited = Set(
+      "a26_sketch_intersection", "a38_chi2_cells", "a43_runs_test",
+      "a44_cramers_v", "e10_ivf_persisted", "e11_sq8_topk",
+      "e12_sign_topk", "e14_rerank", "e15_recall_eval",
+      "e16_matryoshka", "e17_filtered_ann", "e18_hybrid_rrf",
+      "e19_ivf_incremental", "e1_cosine_topk", "e20_range_search",
+      "e22_hard_negatives", "e23_recall_curve", "e26_mrr",
+      "e27_semantic_decontam", "e28_ndcg", "e3_cosine_near_dup",
+      "e5_ivf_ann", "e8_ivf_pq", "t24_edit_distance",
+      "ts10_instance_doc", "ts11_es_proc_doc", "ts16_cbr_plan",
+      "w32_purchase_gap")
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val ls = loops(fn(spark, sf).queryExecution.sparkPlan)
+        if (ls.exists(_.startsWith("Cartesian")))
+          Seq(s"$name: CARTESIAN (never allowed)")
+        else if (ls.nonEmpty) Seq(name)
+        else Nil
+    }
+    assert(!flagged.exists(_.contains("CARTESIAN")),
+      s"cartesian joins planned:\n${flagged.mkString("\n")}")
+    assert(flagged.toSet == audited,
+      s"BNLJ audit drift — new unproven: ${flagged.toSet -- audited}; " +
+        s"no longer planning BNLJ (remove from list): " +
+        s"${audited -- flagged.toSet}")
+    // …and the detector itself must trip on a planted cross join of
+    // two raw scans — a vacuously-green guard is no guard
+    val planted = Tables.lineitem(spark, sf)
+      .crossJoin(Tables.orders(spark, sf))
+    assert(loops(planted.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag a planted scan-x-scan cross join")
+  }
+
   test("t11 composite: corpus-scaled join sides never broadcast") {
     val nodes = ranPlan(TextOps.t11QualityFilter(spark, sf))
     // the LSH loser set scales with the corpus — the anti-join must be

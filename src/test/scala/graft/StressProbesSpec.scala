@@ -22,6 +22,25 @@ class StressProbesSpec extends SparkSuite {
       base.getAs[Long]("cum_vocab"))
   }
 
+  test("z34: 10-year-calendar Theil-Sen — exact 6 659 425 pairs per " +
+    "type, median slope pinned to the planted trend") {
+    val t0 = System.nanoTime()
+    val rows = Relational.diag("z34_a45_3650d")(spark, sf).collect()
+    System.err.println(f"[z34] 5 types x 3650 days (33.3M pairs): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") == 3650L)
+      assert(r.getAs[Long]("n_pairs") == 3650L * 3649 / 2)
+      // planted 1000 cents/day trend = 10^9 micro-cents/day; bounded
+      // noise (<997 cents) over a median pair gap (~1200 days) moves
+      // the median by well under 0.5%
+      val slope = r.getAs[Long]("ts_slope_micro")
+      assert(math.abs(slope - 1000000000L) < 5000000L,
+        s"${r.getAs[String]("event_type")}: slope $slope")
+    }
+  }
+
   test("z31: 20x event replication scales every lead-lag covariance " +
     "numerator by exactly 400 (20^2) with identical day counts") {
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>

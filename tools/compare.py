@@ -5,11 +5,20 @@ sf tables, sort columns by name + rows, and compare values.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
+import hashlib
 import json
 import math
 import sys
 
 import duckdb
+
+
+def digest(rows):
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +50,11 @@ def main(sf_dir, out_dir, only=None):
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # python-canon digests of BOTH sides, written per run: paired with
+    # the Scala-canon engine digests in $out_dir/hashes.json, a driver
+    # hash-red row becomes attributable to a side (engine recompute vs
+    # DuckDB oracle) instead of a mystery
+    hashes = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -61,6 +75,8 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        hashes[name] = {"engine": digest(got), "oracle": digest(want),
+                        "n_engine": len(got), "n_oracle": len(want)}
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != "
                   f"{sorted(want_cols)}")
@@ -74,6 +90,8 @@ def main(sf_dir, out_dir, only=None):
         else:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
+    with open(f"{out_dir}/hashes_py.json", "w") as f:
+        json.dump(hashes, f, indent=0, sort_keys=True)
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
