@@ -28,6 +28,12 @@ object Verify {
     // must never be able to serve another run's oracle reads
     graft.ts.TsLake.DumpDir = s"$outDir/tsdump"
     OpLake.DumpDir = s"$outDir/opdump"
+    // …and the persisted index/lake artifacts (IVF lists, BM25
+    // postings, DSIR lake): e10 reads what ivfIndexPath wrote, so a
+    // concurrent run overwriting the shared default path mid-read is
+    // a FILE_NOT_EXIST failure (observed in the round-8 concurrent
+    // probe before this line existed)
+    IndexDir.base = s"$outDir/index"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -798,10 +798,11 @@ object Similarity {
     * 32-bit hashCode could. Base dir overridable via GRAFT_INDEX_DIR. */
   private[graft] def ivfIndexPath(s: SparkSession, d: String,
       k: Int = 16): String =
-    ivfIndexWritten.computeIfAbsent(s"$d#k=$k", { _ =>
+    ivfIndexWritten.computeIfAbsent(
+        s"${graft.IndexDir.base}#$d#k=$k", { _ =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val base = graft.IndexDir.base
       val path = s"$base/$md5-k$k"
       e9Assigned(s, d, k)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
@@ -1068,10 +1069,11 @@ object Similarity {
     * re-assigning the union corpus, which is what the oracle checks. */
   private[graft] def incrIndexPath(s: SparkSession, d: String,
       k: Int = 16): String =
-    incrIndexWritten.computeIfAbsent(s"$d#k=$k", { _ =>
+    incrIndexWritten.computeIfAbsent(
+        s"${graft.IndexDir.base}#$d#k=$k", { _ =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val base = graft.IndexDir.base
       val path = s"$base/incr-$md5-k$k"
       val emb = embeddings(s, d)
       val cents = centroidsOf(emb, k)

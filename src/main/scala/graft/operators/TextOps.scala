@@ -1869,10 +1869,11 @@ object TextOps {
     * count dims and scoring join — read the lake, never re-tokenizing.
     * Same output, same oracle, hash-must-match t41. */
   def t41bDsirLake(s: SparkSession, d: String): DataFrame = {
-    val path = dsirLakeWritten.computeIfAbsent(d, { _ =>
+    val path = dsirLakeWritten.computeIfAbsent(
+        s"${graft.IndexDir.base}#$d", { _ =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/dsirlake")
+      val base = graft.IndexDir.base + "/dsirlake"
       val p = s"$base/$md5"
       dsirFeatsOf(s, d)
         .withColumn("fp", col("f") % 16)
@@ -2243,10 +2244,11 @@ object TextOps {
     * corpus. Keyed by MD5 of the data dir (the e10 collision-proof
     * discipline); base overridable via GRAFT_INDEX_DIR. */
   private[graft] def bm25IndexPath(s: SparkSession, d: String): String =
-    bm25IndexWritten.computeIfAbsent(d, { _ =>
+    bm25IndexWritten.computeIfAbsent(
+        s"${graft.IndexDir.base}#$d", { _ =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val base = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/ivfindex")
+      val base = graft.IndexDir.base
       val path = s"$base/bm25-$md5"
       val toks = bm25Tokens(s, d)
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
