@@ -440,7 +440,10 @@ object Graph {
   def g8SpanningForest(s: SparkSession, d: String,
       maxIters: Int = 16): DataFrame = {
     import s.implicits._
-    val edges = g8Backbone(s, d).cache()
+    // session-memoized pin: g8 runs twice per Verify (the OpLake g8_msf
+    // dump + the query itself) — a per-call .cache() double-registered
+    // the identical plan (the last "already cached" warning standing)
+    val edges = memo(s, d + "#g8_edges")(g8Backbone(s, d))
     var labels = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
       .select(col("node"), col("node").as("comp"))

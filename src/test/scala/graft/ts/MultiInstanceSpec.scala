@@ -27,6 +27,9 @@ class MultiInstanceSpec extends graft.SparkSuite {
       r
     }
 
+    // session warm-up outside any timed span (first-session scan +
+    // codegen costs ~7 s that would otherwise be billed to the N=1 leg)
+    TsPipeline.packets(s).count()
     // N=1 baseline through the standard path
     val (basePat, basePmt) = timed("n=1 capture->tables") {
       val secs = TsPipeline.psiSections(s, TsPipeline.packets(s))
