@@ -2916,6 +2916,42 @@ object SparkEntry {
         |  CAST(50000 * kr.k // kr.m AS BIGINT) AS bh_threshold_ppm,
         |  kr.k <= coalesce(km.kmax, 0) AS rejected
         |FROM kr, km""",
+    // v8: identical doc_id-derived PII planting on both sides, then
+    // detect/redact/census re-derived — RE2 'g'-flag replaces mirror
+    // Spark's replace-all; patterns are simple char classes with
+    // identical leftmost-first semantics in both engines
+    "v8_pii_audit" ->
+      """WITH aug AS (SELECT source, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.0.'
+        |      || CAST(doc_id % 200 AS VARCHAR) || '.99' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ref '
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS a
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    length(regexp_extract_all(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    length(regexp_extract_all(a,
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS ni,
+        |    length(regexp_extract_all(a, '\d{3}-\d{2}-\d{4}')) AS nd,
+        |    length(a) - length(regexp_replace(regexp_replace(
+        |      regexp_replace(a,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |      '\d{3}-\d{2}-\d{4}', '<ID>', 'g')) AS delta
+        |  FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ne + ni + nd > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_with_pii,
+        |  CAST(sum(ne) AS BIGINT) AS n_emails,
+        |  CAST(sum(ni) AS BIGINT) AS n_ips,
+        |  CAST(sum(nd) AS BIGINT) AS n_ids,
+        |  CAST(sum(delta) AS BIGINT) AS redact_delta_chars
+        |FROM per GROUP BY 1""",
     // v7: both exact lower medians re-derived via rank selection; all
     // deviations absolute so native division semantics agree
     "v7_robust_outliers" ->

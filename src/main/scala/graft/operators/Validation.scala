@@ -280,7 +280,64 @@ object Validation {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** v8 — PII AUDIT + REDACTION census: the scrubbing stage every
+    * training-data pipeline runs before release — detect emails, IPv4
+    * addresses and SSN-shaped ids per document, redact them, and
+    * report per-source exposure (docs affected, hits per class, bytes
+    * removed by redaction). The corpus is synthetic-clean, so the
+    * operator plants PII DERIVATIONALLY first: docs with doc_id%7=0
+    * gain a doc_id-derived email + IPv4, docs with doc_id%11=0 an
+    * SSN-shaped id — both sides (engine and DuckDB oracle) compute the
+    * identical augmented text from doc_id, so the detect→redact→census
+    * mechanics are what the hash gate checks, with non-trivial counts.
+    *
+    * Regex parity: simple character-class patterns only (no
+    * backreferences/lookaround), identical leftmost-first,
+    * non-overlapping semantics in Java regex (engine) and RE2
+    * (DuckDB); redaction applies the three classes in a fixed order
+    * on both sides. Scale shape: one scan, per-row regex work inside
+    * codegen, one partial-aggregated rollup to 5 source rows —
+    * nothing but (source, 5 ints) ever shuffles. */
+  def v8PiiAudit(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val aug = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("aug", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.0."),
+            (col("doc_id") % 200).cast("string"), lit(".99")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" ref "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    val per = aug.select(col("source"),
+      size(regexp_extract_all(col("aug"), lit(email), lit(0))).as("ne"),
+      size(regexp_extract_all(col("aug"), lit(ip), lit(0))).as("ni"),
+      size(regexp_extract_all(col("aug"), lit(ssn), lit(0))).as("nd"),
+      (length(col("aug")) - length(
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          email, "<EMAIL>"), ip, "<IP>"), ssn, "<ID>"))).as("delta"))
+    per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("ne") + col("ni") + col("nd") > 0, 1L).otherwise(0L))
+        .as("docs_with_pii"),
+      sum(col("ne").cast("long")).as("n_emails"),
+      sum(col("ni").cast("long")).as("n_ips"),
+      sum(col("nd").cast("long")).as("n_ids"),
+      sum(col("delta").cast("long")).as("redact_delta_chars"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_pii_audit" -> v8PiiAudit _,
     "v7_robust_outliers" -> v7RobustOutliers _,
     "v6_category_drift" -> v6CategoryDrift _,
     "v1_expectations" -> v1Expectations _,

@@ -30,8 +30,10 @@ class MultiInstanceSpec extends graft.SparkSuite {
     // session warm-up outside any timed span (first-session scan +
     // codegen costs ~7 s that would otherwise be billed to the N=1 leg)
     TsPipeline.packets(s).count()
-    // N=1 baseline through the standard path
-    val (basePat, basePmt) = timed("n=1 capture->tables") {
+    // reference tables through the standard single-instance path —
+    // the ground truth every instance must converge to (untimed; it
+    // assembles from the full unfiltered capture, a different shape)
+    val (basePat, basePmt) = {
       val secs = TsPipeline.psiSections(s, TsPipeline.packets(s))
       val latest = TsPipeline.latestTables(secs)
       val pat = TsPipeline.patFromLatest(s, latest).collect()
@@ -42,6 +44,11 @@ class MultiInstanceSpec extends graft.SparkSuite {
       (pat, pmt)
     }
     assert(basePat.nonEmpty && basePmt.nonEmpty)
+    // tenancy cost baseline: the SAME multi-instance code path at n=1
+    timed("n=1 multi-path capture->tables") {
+      TsPipeline.latestTables(TsPipeline.multiInstanceSections(s, 1))
+        .count()
+    }
 
     val n = 64
     val (pats, pmts) = timed(s"n=$n capture->tables") {
