@@ -48,7 +48,7 @@ object Similarity {
     * (vec_id < 10) against the whole corpus. Query side broadcast. */
   def e1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cands = emb
       .select(col("vec_id").as("cand_id"), col("embedding").as("c"))
@@ -76,7 +76,7 @@ object Similarity {
     * cand_id — id-only output, so no float crosses the oracle. */
   def e22HardNegatives(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("label").as("q_label"))
     val sims = emb
@@ -181,7 +181,10 @@ object Similarity {
   /** The first-k-corpus-vectors centroid table every fixed-centroid
     * variant shares (a deterministic stand-in for a trained model). */
   private[graft] def centroidsOf(emb: DataFrame, k: Int): DataFrame =
-    emb.filter(col("vec_id") < k)
+    // limit(k) after the filter is a no-op on content (vec_ids are
+    // dense from 0) but makes the k-bound STRUCTURAL, so the plan
+    // tripwire can prove every centroid-side broadcast is bounded
+    emb.filter(col("vec_id") < k).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
 
   /** The STANDARD-PATH assignment relation (full corpus against the
@@ -244,7 +247,7 @@ object Similarity {
     * the query set, K rows per partition. */
   private def probesOf(emb: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame =
-    emb.filter(col("vec_id") < 10)
+    emb.filter(col("vec_id") < 10).limit(10)
       .join(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("centroid_id"),
@@ -321,7 +324,7 @@ object Similarity {
       x => floor(x * (lit(127.0) / mx) + lit(0.5)).cast("long"))
     val coded = embeddings(s, d).select(col("vec_id"), q.as("code"))
     val queries = coded
-      .filter(col("vec_id") < 10)
+      .filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("code").as("qc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("cand_id"))
@@ -355,7 +358,7 @@ object Similarity {
          |  0L, (a, b) -> a + b)""".stripMargin)
     val packed = embeddings(s, d).select(col("vec_id"), col("embedding"),
       packHalf(0).as("lo"), packHalf(32).as("hi"))
-    val queries = packed.filter(col("vec_id") < 10)
+    val queries = packed.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("lo").as("qlo"), col("hi").as("qhi"))
     val wHam = Window.partitionBy("query_id")
@@ -519,7 +522,7 @@ object Similarity {
     // work is ONE dot kernel, not three: n2x + n2cb - 2·dot is the same
     // double arithmetic as l2sq term-for-term, so the oracle's
     // dot-composed L2 still matches bitwise
-    val codebooks = emb.filter(col("vec_id") < ks)
+    val codebooks = emb.filter(col("vec_id") < ks).limit(ks)
       .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
       .select(col("code"), col("j"), subspaces("embedding").as("cb"))
       .withColumn("n2cb", vec_dot(col("cb"), col("cb")))
@@ -538,7 +541,7 @@ object Similarity {
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
     val probes = probesOf(emb, centroids, nprobe)
       .select("query_id", "centroid_id")
-    val dtab = emb.filter(col("vec_id") < 10)
+    val dtab = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("embedding"), js)
       .select(col("query_id"), col("j"), subspaces("embedding").as("qj"))
       .join(broadcast(codebooks), Seq("j"))
@@ -590,7 +593,7 @@ object Similarity {
     * retrieve-then-rerank dial. */
   private[graft] def rerankOf(emb: DataFrame, cands: DataFrame)
       : DataFrame = {
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
@@ -1235,7 +1238,7 @@ object Similarity {
     def subspaces(vecCol: String): Column =
       slice(col(vecCol), col("j") * sub + 1, lit(sub))
     val js = explode(sequence(lit(0), lit(m - 1))).as("j")
-    val codebooks = emb.filter(col("vec_id") < ks)
+    val codebooks = emb.filter(col("vec_id") < ks).limit(ks)
       .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
       .select(col("code"), col("j"), subspaces("embedding").as("cb"))
       .withColumn("n2cb", vec_dot(col("cb"), col("cb")))

@@ -237,9 +237,13 @@ class PlanHygieneSpec extends SparkSuite {
     }.flatten
     // Queries whose BNLJ build side is bounded by the DATA CONTRACT
     // rather than plan structure — audited one by one (round 8), every
-    // one a documented-boundedness class (the a8 rule):
-    //  - e-family + t24: the probe/query set — a pushed-down filter on
-    //    the embeddings scan (≤ tens of rows by the query contract);
+    // one a documented-boundedness class (the a8 rule). The bulk of
+    // the original 28 (the e-family probe sets and centroid/codebook
+    // models) became STRUCTURALLY bounded by adding limit(k) after
+    // their pushed-down key filters; the residue:
+    //  - e3/e16/e27/t24: a comparison side derived through joins or
+    //    aggregation over the ≤10-row probe set (bounded by
+    //    composition, which the checker doesn't chase through joins);
     //  - ts10/ts11/ts16: PSI dimension tables (programs/PIDs — a mux
     //    carries a handful);
     //  - a26/a38/a43/a44: calendar- or cell-grid aggregates
@@ -250,13 +254,8 @@ class PlanHygieneSpec extends SparkSuite {
     // one of these losing its bound — must be audited here by name.
     val audited = Set(
       "a26_sketch_intersection", "a38_chi2_cells", "a43_runs_test",
-      "a44_cramers_v", "e10_ivf_persisted", "e11_sq8_topk",
-      "e12_sign_topk", "e14_rerank", "e15_recall_eval",
-      "e16_matryoshka", "e17_filtered_ann", "e18_hybrid_rrf",
-      "e19_ivf_incremental", "e1_cosine_topk", "e20_range_search",
-      "e22_hard_negatives", "e23_recall_curve", "e26_mrr",
-      "e27_semantic_decontam", "e28_ndcg", "e3_cosine_near_dup",
-      "e5_ivf_ann", "e8_ivf_pq", "t24_edit_distance",
+      "a44_cramers_v", "e16_matryoshka", "e27_semantic_decontam",
+      "e3_cosine_near_dup", "t24_edit_distance",
       "ts10_instance_doc", "ts11_es_proc_doc", "ts16_cbr_plan",
       "w32_purchase_gap")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
