@@ -2916,6 +2916,47 @@ object SparkEntry {
         |  CAST(50000 * kr.k // kr.m AS BIGINT) AS bh_threshold_ppm,
         |  kr.k <= coalesce(km.kmax, 0) AS rejected
         |FROM kr, km""",
+    // a60: the CUSUM recurrence replayed with a recursive CTE — the
+    // w41 pattern; baseline/slack/threshold all positive-mod floor
+    // division on both sides, greatest(0, ·) caps identical
+    "a60_cusum" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |b AS (SELECT event_type,
+        |    (sumf - ((sumf % cnt + cnt) % cnt)) // cnt AS mu
+        |  FROM (SELECT event_type, sum(x) AS sumf, count(*) AS cnt
+        |    FROM idx WHERE rn <= 14 GROUP BY 1)),
+        |p AS (SELECT event_type, mu,
+        |    (mu - ((mu % 20 + 20) % 20)) // 20 AS k,
+        |    (mu - ((mu % 2 + 2) % 2)) // 2 AS h
+        |  FROM b),
+        |r AS (
+        |  SELECT i.event_type, i.rn, i.day,
+        |    greatest(0, i.x - p.mu - p.k) AS sp,
+        |    greatest(0, p.mu - i.x - p.k) AS sn
+        |  FROM idx i JOIN p USING (event_type) WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day,
+        |    greatest(0, r.sp + i.x - p.mu - p.k),
+        |    greatest(0, r.sn + p.mu - i.x - p.k)
+        |  FROM r JOIN idx i ON i.event_type = r.event_type
+        |    AND i.rn = r.rn + 1
+        |  JOIN p ON p.event_type = r.event_type)
+        |SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(p.mu) AS BIGINT) AS target_cents,
+        |  CAST(max(sp) AS BIGINT) AS max_cusum_pos,
+        |  CAST(max(sn) AS BIGINT) AS max_cusum_neg,
+        |  CAST(sum(CASE WHEN sp > p.h OR sn > p.h THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarm_days,
+        |  CAST(coalesce(min(CASE WHEN sp > p.h OR sn > p.h
+        |    THEN r.day END), -1) AS BIGINT) AS first_alarm_day
+        |FROM r JOIN p ON p.event_type = r.event_type
+        |GROUP BY 1""",
     // v8: identical doc_id-derived PII planting on both sides, then
     // detect/redact/census re-derived — RE2 'g'-flag replaces mirror
     // Spark's replace-all; patterns are simple char classes with

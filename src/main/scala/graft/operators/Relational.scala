@@ -3107,6 +3107,67 @@ object Relational {
         abs(col("r.x") - col("r.f")).as("abs_err_cents"))
   }
 
+  /** a60 — BATCH CUSUM CHANGEPOINT DETECTOR (Page 1954, the tabular
+    * two-sided form): the batch companion of a53's streaming
+    * Page–Hinkley — s⁺ ← max(0, s⁺ + x − μ − κ), s⁻ ← max(0,
+    * s⁻ + μ − x − κ) over the per-type daily series, alarm when
+    * either side exceeds h. Baseline μ = floor-mean of the first 14
+    * days (positive-mod floor division, the shared-semantics rule),
+    * κ = μ/20 (5% slack), h = μ/2 — all exact integer cents, so the
+    * alarm census is bit-stable cross-engine. The recurrence runs as
+    * one codegen'd `aggregate` fold over the calendar-bounded day
+    * array (the w40 pattern); the oracle replays it with a recursive
+    * CTE. Per type: max excursion both sides, alarm-day count, first
+    * alarm day (−1 = in control). */
+  def a60Cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val rn = daily.withColumn("rn", row_number().over(w))
+    def fdiv(num: String, den: String) =
+      s"((($num) - (((($num) % ($den)) + ($den)) % ($den))) div ($den))"
+    val base = rn.filter(col("rn") <= 14)
+      .groupBy("event_type")
+      .agg(sum(col("x")).as("sumf"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), expr(fdiv("sumf", "cnt")).as("mu"))
+      .select(col("event_type"), col("mu"),
+        expr(fdiv("mu", "20")).as("k"), expr(fdiv("mu", "2")).as("h"))
+    val packed = rn.join(broadcast(base), Seq("event_type"))
+      .groupBy("event_type", "mu", "k", "h")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("ser"))
+    val sp2 = "greatest(cast(0 as bigint), acc.sp + e.x - mu - k)"
+    val sn2 = "greatest(cast(0 as bigint), acc.sn + mu - e.x - k)"
+    packed.select(col("event_type"), col("n_days"),
+        col("mu").as("target_cents"),
+        expr(
+          s"""aggregate(ser,
+             |  named_struct('sp', cast(0 as bigint),
+             |    'sn', cast(0 as bigint), 'mxp', cast(0 as bigint),
+             |    'mxn', cast(0 as bigint), 'nal', cast(0 as bigint),
+             |    'first', cast(-1 as bigint)),
+             |  (acc, e) -> named_struct(
+             |    'sp', $sp2, 'sn', $sn2,
+             |    'mxp', greatest(acc.mxp, $sp2),
+             |    'mxn', greatest(acc.mxn, $sn2),
+             |    'nal', acc.nal + if($sp2 > h or $sn2 > h,
+             |      cast(1 as bigint), cast(0 as bigint)),
+             |    'first', if(acc.first >= 0, acc.first,
+             |      if($sp2 > h or $sn2 > h, e.day,
+             |        cast(-1 as bigint)))),
+             |  acc -> acc)""".stripMargin).as("c"))
+      .select(col("event_type"), col("n_days"), col("target_cents"),
+        col("c.mxp").as("max_cusum_pos"),
+        col("c.mxn").as("max_cusum_neg"),
+        col("c.nal").as("n_alarm_days"),
+        col("c.first").as("first_alarm_day"))
+  }
+
   /** a59 — COHEN'S d EFFECT SIZE (weekend vs weekday spend per event
     * type): the magnitude report that belongs next to a47's rank-sum
     * and a50's permutation p — "significant" without "how big" is how
@@ -3808,6 +3869,7 @@ object Relational {
     "a58_assoc_rules" -> a58AssocRules _,
     "w41_pinball_eval" -> w41PinballEval _,
     "a59_effect_size" -> a59EffectSize _,
+    "a60_cusum" -> ((s: SparkSession, d: String) => a60Cusum(s, d)),
     // a53: the SPARK side is the batch δ=0 PH series; the oracle reads
     // the transformWithState replay's OpLake dump verbatim — hash
     // match = stream ≡ batch Page–Hinkley across micro-batch seams
