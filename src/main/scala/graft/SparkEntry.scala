@@ -1002,29 +1002,43 @@ object SparkEntry {
         |SELECT l.k, count(*) AS n
         |FROM l JOIN dim ON l.k IS NOT DISTINCT FROM dim.k
         |GROUP BY l.k""",
+    // a20: exact ×100 fixed-point variance/stddev — floor division of
+    // the exact HUGEINT moment numerator; stddev via the same
+    // seed-then-snap isqrt as a14 (⌊√⌊x⌋⌋ = ⌊√x⌋)
     "a20_dispersion" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS HUGEINT) AS sx2,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * CAST(l_extendedprice AS DECIMAL(18,2))
-        |    AS DECIMAL(38,4))) AS sxx
-        |  FROM lineitem GROUP BY 1)
+        |    AS DECIMAL(38,4))) * 10000 AS HUGEINT) AS sxx4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    CAST(n AS HUGEINT) * sxx4 - sx2 * sx2 AS va4
+        |  FROM a),
+        |p AS (SELECT l_returnflag, n, va4,
+        |    va4 // (CAST(n AS HUGEINT) * n) AS vp,
+        |    CASE WHEN n < 2 THEN NULL
+        |      ELSE va4 // (CAST(n AS HUGEINT) * (n - 1)) END AS vs
+        |  FROM m),
+        |r AS (SELECT *,
+        |    CAST(floor(sqrt(CAST(vp AS DOUBLE))) AS HUGEINT) AS rp0,
+        |    CAST(floor(sqrt(CAST(vs AS DOUBLE))) AS HUGEINT) AS rs0
+        |  FROM p)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop,
-        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
-        |    AS var_samp,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
-        |    AS stddev_samp
-        |FROM a""",
+        |  CAST(va4 // (CAST(n AS HUGEINT) * n * 100) AS BIGINT)
+        |    AS var_pop_x100,
+        |  CAST(CASE WHEN (rp0 + 1) * (rp0 + 1) <= vp THEN rp0 + 1
+        |    WHEN rp0 * rp0 > vp THEN rp0 - 1 ELSE rp0 END AS BIGINT)
+        |    AS stddev_pop_x100,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |    ELSE va4 // (CAST(n AS HUGEINT) * (n - 1) * 100) END
+        |    AS BIGINT) AS var_samp_x100,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |    WHEN (rs0 + 1) * (rs0 + 1) <= vs THEN rs0 + 1
+        |    WHEN rs0 * rs0 > vs THEN rs0 - 1 ELSE rs0 END AS BIGINT)
+        |    AS stddev_samp_x100
+        |FROM r""",
     "a21_string_agg" ->
       """SELECT o_orderpriority,
         |  array_to_string(list_sort(list_distinct(list(o_orderstatus))),
@@ -1183,32 +1197,55 @@ object SparkEntry {
         |SELECT o_orderpriority, o_orderstatus AS mode_status,
         |  cnt AS mode_n
         |FROM r WHERE rn = 1""",
+    // a14: exact HUGEINT moments; isqrt snaps a double-sqrt seed to
+    // the true integer root with exact comparisons (mirrors the
+    // engine's decimal construction bit-for-bit); corr·10⁹ and the
+    // ×100 covariance via the positive-mod floor form
     "a14_corr" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |    AS HUGEINT) AS sx2,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS HUGEINT) AS sy2,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
         |    * CAST(l_extendedprice AS DECIMAL(18,2))
-        |    AS DECIMAL(38,4))) AS sxy,
-        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) * 10000 AS HUGEINT) AS sxy4,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
         |    * CAST(l_quantity AS DECIMAL(18,2))
-        |    AS DECIMAL(38,4))) AS sxx,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    AS DECIMAL(38,4))) * 10000 AS HUGEINT) AS sxx4,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * CAST(l_extendedprice AS DECIMAL(18,2))
-        |    AS DECIMAL(38,4))) AS syy
-        |  FROM lineitem GROUP BY 1)
+        |    AS DECIMAL(38,4))) * 10000 AS HUGEINT) AS syy4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    CAST(n AS HUGEINT) * sxy4 - sx2 * sy2 AS cov4,
+        |    CAST(n AS HUGEINT) * sxx4 - sx2 * sx2 AS va4,
+        |    CAST(n AS HUGEINT) * syy4 - sy2 * sy2 AS vb4
+        |  FROM a),
+        |r AS (SELECT l_returnflag, n, cov4, va4, vb4,
+        |    CAST(floor(sqrt(CAST(va4 AS DOUBLE))) AS HUGEINT) AS ra0,
+        |    CAST(floor(sqrt(CAST(vb4 AS DOUBLE))) AS HUGEINT) AS rb0
+        |  FROM m),
+        |q AS (SELECT l_returnflag, n, cov4, va4, vb4,
+        |    CASE WHEN (ra0 + 1) * (ra0 + 1) <= va4 THEN ra0 + 1
+        |      WHEN ra0 * ra0 > va4 THEN ra0 - 1 ELSE ra0 END AS ra,
+        |    CASE WHEN (rb0 + 1) * (rb0 + 1) <= vb4 THEN rb0 + 1
+        |      WHEN rb0 * rb0 > vb4 THEN rb0 - 1 ELSE rb0 END AS rb
+        |  FROM r)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |    AS corr_qty_price,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop
-        |FROM a""",
+        |  CAST(CASE WHEN cov4 > 0 THEN 1 WHEN cov4 < 0 THEN -1
+        |    ELSE 0 END AS INTEGER) AS cov_sign,
+        |  CASE WHEN va4 = 0 OR vb4 = 0 THEN NULL ELSE
+        |    CAST((CAST(1000000000 AS HUGEINT) * cov4
+        |      - (((CAST(1000000000 AS HUGEINT) * cov4) % (ra * rb)
+        |        + ra * rb) % (ra * rb)))
+        |      // (ra * rb) AS BIGINT) END AS corr_ppb,
+        |  CAST((cov4 - ((cov4 % (CAST(n AS HUGEINT) * n * 100)
+        |      + CAST(n AS HUGEINT) * n * 100)
+        |    % (CAST(n AS HUGEINT) * n * 100)))
+        |    // (CAST(n AS HUGEINT) * n * 100) AS BIGINT)
+        |    AS covar_pop_x100
+        |FROM q""",
     // a7: estimates dumped; exact distincts + the 3·rsd accuracy bound
     // independently re-derived — the contract is checked, not the bits
     "w18_trending" ->

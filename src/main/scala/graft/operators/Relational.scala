@@ -691,6 +691,19 @@ object Relational {
     * decimal→double conversions — bit-identical across engines, unlike
     * built-in corr()'s streaming covariance updates whose result depends
     * on merge order. One partial-aggregated pass, no second scan. */
+  /** a14 — CORRELATION + POP COVARIANCE, float-free (round-8 rework):
+    * the double formulation was exact in its moments but cast each
+    * >2^53 decimal to double before composing — and cross-engine
+    * decimal→double conversion is not guaranteed correctly rounded
+    * (the sf0.001 sweep caught DuckDB one ULP off Spark on two
+    * groups). Now: corr·10⁹ as one positive-mod floor division of the
+    * exact ×10⁴-scaled covariance numerator by
+    * isqrt(va4)·isqrt(vb4), where each integer root snaps a double
+    * sqrt seed to the true root with exact decimal comparisons —
+    * bit-stable cross-engine at any sf — plus the covariance sign and
+    * the exact ×100 fixed-point population covariance. Envelope ≤ sf1
+    * (10⁹·cov4 grazes 38 digits past that; the documented fix is
+    * pre-aggregating to daily grain like a59's). */
   def a14Corr(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity").cast(dec)
     val y = col("l_extendedprice").cast(dec)
@@ -703,13 +716,46 @@ object Relational {
         sum((x * y).cast(big)).as("sxy"),
         sum((x * x).cast(big)).as("sxx"),
         sum((y * y).cast(big)).as("syy"))
-    def dd(c: String) = col(c).cast("double")
-    val cov = dd("n") * dd("sxy") - dd("sx") * dd("sy")
-    agg.select(col("l_returnflag"), col("n"),
-      (cov / (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
-        sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy"))))
-        .as("corr_qty_price"),
-      (cov / (dd("n") * dd("n"))).as("covar_pop"))
+    def isq(v: String): String = {
+      val r = s"cast(floor(sqrt(cast(($v) as double))) as decimal(38,0))"
+      s"(case when ($r + 1) * ($r + 1) <= ($v) then $r + 1 " +
+        s"when $r * $r > ($v) then $r - 1 else $r end)"
+    }
+    agg
+      .selectExpr("l_returnflag", "n",
+        "cast(sx * 100 as decimal(38,0)) as sx2",
+        "cast(sy * 100 as decimal(38,0)) as sy2",
+        "cast(sxy * 10000 as decimal(38,0)) as sxy4",
+        "cast(sxx * 10000 as decimal(38,0)) as sxx4",
+        "cast(syy * 10000 as decimal(38,0)) as syy4")
+      .selectExpr("l_returnflag", "n",
+        "cast(n as decimal(38,0)) * sxy4 - sx2 * sy2 as cov4",
+        "cast(n as decimal(38,0)) * sxx4 - sx2 * sx2 as va4",
+        "cast(n as decimal(38,0)) * syy4 - sy2 * sy2 as vb4")
+      // den = isqrt(va4)·isqrt(vb4): each root seeds from one double
+      // sqrt and then snaps to the true integer root with EXACT
+      // decimal comparisons (seed error ≪ 1), so both engines land on
+      // the identical denominator; corr·10⁹ is then one positive-mod
+      // floor division — NULL when a variance is degenerate (constant
+      // column), the a47/a59 guard convention
+      .selectExpr("l_returnflag", "n", "cov4",
+        s"""case when va4 = 0 or vb4 = 0 then cast(null as decimal(38,0))
+           |else ${isq("va4")} * ${isq("vb4")} end as den"""
+          .stripMargin.replace('\n', ' '))
+      .selectExpr("l_returnflag", "n",
+        "cast(case when cov4 > 0 then 1 when cov4 < 0 then -1 " +
+          "else 0 end as int) as cov_sign",
+        """case when den is null then cast(null as bigint) else
+          |cast(((cast(1000000000 as decimal(38,0)) * cov4)
+          |  - ((((cast(1000000000 as decimal(38,0)) * cov4) % den)
+          |    + den) % den)) div den as bigint) end
+          |as corr_ppb""".stripMargin.replace('\n', ' '),
+        // covar_pop ×100, exact signed floor (positive-mod form)
+        """cast((cov4 - (((cov4 % (cast(n as decimal(38,0)) * n * 100))
+          |    + (cast(n as decimal(38,0)) * n * 100))
+          |  % (cast(n as decimal(38,0)) * n * 100)))
+          |  div (cast(n as decimal(38,0)) * n * 100) as bigint)
+          |as covar_pop_x100""".stripMargin.replace('\n', ' '))
   }
 
   /** A-class: exact MODE (most frequent value per group) with a
@@ -737,6 +783,13 @@ object Relational {
     * partitioning-independent where the built-in streaming-update
     * stddev is merge-order-dependent; the closed forms are ·,−,÷,sqrt
     * over decimal→double conversions, bit-identical cross-engine. */
+  /** a20 — DISPERSION, float-free (round-8 rework, same motivation as
+    * a14): variance and stddev as exact ×100 fixed-point integers.
+    * var_x100 = floor(va4 / (n·n'·100)) on the exact ×10⁴ moment
+    * numerator; stddev_x100 = isqrt(va4 div (n·n')) — exact because
+    * ⌊√⌊x⌋⌋ = ⌊√x⌋ and the isqrt operand is variance-sized (≪ 2^52),
+    * so the double-sqrt seed corrects to the true integer root with a
+    * ±1 CASE on both engines. */
   def a20Dispersion(s: SparkSession, d: String): DataFrame = {
     val x = col("l_extendedprice").cast(dec)
     val big = DecimalType(38, 4)
@@ -744,14 +797,27 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(x).as("sx"),
         sum((x * x).cast(big)).as("sxx"))
-    def dd(c: String) = col(c).cast("double")
-    val ssPop = (dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
-      (dd("n") * dd("n"))
-    val ssSamp = (dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
-      (dd("n") * (dd("n") - lit(1.0)))
-    agg.select(col("l_returnflag"), col("n"),
-      ssPop.as("var_pop"), sqrt(ssPop).as("stddev_pop"),
-      ssSamp.as("var_samp"), sqrt(ssSamp).as("stddev_samp"))
+    def isq(v: String): String = {
+      val r = s"cast(floor(sqrt(cast(($v) as double))) as decimal(38,0))"
+      s"(case when ($r + 1) * ($r + 1) <= ($v) then $r + 1 " +
+        s"when $r * $r > ($v) then $r - 1 else $r end)"
+    }
+    agg
+      .selectExpr("l_returnflag", "n",
+        "cast(n as decimal(38,0)) * cast(sxx * 10000 as decimal(38,0))" +
+          " - cast(sx * 100 as decimal(38,0))" +
+          " * cast(sx * 100 as decimal(38,0)) as va4")
+      .selectExpr("l_returnflag", "n",
+        "cast(va4 div (cast(n as decimal(38,0)) * n * 100) as bigint)" +
+          " as var_pop_x100",
+        s"cast(${isq("va4 div (cast(n as decimal(38,0)) * n)")}" +
+          " as bigint) as stddev_pop_x100",
+        "cast(case when n < 2 then null else va4 div " +
+          "(cast(n as decimal(38,0)) * (n - 1) * 100) end as bigint)" +
+          " as var_samp_x100",
+        s"cast(case when n < 2 then null else " +
+          s"${isq("va4 div (cast(n as decimal(38,0)) * (n - 1))")} " +
+          "end as bigint) as stddev_samp_x100")
   }
 
   /** A-class: ordered string aggregation (LISTAGG semantics) — the

@@ -147,8 +147,10 @@ object TextOps {
     * array across the stage boundary, which measured ~10× slower than the
     * generator evaluating the same tree once per input row. h1/h2 are
     * plain post-explode scalars, so they whole-stage-codegen. 48 bits
-    * keeps MinHash double hashing h1 + 15·h2 < 2^53, inside ANSI Long
-    * arithmetic. */
+    * keeps every downstream integer composition (jaccard set sizes,
+    * simhash bit sums, containment prefixes) inside exact Long range;
+    * the MinHash permutations hash (h1, h2, seed) per band row, so
+    * they need no arithmetic headroom. */
   private def shingleExplodedOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
@@ -330,10 +332,20 @@ object TextOps {
     val numHashes = 24
     val bandSize = 2
     val numBands = numHashes / bandSize
+    // 24 INDEPENDENT hash functions via per-seed xxhash64 of the
+    // shingle hash — NOT the un-modded double-hash h1 + i·h2: without
+    // a modulus, i·h2 (≤ 23·2^48) dominates h1 (< 2^48) for every
+    // i ≥ 2, so 22 of the 24 "permutations" collapse to h2-order and
+    // the whole sketch degrades to ~2 effective permutations. Found
+    // by the round-8 cross-sf sweep: three jaccard-0.91–0.96 pairs at
+    // sf0.001 whose one differing shingle held the min h2 disagreed
+    // on 23–24/24 signatures and shared ZERO bands (P ≈ 1e-12 for a
+    // true MinHash). Seeded xxhash64 restores the advertised
+    // 1-(1-j²)¹² recall curve.
     val sigAggs = (1 until numHashes).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s_$i"))
+      min(expr(s"xxhash64(h1, h2, $i)")).as(s"s_$i"))
     val sigs = sh.groupBy("doc_id")
-      .agg(min(col("h1")).as("s_0"), sigAggs: _*)
+      .agg(min(expr("xxhash64(h1, h2, 0)")).as("s_0"), sigAggs: _*)
     // band the signatures — the band join and pair dedup shuffle
     // (doc_id, band_key) rows only
     sigs.select(

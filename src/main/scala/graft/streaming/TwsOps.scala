@@ -258,23 +258,22 @@ object TwsOps {
         "transform(hs, h -> shiftrightunsigned(h, 16))"))
       .withColumn("h2", expr(
         "transform(hs, h -> shiftrightunsigned(xxhash64(h, 1), 16))"))
-    // the 24 per-permutation mins and the banding run in typed code over
-    // the ONCE-computed hash arrays: as 24 separate columns, projection
-    // collapse inlines the whole shingle pipeline into every signature
-    // expression (a ~24× expression-tree blowup that stalls codegen)
-    sh.select(col("doc_id"), col("ts"), col("h1"), col("h2"))
-      .as[(Long, java.sql.Timestamp, Seq[Long], Seq[Long])]
-      .flatMap { case (d, ts, h1, h2) =>
-        val sigs = Array.tabulate(numHashes) { i =>
-          var m = Long.MaxValue
-          var j = 0
-          while (j < h1.length) {
-            val v = h1(j) + i.toLong * h2(j)
-            if (v < m) m = v
-            j += 1
-          }
-          m
-        }
+    // the 24 per-permutation mins run inside ONE array projection
+    // (transform over seeds × zip_with over shingles) so the shingle
+    // pipeline isn't inlined 24× (the codegen-blowup the old
+    // typed-code version avoided) — and, critically, the hash family
+    // is the EXACT batch expression xxhash64(h1, h2, seed): the old
+    // typed replica of the un-modded double-hash h1 + i·h2 shared the
+    // batch side's collapsed-permutation defect (see lshBandsOf), and
+    // the t25 parity gate caught the divergence the moment the batch
+    // side was fixed
+    sh.withColumn("sigs", expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  i -> array_min(zip_with(h1, h2,
+           |    (a, b) -> xxhash64(a, b, i))))""".stripMargin))
+      .select(col("doc_id"), col("ts"), col("sigs"))
+      .as[(Long, java.sql.Timestamp, Seq[Long])]
+      .flatMap { case (d, ts, sigs) =>
         (0 until numBands).map { b =>
           (s"$b:${sigs(b * bandSize)}:${sigs(b * bandSize + 1)}", d, ts)
         }

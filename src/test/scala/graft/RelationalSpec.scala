@@ -253,16 +253,24 @@ class RelationalSpec extends SparkSuite {
     } finally df.unpersist()
   }
 
-  test("a14 corr: agrees with the built-in estimator, bounded by 1") {
+  test("a14 corr: integer corr_ppb agrees with the built-in " +
+    "estimator, bounded by 1e9, sign consistent") {
     val df = Relational.a14Corr(spark, sf).cache()
     try {
-      assert(df.filter(abs(col("corr_qty_price")) > 1.0).count() == 0)
+      assert(df.filter(abs(col("corr_ppb")) > 1000000000L).count() == 0)
       val builtin = Tables.lineitem(spark, sf)
         .groupBy("l_returnflag")
         .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
       val joined = df.join(builtin, Seq("l_returnflag"))
-        .select(abs(col("corr_qty_price") - col("c")).as("delta"))
-      assert(joined.filter(col("delta") > 1e-9).count() == 0)
+        .select(col("corr_ppb"), col("cov_sign"), col("c"))
+      // floor-div quantization + the builtin's float estimator: a ppm
+      // of slack is generous for both
+      assert(joined
+        .filter(abs(col("corr_ppb") / lit(1e9) - col("c")) > 1e-6)
+        .count() == 0)
+      assert(joined
+        .filter(col("cov_sign") =!= signum(col("c")).cast("int"))
+        .count() == 0)
     } finally df.unpersist()
   }
 
