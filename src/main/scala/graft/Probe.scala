@@ -23,7 +23,12 @@ object Probe {
       Tables.events(spark, sfDir).count()
       graft.ts.TsLake.sections(spark).count()
     } catch { case e: Throwable => println(s"[probe] warmup: $e") }
-    val qs = SparkEntry.queries
+    // the diag (z-probe) maps are probeable too — scale stresses are
+    // exactly what this tool exists to time
+    val qs = SparkEntry.queries ++
+      graft.operators.TextOps.diag ++ graft.operators.Relational.diag ++
+      graft.operators.Graph.diag ++ graft.operators.Multimodal.diag ++
+      graft.operators.Similarity.diag ++ graft.operators.Skew.diag
     args.foreach { name =>
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()
