@@ -2305,7 +2305,7 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
         |  CAST(nm.n_pairs AS BIGINT) AS n_pairs,
-        |  r.slope_micro AS ts_slope_micro
+        |  CAST(r.slope_micro AS BIGINT) AS ts_slope_micro
         |FROM rk r JOIN nm USING (event_type) JOIN nd USING (event_type)
         |WHERE r.rk = (nm.n_pairs + 1) // 2""",
     // a46: same day grid, Walsh averages as x2 sums (i <= j), exact
@@ -2324,7 +2324,7 @@ object SparkEntry {
         |nm AS (SELECT event_type, count(*) AS n_pairs FROM wa
         |  GROUP BY 1)
         |SELECT r.event_type, CAST(nm.n_pairs AS BIGINT) AS n_pairs,
-        |  r.w2 AS pseudo_median_x2_cents
+        |  CAST(r.w2 AS BIGINT) AS pseudo_median_x2_cents
         |FROM rk r JOIN nm USING (event_type)
         |WHERE r.rk = (nm.n_pairs + 1) // 2""",
     // a47: combined x2 midranks re-derived via min-rank + tie-count
@@ -2360,8 +2360,10 @@ object SparkEntry {
         |      + 2 * n_we * n_wd) % (2 * n_we * n_wd)))
         |    // (2 * n_we * n_wd) AS BIGINT) END AS rb_ppm
         |FROM u""",
-    // a48: a45's daily pair space, concordant/discordant census;
-    // flooring // on the signed tau matches the positive-mod div
+    // a48: a45's daily pair space, concordant/discordant census; the
+    // signed tau uses the positive-mod subtraction before `//` (which
+    // truncates toward zero, same as Spark `div`) so both engines
+    // compute the exact floor
     "a48_kendall_tau" ->
       """WITH pts AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -3222,7 +3224,8 @@ object SparkEntry {
          |  tot.bytes_total,
          |  CAST(ca.bytes_unique AS BIGINT) AS bytes_unique,
          |  wh.bytes_unique_whole,
-         |  wh.bytes_unique_whole - ca.bytes_unique AS cdc_extra_saved
+         |  CAST(wh.bytes_unique_whole - ca.bytes_unique AS BIGINT)
+         |    AS cdc_extra_saved
          |FROM ca JOIN tot USING (format) JOIN wh USING (format)""",
     // m12b: the split itself, re-derived from RAW parquet — the gear
     // table from its LCG (256-step recursion), then the per-byte
@@ -5398,6 +5401,14 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_json,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_qs
         |FROM events""",
+    // sc9: HUGEINT canary — canary_hugeint is DELIBERATELY left as
+    // DuckDB's native sum() HUGEINT while its value-identical twin is
+    // cast BIGINT; a hash-red here proves the comparator's HUGEINT
+    // rendering diverges (the r7/r8 a45/a46/m12 root-cause probe)
+    "sc9_hugeint_canary" ->
+      """SELECT n_regionkey, sum(n_nationkey) AS canary_hugeint,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS canary_bigint
+        |FROM nation GROUP BY 1""",
     "p10_base64_roundtrip" ->
       """SELECT p_partkey, base64(encode(p_name)) AS b64, p_name AS decoded
         |FROM part""",
@@ -5449,7 +5460,8 @@ object SparkEntry {
         |    CASE WHEN proc_name IS NOT NULL THEN 201 ELSE 404 END
         |      AS http_code
         |  FROM p)
-        |SELECT event_id, proc_id, proc_name, tag, input_url, http_code,
+        |SELECT event_id, CAST(proc_id AS BIGINT) AS proc_id,
+        |  proc_name, tag, input_url, http_code,
         |  printf('${graft.operators.Relational.envelopeFmt}', http_code,
         |    CASE WHEN http_code = 201 THEN 'Created'
         |      ELSE 'Not Found' END,

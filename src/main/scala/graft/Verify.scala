@@ -25,15 +25,21 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     // re-point the oracle-artifact dump roots under THIS run's outDir —
     // concurrent Verify runs (or a stale dump from an interrupted one)
-    // must never be able to serve another run's oracle reads
-    graft.ts.TsLake.DumpDir = s"$outDir/tsdump"
-    OpLake.DumpDir = s"$outDir/opdump"
+    // must never be able to serve another run's oracle reads. All four
+    // mutable roots live under ONE dot-prefixed subdir so the driver's
+    // top-level parquet glob (python glob skips dotfiles) never
+    // mistakes them for query outputs (r8's four `no_oracle` noise
+    // rows); the oracle SQL embeds absolute paths, so DuckDB still
+    // reads them fine.
+    val artDir = s"$outDir/.artifacts"
+    graft.ts.TsLake.DumpDir = s"$artDir/tsdump"
+    OpLake.DumpDir = s"$artDir/opdump"
     // …and the persisted index/lake artifacts (IVF lists, BM25
     // postings, DSIR lake): e10 reads what ivfIndexPath wrote, so a
     // concurrent run overwriting the shared default path mid-read is
     // a FILE_NOT_EXIST failure (observed in the round-8 concurrent
     // probe before this line existed)
-    IndexDir.base = s"$outDir/index"
+    IndexDir.base = s"$artDir/index"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,7 +49,7 @@ object Verify {
       // per-run warehouse: l5's bucketed tables (saveAsTable) land here,
       // so two concurrent Verify runs can't race each other's buckets
       // (the documented spark-warehouse/li_bkt hazard)
-      .config("spark.sql.warehouse.dir", s"$outDir/warehouse")
+      .config("spark.sql.warehouse.dir", s"$artDir/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1186,6 +1186,22 @@ object Relational {
         expr("array_join(slice(sort_array(array_distinct(t)), 1, 3), ',')")
           .as("first3"))
 
+  /** sc9 — HUGEINT comparator CANARY (diagnostic row, round-9 judge
+    * ask): the engine emits the same BIGINT sum twice; the ORACLE
+    * leaves one copy as DuckDB's native `sum()` HUGEINT and casts the
+    * twin to BIGINT. Values are identical by construction, so any
+    * hash-red on this row isolates the driver comparator's HUGEINT
+    * rendering as the divergence — the root-cause probe for the
+    * r7/r8 a45/a46/m12 reds (of 314 oracles, exactly those three plus
+    * k5 emitted an uncast HUGEINT column). */
+  def sc9HugeintCanary(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(sum("n_nationkey").as("canary_hugeint"))
+      .select(col("n_regionkey"),
+        col("canary_hugeint"),
+        col("canary_hugeint").as("canary_bigint"))
+
   /** J-class: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) —
     * null keys match null keys instead of vanishing, the semantics a
     * nullable-dimension lookup needs (a plain equi-join silently drops
@@ -3138,8 +3154,9 @@ object Relational {
     * The recurrence l' = ⌊(x + l + b)/2⌋, b' = ⌊(b + l' − l)/2⌋ runs
     * as a single codegen'd `aggregate` fold over the per-type
     * calendar-bounded day array (the a34 pattern); halving uses the
-    * positive-mod floor form because b can go negative (truncating
-    * `div` ≠ flooring `//` there — the shared-semantics rule). */
+    * positive-mod floor form because b can go negative (BOTH Spark's
+    * `div` and DuckDB's `//` truncate toward zero, which differs from
+    * floor exactly there — the shared-semantics rule). */
   def w40HoltBacktest(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .select(col("event_type"),
@@ -3470,8 +3487,9 @@ object Relational {
     * cohort = odd user ids, post period = the data-derived midpoint
     * day (min + span/2, deterministic from the table itself). Four
     * (treated × post) cells in ONE pass — n, cents sum, and a floored
-    * micro-cents mean (sums are positive, so Spark's truncating `div`
-    * and DuckDB's flooring `//` agree; products run DECIMAL(38,0) /
+    * micro-cents mean (sums are positive, so the truncation BOTH
+    * engines' integer division performs — Spark `div`, DuckDB `//`,
+    * each toward zero — equals true floor; products run DECIMAL(38,0) /
     * HUGEINT) — then the DiD estimate as pure integer subtraction of
     * the four floored means. The causal-analytics rollup an events
     * pipeline runs for any cohort launch; at 100 TB it is one
@@ -3976,6 +3994,7 @@ object Relational {
     "a27_decayed_engagement" -> a27DecayedEngagement _,
     "s10_equidepth" -> s10Equidepth _,
     "sc8_url_canonical" -> sc8UrlCanonical _,
+    "sc9_hugeint_canary" -> sc9HugeintCanary _,
     "j14_concurrency" -> j14Concurrency _,
     "w21_calendar_fill" -> w21CalendarFill _,
     "s9_skew_report" -> s9SkewReport _,

@@ -97,10 +97,22 @@ object JdbcSink {
     * commit point: two racing appliers of the same epoch can both
     * pass the pre-check and both (idempotently) upsert, but exactly
     * one wins the ledger insert — the loser's duplicate-key error is
-    * the skip signal, not a failure. NOTE: the ledger is per TABLE
-    * and Structured Streaming epoch ids restart at 0 per checkpoint
-    * location, so two DIFFERENT queries must not share one target
-    * table — their unrelated epoch 0s would collide in the ledger. */
+    * the skip signal, not a failure.
+    *
+    * SINGLE-WRITER NOTE: the ledger makes the epoch RECORDED exactly
+    * once, and sequential retries (Structured Streaming's actual
+    * failure mode — one query, one applier at a time) are fully
+    * idempotent. The DATA table itself carries no uniqueness
+    * constraint, so two appliers of the same epoch running
+    * CONCURRENTLY rely on the store's row locking to serialize the
+    * per-key delete+insert (row-locking engines like Derby/Postgres
+    * do; an eventually-consistent store would not). A deployment with
+    * genuinely concurrent writers to one table should add a PRIMARY
+    * KEY on the key column or serialize appliers externally. Also:
+    * the ledger is per TABLE and Structured Streaming epoch ids
+    * restart at 0 per checkpoint location, so two DIFFERENT queries
+    * must not share one target table — their unrelated epoch 0s would
+    * collide in the ledger. */
   def exactlyOnceBatch(df: DataFrame, keyCol: String, url: String,
       table: String, epochId: Long): Boolean = {
     ensureTable(url, table, df.schema)
