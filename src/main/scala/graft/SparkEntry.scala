@@ -3311,6 +3311,99 @@ object SparkEntry {
         |    THEN fh - 18446744073709551616 ELSE fh END AS BIGINT)
         |    AS hash
         |FROM chunks""",
+    // m13b: the STREAMING split audit — the engine side is the real
+    // RocksDB-backed chunk store replayed over the m12b prefix sample;
+    // this oracle reads NO engine dump: it re-splits the raw bytes with
+    // the same recursive gear-hash CTE as m12b, then recomputes the
+    // first-instance store decision per (format, hash, len) in
+    // (doc_id, off) replay order with a window. A streaming-only drift
+    // or a split drift goes red here independently of the m13 parity.
+    "m13b_stream_split_audit" ->
+      """WITH RECURSIVE
+        |gear(i, x) AS (
+        |  SELECT 0, CAST((CAST(11400714819323198485 AS HUGEINT)
+        |      * 6364136223846793005 + 1442695040888963407)
+        |    % 18446744073709551616 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT i + 1, CAST((x * 6364136223846793005
+        |      + 1442695040888963407)
+        |    % 18446744073709551616 AS HUGEINT)
+        |  FROM gear WHERE i < 255),
+        |docs AS (
+        |  SELECT doc_id, source AS format,
+        |    substring(hex(encode(text)), 1, 2048) AS hx
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  ORDER BY doc_id LIMIT 20),
+        |step(doc_id, pos, strt, gh, fh, cut) AS (
+        |  SELECT d.doc_id, 0, 0, g.x,
+        |    CAST((((CAST(14695981039346656037 AS HUGEINT) // 256) * 256
+        |        + xor(CAST(CAST(14695981039346656037 AS HUGEINT) % 256
+        |                AS BIGINT),
+        |              (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 1, 1)) - 1) * 16
+        |            + (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2, 1)) - 1)))
+        |      * 1099511628211) % 18446744073709551616 AS HUGEINT),
+        |    false
+        |  FROM docs d
+        |  JOIN gear g ON g.i =
+        |      (strpos('0123456789ABCDEF', substring(d.hx, 1, 1)) - 1)
+        |        * 16
+        |    + (strpos('0123456789ABCDEF', substring(d.hx, 2, 1)) - 1)
+        |  WHERE length(d.hx) >= 2
+        |  UNION ALL
+        |  SELECT st.doc_id, st.pos + 1,
+        |    CASE WHEN st.cut THEN st.pos + 1 ELSE st.strt END,
+        |    CAST(((CASE WHEN st.cut THEN 0 ELSE st.gh END) * 2 + g.x)
+        |      % 18446744073709551616 AS HUGEINT),
+        |    CAST((((CASE WHEN st.cut
+        |            THEN CAST(14695981039346656037 AS HUGEINT)
+        |            ELSE st.fh END // 256) * 256
+        |        + xor(CAST(CASE WHEN st.cut
+        |                THEN CAST(14695981039346656037 AS HUGEINT)
+        |                ELSE st.fh END % 256 AS BIGINT),
+        |              (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2 * (st.pos + 1) + 1, 1)) - 1)
+        |                * 16
+        |            + (strpos('0123456789ABCDEF',
+        |                 substring(d.hx, 2 * (st.pos + 1) + 2, 1)) - 1)))
+        |      * 1099511628211) % 18446744073709551616 AS HUGEINT),
+        |    ((st.pos + 1) - (CASE WHEN st.cut THEN st.pos + 1
+        |         ELSE st.strt END) + 1 >= 16
+        |     AND CAST(((CASE WHEN st.cut THEN 0 ELSE st.gh END) * 2
+        |         + g.x) % 18446744073709551616 AS HUGEINT) % 64 = 0)
+        |    OR (st.pos + 1) - (CASE WHEN st.cut THEN st.pos + 1
+        |         ELSE st.strt END) + 1 >= 256
+        |  FROM step st
+        |  JOIN docs d ON d.doc_id = st.doc_id
+        |  JOIN gear g ON g.i =
+        |      (strpos('0123456789ABCDEF',
+        |         substring(d.hx, 2 * (st.pos + 1) + 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF',
+        |         substring(d.hx, 2 * (st.pos + 1) + 2, 1)) - 1)
+        |  WHERE 2 * (st.pos + 1) + 2 <= length(d.hx)),
+        |chunks AS (
+        |  SELECT doc_id, strt AS off, pos - strt + 1 AS len, fh
+        |  FROM step WHERE cut
+        |  UNION ALL
+        |  SELECT doc_id, strt, pos - strt + 1, fh
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY pos DESC) AS rn FROM step)
+        |  WHERE rn = 1 AND NOT cut),
+        |ch AS (
+        |  SELECT c.doc_id, d.format, c.off, c.len,
+        |    CAST(CASE WHEN c.fh >= 9223372036854775808
+        |      THEN c.fh - 18446744073709551616 ELSE c.fh END AS BIGINT)
+        |      AS hash
+        |  FROM chunks c JOIN docs d USING (doc_id)),
+        |dec AS (SELECT *, row_number() OVER (
+        |    PARTITION BY format, hash, len ORDER BY doc_id, off) AS rn
+        |  FROM ch)
+        |SELECT doc_id, format, CAST(off AS BIGINT) AS off,
+        |  CAST(len AS BIGINT) AS len, hash, rn = 1 AS stored,
+        |  CAST(CASE WHEN rn = 1 THEN len ELSE 0 END AS BIGINT)
+        |    AS bytes_written
+        |FROM dec""",
     "m10_cas_savings" ->
       """WITH g AS (SELECT source AS format, md5(text) AS h,
         |    octet_length(encode(text)) AS n_bytes, count(*) AS cnt

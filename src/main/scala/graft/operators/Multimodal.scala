@@ -395,6 +395,48 @@ object Multimodal {
       .select(col("doc_id"), col("c.off").cast("long").as("off"),
         col("c.len").cast("long").as("len"), col("c.hash").as("hash"))
 
+  /** The m12b sample, chunked: first KiB of the deterministic 20-doc
+    * sample through the codegen'd [[graft.functions.CdcChunk]] — the
+    * chunk relation both m12b (batch) and m13b (streaming) audit
+    * against the raw-bytes SQL recursion. */
+  private[graft] def m13bPrefixChunks(s: SparkSession, d: String)
+      : DataFrame =
+    media(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .orderBy("doc_id").limit(20)
+      .select(col("doc_id"), col("format"),
+        explode(graft.functions.CdcChunk(
+          expr("substring(media, 1, 1024)"))).as("c"))
+      .select(col("doc_id"), col("format"), col("c.off").as("off"),
+        col("c.len").as("len"), col("c.hash").as("hash"))
+
+  /** m13b — STREAMING SPLIT AUDIT: closes the trust edge m13's parity
+    * row leaves open. m13 proves stream ≡ batch — but both sides
+    * consume the SAME engine chunk relation, so a drift in the split
+    * itself (CdcChunk boundaries or hashes) moves both sides together
+    * and parity stays green; m12b catches that drift for the BATCH
+    * path only. Here the engine side is the real streaming store's
+    * emissions — [[graft.streaming.TwsOps.chunkPrefixReplay]], the
+    * RocksDB-backed transformWithState replay over the m12b 20-doc
+    * first-KiB sample — and the ORACLE re-derives everything from RAW
+    * parquet bytes: the gear-hash recursion re-splits the prefix in a
+    * recursive CTE (no engine dump read anywhere), then a window
+    * recomputes the first-instance store decision per
+    * (format, hash, len) in (doc_id, off) replay order. A
+    * streaming-only drift (state key, arrival order, dedup decision)
+    * OR a split drift now goes red independently of m13. Memoized per
+    * (session, sf): the replay collects the ~60-chunk sample once. */
+  def m13bStreamSplitAudit(s: SparkSession, d: String): DataFrame =
+    replayMemo(s, d + "#m13b")(
+      graft.streaming.TwsOps.chunkPrefixReplay(s, d)
+        .select(col("doc_id"), col("format"),
+          col("off").cast("long").as("off"),
+          col("len").cast("long").as("len"),
+          col("hash"), col("stored"),
+          col("bytes_written").cast("long").as("bytes_written")))
+
+  private val replayMemo = graft.SessionMemo.forCachedDataFrames()
+
   /** m13 — the STREAM≡BATCH parity row for the CHUNK store (the
     * twelfth parity row; the m-family's second): batch recompute of
     * the per-chunk-instance store/dedup-hit decision — an instance is
@@ -470,6 +512,7 @@ object Multimodal {
     "m12_cdc_dedup" -> m12CdcDedup _,
     "m12b_cdc_split_audit" -> m12bCdcSplitAudit _,
     "m13_stream_chunks" -> m13StreamChunkIngest _,
+    "m13b_stream_split_audit" -> m13bStreamSplitAudit _,
     "m11_stream_cas" -> m11StreamCas _,
     "m10_cas_savings" -> m10CasSavings _,
     "m9_keyframes" -> m9Keyframes _,

@@ -1447,7 +1447,7 @@ object TwsOps {
   case class ChunkIn(h: Long, doc_id: Long, format: String,
     len: Long, off: Long, seq: Long)
   case class ChunkOut(doc_id: Long, format: String, off: Long,
-    stored: Boolean, bytes_written: Long)
+    len: Long, hash: Long, stored: Boolean, bytes_written: Long)
 
   /** CHUNK-store ingest decision as keyed state — the chunk-level
     * refinement of [[CasProcessor]]: one boolean per distinct
@@ -1481,7 +1481,7 @@ object TwsOps {
       rows.toArray.sortBy(r => (r.seq, r.off)).foreach { r =>
         val first = !seen.exists()
         if (first) seen.update(true)
-        out += ChunkOut(r.doc_id, r.format, r.off, first,
+        out += ChunkOut(r.doc_id, r.format, r.off, r.len, r.h, first,
           if (first) r.len else 0L)
       }
       out.result().iterator
@@ -1503,11 +1503,26 @@ object TwsOps {
     * m13 parity row (OpLake dumps the emissions; the oracle reads them
     * verbatim; batch `m13StreamChunkIngest` must hash-match). */
   def chunkReplay(s: org.apache.spark.sql.SparkSession, d: String,
-      batches: Int = 4): org.apache.spark.sql.DataFrame = {
+      batches: Int = 4): org.apache.spark.sql.DataFrame =
+    chunkReplayOf(s, graft.operators.Multimodal.m12Chunks(s, d), batches)
+
+  /** The m13b leg: the SAME replay over the m12b 20-doc first-KiB
+    * prefix sample, so the streaming store's decisions can be checked
+    * against a from-raw-bytes SQL re-derivation of the split (the
+    * recursion is depth-bounded by the KiB cap, which is why the
+    * audit runs the prefix rather than full payloads). */
+  def chunkPrefixReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 4): org.apache.spark.sql.DataFrame =
+    chunkReplayOf(s, graft.operators.Multimodal.m13bPrefixChunks(s, d),
+      batches)
+
+  private def chunkReplayOf(s: org.apache.spark.sql.SparkSession,
+      chunkRel: org.apache.spark.sql.DataFrame,
+      batches: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val chunks = graft.operators.Multimodal.m12Chunks(s, d)
+    val chunks = chunkRel
       .selectExpr("hash as h", "doc_id", "format",
         "cast(len as bigint) as len", "cast(off as bigint) as off",
         "doc_id as seq")

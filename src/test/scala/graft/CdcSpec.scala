@@ -83,6 +83,37 @@ class CdcSpec extends SparkSuite {
     assert(written == m12)
   }
 
+  test("m13b streaming split audit: the prefix replay's emissions " +
+    "carry the raw split and first-instance decisions exactly") {
+    val out = Multimodal.m13bStreamSplitAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the replay's chunks ARE the batch prefix split, byte for byte
+    val want = Multimodal.m13bPrefixChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("off").toLong)
+        -> (r.getAs[Int]("len").toLong, r.getAs[Long]("hash"))).toMap
+    val got = out.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("off")) ->
+        (r.getAs[Long]("len"), r.getAs[Long]("hash"))).toMap
+    assert(got == want)
+    // store decisions: first (doc_id, off) instance per
+    // (format, hash, len) stores its len, every later one writes 0
+    val first = out
+      .groupBy(r => (r.getAs[String]("format"), r.getAs[Long]("hash"),
+        r.getAs[Long]("len")))
+      .map { case (k, rs) => k ->
+        rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off")))
+          .min }
+    out.foreach { r =>
+      val k = (r.getAs[String]("format"), r.getAs[Long]("hash"),
+        r.getAs[Long]("len"))
+      val isFirst =
+        first(k) == ((r.getAs[Long]("doc_id"), r.getAs[Long]("off")))
+      assert(r.getAs[Boolean]("stored") == isFirst)
+      assert(r.getAs[Long]("bytes_written") ==
+        (if (isFirst) r.getAs[Long]("len") else 0L))
+    }
+  }
+
   test("expression output matches the Scala splitter; m12 accounting " +
     "reconciles and chunking never saves less than whole-asset CAS") {
     val ch = Multimodal.m12Chunks(spark, sf)
