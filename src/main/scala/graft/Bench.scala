@@ -67,6 +67,39 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9,
           (osBean.getProcessCpuTime - c0) / 1e9)
     }.toMap
+    // Recall-contract rows are ASSERTED at the bench sf, not just
+    // timed (round-9 gate): the sf0.01 oracle pins t13's
+    // n_missing_from_lsh to 0, but a banding regression that only
+    // bites at sf0.1 corpus statistics would otherwise ride through
+    // the sweep as a plausible timing row. A violation lands in
+    // `errors` as contract:<name>, so the driver's bench artifact is
+    // self-red without waiting for a cross-sf correctness run.
+    def contract(name: String)(check: => Option[String]): Unit =
+      try check.foreach { msg =>
+        errors += s"contract:$name"
+        System.err.println(s"[bench] CONTRACT VIOLATED $name: $msg")
+      } catch {
+        case e: Throwable =>
+          errors += s"contract:$name"
+          System.err.println(s"[bench] contract $name errored: $e")
+      }
+    contract("t13_lsh_recall") {
+      val r = SparkEntry.queries("t13_lsh_recall")(spark, sfDir).collect()
+      val miss = r.map(_.getAs[Long]("n_missing_from_lsh")).sum
+      if (miss == 0L) None
+      else Some(s"$miss exact pairs missing from the LSH pair set")
+    }
+    contract("m12_cdc_invariants") {
+      val bad = SparkEntry.queries("m12_cdc_dedup")(spark, sfDir)
+        .collect().filter { r =>
+          r.getAs[Long]("cdc_extra_saved") < 0L ||
+            r.getAs[Long]("bytes_unique") >
+              r.getAs[Long]("bytes_unique_whole")
+        }
+      if (bad.isEmpty) None
+      else Some(s"${bad.length} formats where chunking saves less " +
+        "than whole-asset dedup")
+    }
     // The driver keeps only the LAST ~2000 chars of stdout; a full
     // 178-query map (~6 KB) gets its head truncated and the line never
     // parses (BENCH_r01–r05 all show parsed:null). So: print ONE compact

@@ -42,18 +42,21 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir, only=None):
+def run(sf_dir, out_dir, only=None, log=print):
+    """Compare every query in out_dir against its DuckDB oracle.
+
+    Returns (results, hashes): results maps query name -> "PASS" or a
+    "FAIL: <reason>" string, hashes maps name -> python-canon digests
+    of both sides (paired with the Scala-canon digests in
+    $out_dir/hashes.json, a hash-red row is attributable to a side).
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    # python-canon digests of BOTH sides, written per run: paired with
-    # the Scala-canon engine digests in $out_dir/hashes.json, a driver
-    # hash-red row becomes attributable to a side (engine recompute vs
-    # DuckDB oracle) instead of a mystery
+    results = {}
     hashes = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -64,34 +67,43 @@ def main(sf_dir, out_dir, only=None):
             got_cols = [d[0] for d in res.description]
             got = canon(res.fetchall(), got_cols)
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark output: {e}")
-            n_fail += 1
+            results[name] = f"FAIL: cannot read spark output: {e}"
+            log(f"FAIL {name}: cannot read spark output: {e}")
             continue
         try:
             ores = con.execute(sql)
             want_cols = [d[0] for d in ores.description]
             want = canon(ores.fetchall(), want_cols)
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            results[name] = f"FAIL: oracle error: {e}"
+            log(f"FAIL {name}: oracle error: {e}")
             continue
         hashes[name] = {"engine": digest(got), "oracle": digest(want),
                         "n_engine": len(got), "n_oracle": len(want)}
         if sorted(got_cols) != sorted(want_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != "
-                  f"{sorted(want_cols)}")
-            n_fail += 1
+            results[name] = (f"FAIL: cols {sorted(got_cols)} != "
+                             f"{sorted(want_cols)}")
+            log(f"FAIL {name}: cols {sorted(got_cols)} != "
+                f"{sorted(want_cols)}")
         elif got != want:
-            n_fail += 1
             diff_g = [x for x in got if x not in set(want)][:3]
             diff_w = [x for x in want if x not in set(got)][:3]
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}; "
-                  f"spark-only={diff_g} oracle-only={diff_w}")
+            results[name] = (f"FAIL: rows {len(got)} vs {len(want)}; "
+                             f"spark-only={diff_g} oracle-only={diff_w}")
+            log(f"FAIL {name}: rows {len(got)} vs {len(want)}; "
+                f"spark-only={diff_g} oracle-only={diff_w}")
         else:
-            n_pass += 1
-            print(f"PASS {name} ({len(got)} rows)")
+            results[name] = "PASS"
+            log(f"PASS {name} ({len(got)} rows)")
     with open(f"{out_dir}/hashes_py.json", "w") as f:
         json.dump(hashes, f, indent=0, sort_keys=True)
+    return results, hashes
+
+
+def main(sf_dir, out_dir, only=None):
+    results, _ = run(sf_dir, out_dir, only)
+    n_pass = sum(1 for v in results.values() if v == "PASS")
+    n_fail = len(results) - n_pass
     print(f"\n{n_pass} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
