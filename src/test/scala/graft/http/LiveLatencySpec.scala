@@ -85,4 +85,73 @@ class LiveLatencySpec extends SparkSuite {
       assert(p50 < 2500.0, f"p50 $p50%.0f ms far outside the PSI SLO")
     } finally { q.stop(); srv.stop() }
   }
+
+  test("z36: trigger-to-visible latency UNDER THE 64-TENANT REPLAY — " +
+    "the z32 state load composed with the z33 serving path, p50/p99 " +
+    "recorded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nTenants = 64
+    val reg = Files.createTempDirectory("graft-lat64").toString + "/reg"
+    val secs0 = graft.ts.TsLake.sections(spark)
+      .filter((x: PsiSection) => (x.pid == 0 || x.pid == 66) && x.crcOk)
+      .collect().sortBy(_.firstSeq)
+    val pmt0 = secs0.filter(_.pid == 66)
+      .flatMap(PsiCodec.decodePmt(_)).head
+    val v0 = secs0.filter(_.pid == 66).head.versionNumber
+    // instance-tagged pid (the z32 keying: tenant i owns pid | i<<13);
+    // ONE streaming query carries all 64 tenants' table state, the
+    // register/serving slice is tenant 0 — so the measured GET pays
+    // the multi-tenant state churn in the same micro-batch loop
+    def tag(sec: PsiSection, i: Int): PsiSection =
+      sec.copy(pid = sec.pid | (i << 13))
+    val mem = MemoryStream[PsiSection]
+    val (srv, q) = DocServer.startLive(spark,
+      TableState.latestTablesStream(mem.toDS())
+        .filter((t: TableState.CompleteTable) => (t.pid >> 13) == 0),
+      reg)
+    val path = "/api/1.0/stream_procs/mpeg2_sp-0/program_processors"
+    try {
+      // all 64 tenants' base state in one shot
+      mem.addData((0 until nTenants).flatMap(i =>
+        secs0.map(tag(_, i)).toSeq))
+      q.processAllAvailable()
+      assert(get(srv.port, path).statusCode() == 200)
+      val lat = (1 to 30).map { k =>
+        val v = (v0 + k) & 0x1F
+        val bumped = pmt0.copy(es =
+          pmt0.es :+ EsEntry(0x06, 0x100 + k, Seq.empty))
+        // every tenant gets the bump (64 sections per push); tenant 0
+        // is the measured serving slice
+        val bump = (0 until nTenants).map { i =>
+          PsiCodec.decodeSection(66 | (i << 13),
+            999999L + k * 1000L + i,
+            PsiCodec.encodePmt(bumped, v)).get
+        }
+        assert(bump.forall(s => s.crcOk && s.versionNumber == v))
+        val marker = s""""pmt_version":$v"""
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val t0 = System.nanoTime()
+        mem.addData(bump)
+        var body = ""
+        while (!body.contains(marker)) {
+          assert(System.nanoTime() < deadline,
+            s"bump $k (version $v) not visible within 60 s at n=64")
+          body = get(srv.port, path).body()
+        }
+        (System.nanoTime() - t0) / 1e6
+      }
+      val sorted = lat.sorted
+      val p50 = sorted(lat.size / 2)
+      val p99 = sorted(lat.size - 1)
+      System.err.println(
+        f"[z36] trigger-to-visible under 64-tenant replay over " +
+          f"${lat.size} bumps: p50=$p50%.0f ms p99=$p99%.0f ms " +
+          f"(min=${sorted.head}%.0f, mean=${lat.sum / lat.size}%.0f)")
+      // loose gate (contended hosts report, not flake); the measured
+      // p50/p99 are the record — COVERAGE.md carries the numbers
+      assert(p50 < 5000.0,
+        f"p50 $p50%.0f ms far outside the tenant-composed PSI SLO")
+    } finally { q.stop(); srv.stop() }
+  }
 }
