@@ -1811,6 +1811,74 @@ object SparkEntry {
         |FROM o WHERE rn = 1 AND op <> 'D'""",
     // w21: per-user generate_series spine left-joined to observed
     // daily counts; filled rows are exactly the NULL-join days
+    // j20: the full blocking/scoring/banding pipeline re-derived —
+    // same perturbation rules, integer weights and band cuts
+    "j20_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS key,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+        |      AS digits,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    c_mktsegment AS seg FROM customer),
+        |d AS (SELECT key AS src, nation,
+        |    digits + CASE WHEN key % 13 = 0 THEN 500000 ELSE 0 END
+        |      AS d_digits,
+        |    cents + CASE WHEN key % 5 = 0 THEN 1 ELSE 0 END AS d_cents,
+        |    CASE WHEN key % 11 = 0 THEN 'SMUDGED' ELSE seg END AS d_seg
+        |  FROM c WHERE key % 3 = 0),
+        |p AS (SELECT d.src, c.key,
+        |    (CASE WHEN d.d_digits = c.digits THEN 30 ELSE -5 END
+        |     + CASE WHEN abs(d.d_cents - c.cents) <= 1 THEN 15 ELSE -8
+        |       END
+        |     + CASE WHEN d.d_seg = c.seg THEN 5 ELSE -5 END) AS score,
+        |    (d.src = c.key) AS is_true
+        |  FROM d JOIN c USING (nation))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM (SELECT *, CASE WHEN score >= 35 THEN 'match'
+        |    WHEN score >= 10 THEN 'possible'
+        |    ELSE 'non_match' END AS band FROM p)
+        |GROUP BY band""",
+    // w42: same winner-per-day, spine, bracket windows and
+    // positive-mod floor interpolation — cents stay integers end to end
+    "w42_interpolate" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS tsus, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (SELECT user_id, day, cents AS x FROM (
+        |    SELECT user_id, day, cents, row_number() OVER (
+        |        PARTITION BY user_id, day
+        |        ORDER BY tsus DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |sp AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |    FROM daily GROUP BY 1)),
+        |nb AS (SELECT sp.user_id, sp.day, daily.x,
+        |    last_value(daily.x IGNORE NULLS) OVER w_back AS pv,
+        |    last_value(CASE WHEN daily.x IS NOT NULL THEN sp.day END
+        |      IGNORE NULLS) OVER w_back AS pd,
+        |    first_value(daily.x IGNORE NULLS) OVER w_fwd AS nv,
+        |    first_value(CASE WHEN daily.x IS NOT NULL THEN sp.day END
+        |      IGNORE NULLS) OVER w_fwd AS nd
+        |  FROM sp LEFT JOIN daily USING (user_id, day)
+        |  WINDOW w_back AS (PARTITION BY sp.user_id ORDER BY sp.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_fwd AS (PARTITION BY sp.user_id ORDER BY sp.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN x IS NOT NULL THEN x
+        |    ELSE pv + (((nv - pv) * (day - pd))
+        |      - (((((nv - pv) * (day - pd)) % (nd - pd)) + (nd - pd))
+        |        % (nd - pd))) // (nd - pd)
+        |  END AS cents,
+        |  x IS NULL AS is_interp
+        |FROM nb""",
     "w21_calendar_fill" ->
       """WITH bd AS (SELECT user_id,
         |    epoch_us(ts) // 86400000000 AS day, count(*) AS n
@@ -5436,6 +5504,31 @@ object SparkEntry {
         |    ORDER BY qdot DESC, cand_id) AS rnk FROM scored)
         |WHERE rnk <= 5""",
     "e1_cosine_topk" -> e1Sql,
+    // e30: the e1 float contract extended to the 4×16 slice layout —
+    // each slice dot/norm is the same shifted-range list_sum fold the
+    // codegen'd kernels run, greatest/sum fold order written out
+    "e30_maxsim" -> {
+      def sdot(a: String, ao: Int, b: String, bo: Int) =
+        s"list_sum(list_transform(range(1, 17), k -> " +
+          s"CAST($a[k + $ao] AS DOUBLE) * CAST($b[k + $bo] AS DOUBLE)))"
+      def snorm(a: String, ao: Int) = s"sqrt(${sdot(a, ao, a, ao)})"
+      def cos(i: Int, j: Int) =
+        s"(${sdot("qv", 16 * i, "cv", 16 * j)} / " +
+          s"(${snorm("qv", 16 * i)} * ${snorm("cv", 16 * j)}))"
+      def m(i: Int) =
+        s"greatest(${cos(i, 0)}, ${cos(i, 1)}, ${cos(i, 2)}, ${cos(i, 3)})"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 8),
+         |  c AS (SELECT vec_id AS cand_id, embedding AS cv
+         |    FROM embeddings),
+         |  sims AS (SELECT query_id, cand_id,
+         |      (((${m(0)} + ${m(1)}) + ${m(2)}) + ${m(3)}) AS score
+         |    FROM q CROSS JOIN c WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""".stripMargin
+    },
     "e3_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),

@@ -121,6 +121,59 @@ object AsOf {
         col("nearest_right").as("nearest_orderkey"),
         coalesce(col("dt_us"), lit(-1L)).as("dt_us"), col("matched"))
 
+  /** w42 — GAP-FILL + LINEAR INTERPOLATION: the missing-day values a
+    * forward-fill (ts18) or zero-fill (w21) can't provide — each gap
+    * day gets the straight line between its bracketing samples, the
+    * resampling pass that precedes any fixed-step time-series model.
+    *
+    * Per user: the last event value of each active day (deterministic
+    * winner by (ts, event_id)) is the sample series; the day spine is
+    * the per-user `sequence()` generator (fans a user's span across
+    * tasks, no global calendar); bracketing samples come from two
+    * frame-bounded `last/first(ignoreNulls)` windows partitioned by
+    * user — so the whole op is two key-partitioned window passes, no
+    * self-join, no global sort, the same plan at any user count.
+    * Interpolation is exact integer math: value in cents, true FLOOR
+    * division via the repo's positive-mod form on both engines (the
+    * slope numerator goes negative on falling segments, where
+    * truncating `div` would round the other way). Spine endpoints are
+    * sample days, so every filled row has both brackets by
+    * construction. */
+  def w42Interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("unix_micros(ts)").as("tsus"),
+      col("event_id"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as long)")
+        .as("cents"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max_by(col("cents"), struct(col("tsus"), col("event_id")))
+        .as("x"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val num = "((nv - pv) * (day - pd))"
+    val den = "(nd - pd)"
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("x"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(col("x").isNotNull, col("day")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("x"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("x").isNotNull, col("day")),
+        ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("day"),
+        when(col("x").isNotNull, col("x"))
+          .otherwise(expr(
+            s"pv + ($num - ((($num % $den) + $den) % $den)) div $den"))
+          .as("cents"),
+        col("x").isNull.as("is_interp"))
+  }
+
   /** Driver query: for each event, the user's latest order at or before
     * the event time (events.user_id ↔ orders.o_custkey). */
   def w6AsofJoin(s: SparkSession, d: String): DataFrame =

@@ -3987,6 +3987,8 @@ object Relational {
     "a29_mad" -> a29Mad _,
     "a28_trimmed_mean" -> a28TrimmedMean _,
     "j15_asof_nearest" -> AsOf.j15AsofNearest _,
+    "j20_record_linkage" -> Linkage.j20RecordLinkage _,
+    "w42_interpolate" -> AsOf.w42Interpolate _,
     "w22_attribution" -> w22Attribution _,
     // w23: the SPARK side is the batch window-max detail; the oracle
     // side is the streaming replay dump — hash match = parity

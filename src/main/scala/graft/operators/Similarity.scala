@@ -1263,7 +1263,54 @@ object Similarity {
       .withColumn("mean_err_micro", expr("sum_err_micro div n_vecs"))
   }
 
+  /** e30 — LATE-INTERACTION retrieval (ColBERT-style MaxSim): each
+    * stored 64-dim vector is read as 4 token-level subvectors (the
+    * fixed-stride 16-dim slices — the layout a multi-vector index
+    * stores one row per document under), and the query–document score
+    * is `Σ_i max_j cos(q_i, d_j)`: every query token matches its best
+    * document token, summed. This is the retrieval family single-vector
+    * cosine (e1) cannot express — a document scores high if it covers
+    * ALL query aspects, not just the average one.
+    *
+    * Scale shape = e1's: the bounded query set (8 docs × 4 subvectors,
+    * plan-visible via `limit`) broadcasts INTO the one corpus scan; all
+    * 16 slice cosines and the 4-way max/sum fold live in a single
+    * codegen projection (slice norms computed once per row, dots via
+    * the codegen'd `vec_dot`); per-query top-k prunes to k rows per
+    * partition before the only exchange (WindowGroupLimit). Nothing
+    * about the plan changes at 100 TB — corpus×queries is linear in
+    * the corpus, and the slice layout means no payload inflation (the
+    * 4 subvectors are views of the one stored array). Ties break on
+    * cand_id; ids-only output so no float crosses the oracle. */
+  def e30Maxsim(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    def parts(src: String, p: String): Seq[Column] =
+      (0 until 4).flatMap { i =>
+        val sl = slice(col(src), 1 + 16 * i, 16)
+        Seq(sl.as(s"$p$i"), vec_norm(sl).as(s"${p}n$i"))
+      }
+    val q = emb.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("query_id") +: parts("embedding", "q"): _*)
+    val c = emb
+      .select(col("vec_id").as("cand_id") +: parts("embedding", "c"): _*)
+    def cos(i: Int, j: Int): Column =
+      vec_dot(col(s"q$i"), col(s"c$j")) / (col(s"qn$i") * col(s"cn$j"))
+    // per query subvector, the best-matching candidate subvector;
+    // summed left-to-right so the IEEE fold order matches the oracle
+    val score = (0 until 4)
+      .map(i => greatest(cos(i, 0), cos(i, 1), cos(i, 2), cos(i, 3)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), score.as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e30_maxsim" -> e30Maxsim _,
     "e26_mrr" -> e26Mrr _,
     "e28_ndcg" -> e28Ndcg _,
     "e29_embedding_drift" -> e29EmbeddingDrift _,
