@@ -121,6 +121,12 @@ object OpLake {
     // aggregates these; the Spark side recomputes batch w15Retention,
     // so the hash gate IS the stream≡batch retention parity
     save(streaming.TwsOps.retentionReplay(s, d), "stream_retention")
+    // the STREAMING gap-fill interpolation emissions (one closed
+    // sample + one open-day winner per user across a ts-ordered
+    // 5-batch replay + EOF flush) — the w43 oracle reads these; the
+    // Spark side recomputes batch w42Interpolate, so the hash gate IS
+    // the stream≡batch interpolation parity
+    save(streaming.TwsOps.interpReplay(s, d), "stream_interp")
     // the STREAMING last-touch attribution emissions (O(1) latest-
     // touch state per user) — the w23 oracle reads these; the Spark
     // side recomputes the batch window-max detail, so the hash gate

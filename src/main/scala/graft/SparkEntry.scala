@@ -465,6 +465,12 @@ object SparkEntry {
     "w16_stream_retention" ->
       s"""SELECT cohort_day, day_offset, count(*) AS n_users
          |FROM ${oprel("stream_retention")} GROUP BY 1, 2""",
+    // w43: oracle = the streaming interpolation emissions verbatim;
+    // Spark side recomputes batch w42Interpolate — hash match =
+    // stream≡batch gap-fill parity across micro-batch seams
+    "w43_stream_interpolate" ->
+      s"""SELECT user_id, day, cents, is_interp
+         |FROM ${oprel("stream_interp")}""",
     // j17: oracle = the streaming island assignments aggregated into
     // the per-user coverage census; Spark side recomputes batch j16 —
     // hash match = stream≡batch interval-merge parity
@@ -1811,6 +1817,59 @@ object SparkEntry {
         |FROM o WHERE rn = 1 AND op <> 'D'""",
     // w21: per-user generate_series spine left-joined to observed
     // daily counts; filled rows are exactly the NULL-join days
+    // e31: the greedy MMR recurrence unrolled in SQL — candidate and
+    // pairwise sims on the proven cosine contract, each round's
+    // max-over-picked / anti-join / argmax re-derived independently
+    "e31_mmr" -> {
+      val rounds = (2 to 5).map { t =>
+        val sel = s"s${t - 1}"
+        s"""m$t AS (SELECT ps.query_id, ps.a, max(ps.sim) AS maxsel
+           |  FROM ps JOIN $sel
+           |    ON ps.query_id = $sel.query_id AND ps.b = $sel.sel
+           |  GROUP BY 1, 2),
+           |r$t AS (SELECT c.query_id, c.cand_id,
+           |    CAST(0.7 AS DOUBLE) * c.simq
+           |      - CAST(0.3 AS DOUBLE) * m$t.maxsel AS score
+           |  FROM cands c
+           |  JOIN m$t ON c.query_id = m$t.query_id AND c.cand_id = m$t.a
+           |  LEFT JOIN $sel x
+           |    ON x.query_id = c.query_id AND x.sel = c.cand_id
+           |  WHERE x.sel IS NULL),
+           |p$t AS (SELECT query_id, cand_id AS sel FROM (
+           |    SELECT query_id, cand_id, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY score DESC, cand_id)
+           |      AS rn
+           |    FROM r$t) WHERE rn = 1),
+           |s$t AS (SELECT * FROM $sel UNION ALL SELECT * FROM p$t)"""
+      }.mkString(",\n")
+      val out = (1 to 5)
+        .map(t => s"SELECT query_id, $t AS pick, sel AS cand_id FROM p$t")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id < 8),
+         |c0 AS (SELECT vec_id AS cand_id, embedding AS cv
+         |    FROM embeddings),
+         |sc AS (SELECT query_id, cand_id, cv,
+         |    ${cosSql("qv", "cv")} AS simq
+         |  FROM q CROSS JOIN c0 WHERE query_id <> cand_id),
+         |cands AS (SELECT query_id, cand_id, cv, simq FROM (
+         |    SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY simq DESC, cand_id)
+         |      AS rn
+         |    FROM sc) WHERE rn <= 20),
+         |ps AS (SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         |    ${cosSql("x.cv", "y.cv")} AS sim
+         |  FROM cands x JOIN cands y
+         |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id),
+         |p1 AS (SELECT query_id, cand_id AS sel FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY simq DESC, cand_id)
+         |      AS rn
+         |    FROM cands) WHERE rn = 1),
+         |s1 AS (SELECT * FROM p1),
+         |$rounds
+         |$out""".stripMargin
+    },
     // j20: the full blocking/scoring/banding pipeline re-derived —
     // same perturbation rules, integer weights and band cuts
     "j20_record_linkage" ->

@@ -3989,6 +3989,9 @@ object Relational {
     "j15_asof_nearest" -> AsOf.j15AsofNearest _,
     "j20_record_linkage" -> Linkage.j20RecordLinkage _,
     "w42_interpolate" -> AsOf.w42Interpolate _,
+    // w43: the SPARK side is batch w42; the oracle reads the
+    // streaming interpolation replay dump — hash match = parity
+    "w43_stream_interpolate" -> AsOf.w42Interpolate _,
     "w22_attribution" -> w22Attribution _,
     // w23: the SPARK side is the batch window-max detail; the oracle
     // side is the streaming replay dump — hash match = parity

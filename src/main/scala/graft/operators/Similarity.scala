@@ -1309,8 +1309,118 @@ object Similarity {
       .select("query_id", "cand_id", "rnk")
   }
 
+  /** e31 — MMR DIVERSIFIED TOP-K (maximal marginal relevance): the
+    * serving-side answer to "the top-5 are five copies of the same
+    * thing" — greedily picks k results maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` (λ = 0.7), so each
+    * pick is relevant AND far from what's already shown. The
+    * redundancy the e9/SemDeDup family removes from the CORPUS, this
+    * removes from each RESULT LIST at query time.
+    *
+    * Scale shape: candidate generation is the e1 corpus-scan shape
+    * (bounded query set broadcast in, WindowGroupLimit top-20); every
+    * greedy round then runs on broadcast-scale relations — the
+    * candidate set is queries×20 rows and the pairwise-sim relation
+    * queries×20×19, both independent of corpus size, which is what
+    * makes MMR viable at serving time at all. The k rounds are
+    * UNROLLED (the g1 fixed-iteration discipline), so Catalyst sees
+    * one static DAG — no driver-side loop over collected rows. Ties
+    * break to the lowest cand_id; ids-only output. */
+  /** e31's per-round pick relations: queries×round rows, lineage
+    * truncated by eager localCheckpoint (see e31Mmr body) — a plain
+    * DataFrame memo, NOT the caching memo (the checkpoint already
+    * owns the materialization; onEvict unpersists the backing RDD). */
+  private val pickMemo = graft.SessionMemo.forDataFrames()
+
+  def e31Mmr(s: SparkSession, d: String, k: Int = 5,
+      nCand: Int = 20): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq").desc, col("cand_id"))
+    // queries×nCand rows, re-read by every greedy round — without the
+    // memo pin each unrolled round (and each union branch) replays
+    // the corpus scan, the round-5 "composition × union" plan
+    // explosion (402 parquet scans at k=5). Bounded + many-consumer =
+    // exactly the pin the house rule allows.
+    val cands = assignMemo(s, d + s"#e31cands$nCand") {
+      emb
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        .join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("cv"),
+          cosine(col("qv"), col("cv")).as("simq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nCand)
+        .select("query_id", "cand_id", "cv", "simq")
+        // queries×nCand rows: one partition is the right layout for
+        // the greedy rounds (at production query volumes, partition
+        // by query batch instead) — leaving the corpus scan's 32
+        // partitions in place made every round a 32-task shuffle of
+        // near-empty tasks
+        .coalesce(1)
+    }
+    val pairSim = assignMemo(s, d + s"#e31ps$nCand") {
+      cands
+        .select(col("query_id"), col("cand_id").as("a"),
+          col("cv").as("av"))
+        .join(cands.select(col("query_id"), col("cand_id").as("b"),
+          col("cv").as("bv")), Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          cosine(col("av"), col("bv")).as("sim"))
+    }
+    val base = cands.select("query_id", "cand_id", "simq")
+    // round t references round t−1 THREE times (redundancy join,
+    // anti-join, union), so a bare recurrence hands Catalyst a
+    // 3^k-node TREE — at k=5 the driver spends ~6 s per action just
+    // canonicalizing/planning it, caching included (cache lookup
+    // canonicalizes too; 31 s rows in the first sweep). Each round's
+    // pick relation is queries×1 ROWS, so an eager localCheckpoint
+    // truncates the lineage to a leaf for ~nothing: rounds become k
+    // constant-size jobs over the two pinned relations and the plan
+    // the next round sees is always depth-1. Memoized per (session,
+    // dir) like the relations themselves.
+    var picks = pickMemo(s, d + s"#e31pick1_$nCand")(
+      base.groupBy("query_id")
+        .agg(max_by(col("cand_id"),
+          struct(col("simq"), (-col("cand_id")).as("t"))).as("sel_id"))
+        .select(col("query_id"), col("sel_id"), lit(1).as("pick"))
+        .localCheckpoint())
+    for (t <- 2 to k) {
+      val prev = picks
+      val next = pickMemo(s, d + s"#e31pick${t}_$nCand") {
+        val maxSel = pairSim
+          .join(prev.select(col("query_id"), col("sel_id").as("b")),
+            Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("a"))
+          .agg(max(col("sim")).as("maxsel"))
+        base
+          .join(prev.select(col("query_id"),
+            col("sel_id").as("cand_id"), lit(true).as("taken")),
+            Seq("query_id", "cand_id"), "left")
+          .filter(col("taken").isNull)
+          .join(maxSel.withColumnRenamed("a", "cand_id"),
+            Seq("query_id", "cand_id"))
+          .select(col("query_id"), col("cand_id"),
+            (lit(0.7) * col("simq") - lit(0.3) * col("maxsel"))
+              .as("score"))
+          .groupBy("query_id")
+          .agg(max_by(col("cand_id"),
+            struct(col("score"), (-col("cand_id")).as("t")))
+            .as("sel_id"))
+          .withColumn("pick", lit(t))
+          .unionByName(prev)
+          .localCheckpoint()
+      }
+      picks = next
+    }
+    picks.select(col("query_id"), col("pick"), col("sel_id").as("cand_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e30_maxsim" -> e30Maxsim _,
+    "e31_mmr" -> ((s: SparkSession, d: String) => e31Mmr(s, d)),
     "e26_mrr" -> e26Mrr _,
     "e28_ndcg" -> e28Ndcg _,
     "e29_embedding_drift" -> e29EmbeddingDrift _,

@@ -663,6 +663,145 @@ object TwsOps {
     hits.toDF()
   }
 
+  // ---- streaming interpolation (w43 = streaming w42) ----------------
+
+  case class InterpIn(user_id: Long, tsus: Long, event_id: Long,
+      cents: Long)
+  case class InterpSample(day: Long, cents: Long)
+  case class InterpOpen(day: Long, cents: Long, tsus: Long, eid: Long)
+  case class InterpOut(user_id: Long, day: Long, cents: Long,
+      is_interp: Boolean)
+
+  /** w42's gap-fill + linear interpolation as an online per-user state
+    * machine. A day's sample is only FINAL once a later day's event
+    * arrives (the last event of the day wins), so the processor keeps
+    * two tiny values per user — the last CLOSED sample and the open
+    * day's running winner — and, each time a day closes, emits the
+    * interpolated rows for the gap back to the previous closed sample
+    * plus the observed row itself. Interpolation math is the batch
+    * side's exact integer floor line (`Math.floorDiv` ≡ the
+    * positive-mod form w42 evaluates). State is O(1) per live user
+    * regardless of event volume; emissions arrive as soon as the
+    * closing bracket is known — the earliest any online gap-filler
+    * can produce them. An `event_id == -1` row is the replay's EOF
+    * flush: it closes the open day (the spine's right endpoint)
+    * without opening a new one. */
+  class InterpProcessor extends StatefulProcessor[Long, InterpIn,
+      InterpOut] {
+    @transient private var prev: ValueState[InterpSample] = _
+    @transient private var open: ValueState[InterpOpen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode)
+        : Unit = {
+      prev = getHandle.getValueState[InterpSample](
+        "prev", Encoders.product[InterpSample], TTLConfig.NONE)
+      open = getHandle.getValueState[InterpOpen](
+        "open", Encoders.product[InterpOpen], TTLConfig.NONE)
+    }
+
+    private def close(user: Long, o: InterpOpen,
+        out: scala.collection.mutable.Builder[InterpOut,
+          Vector[InterpOut]]): Unit = {
+      Option(prev.get()).foreach { p =>
+        var dd = p.day + 1
+        while (dd < o.day) {
+          out += InterpOut(user, dd, p.cents +
+            Math.floorDiv((o.cents - p.cents) * (dd - p.day),
+              o.day - p.day), is_interp = true)
+          dd += 1
+        }
+      }
+      out += InterpOut(user, o.day, o.cents, is_interp = false)
+      prev.update(InterpSample(o.day, o.cents))
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[InterpIn],
+        timerValues: TimerValues): Iterator[InterpOut] = {
+      val out = Vector.newBuilder[InterpOut]
+      rows.toArray.sortBy(r => (r.tsus, r.event_id)).foreach { r =>
+        if (r.event_id == -1L) {
+          Option(open.get()).foreach { o =>
+            close(user, o, out); open.clear()
+          }
+        } else {
+          val day = Math.floorDiv(r.tsus, 86400000000L)
+          Option(open.get()) match {
+            case None =>
+              open.update(InterpOpen(day, r.cents, r.tsus, r.event_id))
+            case Some(o) if day == o.day =>
+              if (r.tsus > o.tsus ||
+                (r.tsus == o.tsus && r.event_id > o.eid))
+                open.update(InterpOpen(day, r.cents, r.tsus, r.event_id))
+            case Some(o) if day > o.day =>
+              close(user, o, out)
+              open.update(InterpOpen(day, r.cents, r.tsus, r.event_id))
+            case Some(_) => // late older-day event: already closed, drop
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def interpStreamTws(events: org.apache.spark.sql.DataFrame)
+      : Dataset[InterpOut] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "tsus", "event_id", "cents")
+      .as[InterpIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new InterpProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Deterministic ts-ordered multi-batch replay of the events dir
+    * through [[interpStreamTws]] — the producer behind the w43 parity
+    * row: OpLake dumps the emissions, the oracle reads them verbatim,
+    * and the Spark side recomputes batch w42, so the hash gate IS the
+    * stream≡batch interpolation parity (gaps spanning micro-batch
+    * seams included). A final flush batch (event_id = -1 per user)
+    * closes each user's last open day — the replay's EOF signal. */
+  def interpReplay(s: org.apache.spark.sql.SparkSession, d: String,
+      batches: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) as tsus", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .as[(Long, Long, Long, Long)]
+      .collect().sortBy(e => (e._2, e._3))
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val name = s"interp_replay_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = interpStreamTws(
+      mem.toDS().toDF("user_id", "tsus", "event_id", "cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val outRows =
+      try {
+        ev.grouped(math.max(1, ev.length / batches)).foreach { g =>
+          mem.addData(g.toSeq: _*)
+          q.processAllAvailable()
+        }
+        val flush = ev.map(_._1).distinct
+          .map(u => (u, Long.MaxValue, -1L, 0L))
+        mem.addData(flush.toSeq: _*)
+        q.processAllAvailable()
+        s.table(name).as[InterpOut].collect().toSeq
+      } finally {
+        q.stop()
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    outRows.toDF()
+  }
+
   // ---- streaming CDC merge (j12 = streaming j11) --------------------
 
   case class CdcIn(user_id: Long, tsus: Long, event_id: Long,

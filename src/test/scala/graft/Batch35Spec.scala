@@ -79,6 +79,62 @@ class Batch35Spec extends SparkSuite {
     assert(expected("possible")._2 > 0)
   }
 
+  test("e31: MMR picks match a scalar replay of the greedy " +
+    "relevance-minus-redundancy recurrence") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < a.length) { acc += a(k).toDouble * b(k).toDouble; k += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = emb.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      val cands = emb.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cv, cos(qv, cv)) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(20)
+      var picked = Vector(cands.maxBy(c => (c._3, -c._1)))
+      while (picked.length < 5) {
+        val next = cands.filterNot(c => picked.exists(_._1 == c._1))
+          .map { c =>
+            val red = picked.map(p => cos(c._2, p._2)).max
+            (c, 0.7 * c._3 - 0.3 * red)
+          }.maxBy { case (c, s) => (s, -c._1) }._1
+        picked :+= next
+      }
+      picked.zipWithIndex.map { case (c, i) => (qid, i + 1, c._1) }
+    }.toSet
+    val got = Similarity.e31Mmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pick"),
+        r.getAs[Long]("cand_id"))).toSet
+    assert(got == expected)
+    // diversification really engages: at least one query's MMR list
+    // differs from its plain top-5 cosine order
+    val plain = emb.filter(_._1 < 8).flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid).map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).zipWithIndex
+        .map { case ((cid, _), i) => (qid, i + 1, cid) }
+    }.toSet
+    assert(got != plain, "MMR should reorder at least one list")
+  }
+
+  test("w43: the streaming interpolation replay emits exactly the " +
+    "batch w42 rows (stream == batch across micro-batch seams)") {
+    val stream = graft.streaming.TwsOps.interpReplay(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("cents"), r.getAs[Boolean]("is_interp")))
+    val batch = operators.AsOf.w42Interpolate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("cents"), r.getAs[Boolean]("is_interp")))
+    assert(stream.length == batch.length)
+    assert(stream.toSet == batch.toSet)
+    assert(stream.exists(_._4), "parity must cover interpolated rows")
+  }
+
   test("w42: interpolated series matches a scalar replay — observed " +
     "days pass through, gap days sit on the integer floor line") {
     val ev = Tables.events(spark, sf)
