@@ -1870,6 +1870,115 @@ object SparkEntry {
          |$rounds
          |$out""".stripMargin
     },
+    // a61: every bootstrap draw re-derived through the t20 digit-wise
+    // md5 parse; sums are integer cents, order stats rank-based
+    "a61_bootstrap_ci" ->
+      """WITH per AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (SELECT event_type, day, sum(cents) AS x
+        |  FROM per GROUP BY 1, 2),
+        |idxd AS (SELECT event_type, day, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) - 1 AS idx
+        |  FROM daily),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS total
+        |  FROM idxd GROUP BY 1),
+        |bs AS (SELECT event_type, n,
+        |    unnest(generate_series(0, 199)) AS b FROM st),
+        |iz AS (SELECT event_type, n, b,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        |  FROM bs),
+        |draw AS (SELECT event_type, b,
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      k -> (strpos('0123456789abcdef',
+        |        substr(md5('boot:' || event_type || ':' || b || ':'
+        |          || i), CAST(k AS INTEGER), 1)) - 1)
+        |        * (16 ** (6 - k)))) AS BIGINT) % n AS idx
+        |  FROM iz),
+        |boots AS (SELECT d.event_type, d.b, sum(e.x) AS boot_sum
+        |  FROM draw d JOIN idxd e
+        |    ON d.event_type = e.event_type AND d.idx = e.idx
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT event_type, boot_sum, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY boot_sum, b) AS rn
+        |  FROM boots)
+        |SELECT r.event_type, CAST(s.total AS BIGINT) AS total_cents,
+        |  CAST(max(CASE WHEN rn = 5 THEN boot_sum END) AS BIGINT)
+        |    AS lo_sum_cents,
+        |  CAST(max(CASE WHEN rn = 195 THEN boot_sum END) AS BIGINT)
+        |    AS hi_sum_cents,
+        |  CAST(s.n AS BIGINT) AS n_days
+        |FROM rk r JOIN st s ON r.event_type = s.event_type
+        |GROUP BY 1, 2, 5""",
+    // a62: rank-based conformal quantile + held-out coverage; all
+    // integer cents, positive sums so // is floor on both sides
+    "a62_conformal" ->
+      """WITH per AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (SELECT event_type, day, sum(cents) AS x
+        |  FROM per GROUP BY 1, 2),
+        |cal AS (SELECT * FROM daily WHERE day % 2 = 0),
+        |fit AS (SELECT event_type, count(*) AS nc,
+        |    sum(x) // count(*) AS pred FROM cal GROUP BY 1),
+        |res AS (SELECT c.event_type, c.day, f.nc,
+        |    abs(c.x - f.pred) AS r
+        |  FROM cal c JOIN fit f ON c.event_type = f.event_type),
+        |q AS (SELECT event_type, r AS q_cents FROM (
+        |    SELECT event_type, r, nc, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY r, day) AS rn
+        |    FROM res) WHERE rn = (9 * (nc + 1) + 9) // 10)
+        |SELECT t.event_type,
+        |  CAST(max(f.pred) AS BIGINT) AS pred_cents,
+        |  CAST(max(q.q_cents) AS BIGINT) AS q_cents,
+        |  CAST(max(f.nc) AS BIGINT) AS n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN abs(t.x - f.pred) <= q.q_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |FROM daily t
+        |JOIN fit f ON t.event_type = f.event_type
+        |JOIN q ON t.event_type = q.event_type
+        |WHERE t.day % 2 = 1
+        |GROUP BY 1""",
+    // z38: the j20 pipeline over 20 block-disjoint replicas — offsets
+    // are multiples of 2 145 000 (= 3·5·11·13·1000) so perturbation
+    // flags are replica-invariant; bands must be exactly 20× j20
+    "z38_j20_20x" ->
+      """WITH c0 AS (SELECT c_custkey AS key0,
+        |    CAST(c_nationkey AS BIGINT) AS nation0,
+        |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+        |      AS digits0,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    c_mktsegment AS seg FROM customer),
+        |r AS (SELECT *, unnest(generate_series(0, 19)) AS rep FROM c0),
+        |c AS (SELECT key0 + rep * 2145000 AS key,
+        |    nation0 + rep * 25 AS nation,
+        |    digits0 + rep * 2145000 AS digits, cents, seg FROM r),
+        |d AS (SELECT key AS src, nation,
+        |    digits + CASE WHEN key % 13 = 0 THEN 500000 ELSE 0 END
+        |      AS d_digits,
+        |    cents + CASE WHEN key % 5 = 0 THEN 1 ELSE 0 END AS d_cents,
+        |    CASE WHEN key % 11 = 0 THEN 'SMUDGED' ELSE seg END AS d_seg
+        |  FROM c WHERE key % 3 = 0),
+        |p AS (SELECT d.src, c.key,
+        |    (CASE WHEN d.d_digits = c.digits THEN 30 ELSE -5 END
+        |     + CASE WHEN abs(d.d_cents - c.cents) <= 1 THEN 15 ELSE -8
+        |       END
+        |     + CASE WHEN d.d_seg = c.seg THEN 5 ELSE -5 END) AS score,
+        |    (d.src = c.key) AS is_true
+        |  FROM d JOIN c USING (nation))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM (SELECT *, CASE WHEN score >= 35 THEN 'match'
+        |    WHEN score >= 10 THEN 'possible'
+        |    ELSE 'non_match' END AS band FROM p)
+        |GROUP BY band""",
     // j20: the full blocking/scoring/banding pipeline re-derived —
     // same perturbation rules, integer weights and band cuts
     "j20_record_linkage" ->

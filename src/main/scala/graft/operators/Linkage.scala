@@ -39,8 +39,13 @@ object Linkage {
     * pair lands at 15 — the "possible" review pile — and a
     * name-and-segment-corrupted one at 5: a designed miss, so the
     * band totals exercise every classification edge. */
-  def j20RecordLinkage(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d).select(
+  def j20RecordLinkage(s: SparkSession, d: String): DataFrame =
+    j20Of(normalized(s, d))
+
+  /** The clean file in comparison-vector form: (key, block key,
+    * normalized name digits, balance cents, segment). */
+  private[graft] def normalized(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
       col("c_custkey").as("key"),
       col("c_nationkey").cast("long").as("nation"),
       expr("cast(regexp_extract(c_name, '([0-9]+)$', 1) as bigint)")
@@ -48,6 +53,36 @@ object Linkage {
       expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as long)")
         .as("cents"),
       col("c_mktsegment").as("seg"))
+
+  /** z38 — the j20 pipeline at 20× with block-disjoint replicas: key
+    * and digit offsets are multiples of 3·5·11·13·1000 = 2 145 000
+    * (so every perturbation flag `key % {3,5,11,13}` is
+    * replica-invariant, and digit ranges can't collide across
+    * replicas even after the +500 000 corruption), and the block key
+    * shifts by 25·rep (so replicas never share a block). Every
+    * replica therefore reproduces the base file's band rows EXACTLY,
+    * and the total must be 20× j20 — a closed-form scale probe of
+    * the blocking design: pair space grows linearly with replicas
+    * because blocks stay disjoint, the property that holds the op at
+    * 100 TB. Replication is a generator column, not a join. */
+  def z38J20_20x(s: SparkSession, d: String, reps: Int = 20)
+      : DataFrame = {
+    val c = normalized(s, d)
+      .withColumn("rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .select(
+        (col("key") + col("rep") * lit(2145000L)).as("key"),
+        (col("nation") + col("rep") * lit(25L)).as("nation"),
+        (col("digits") + col("rep") * lit(2145000L)).as("digits"),
+        col("cents"), col("seg"))
+      // the base file is one parquet split, so the generator fan-out
+      // would inherit ONE partition and score 60 M pairs on one core;
+      // hash-spreading on the block key is also the 100 TB layout —
+      // each partition scores only its own blocks' pairs
+      .repartition(col("nation"))
+    j20Of(c)
+  }
+
+  private[graft] def j20Of(c: DataFrame): DataFrame = {
     val dirty = c.filter(col("key") % 3 === 0).select(
       col("key").as("src"),
       col("nation"),

@@ -3202,6 +3202,102 @@ object Relational {
     * array (the w40 pattern); the oracle replays it with a recursive
     * CTE. Per type: max excursion both sides, alarm-day count, first
     * alarm day (−1 = in control). */
+  /** a61 — PERCENTILE-BOOTSTRAP CONFIDENCE INTERVAL for each event
+    * type's total daily spend: B = 200 resamples of the daily-sum
+    * series, drawn with replacement through the repo's deterministic
+    * md5-bucket lottery (the t12/t20 recipe — no RNG state, both
+    * engines re-derive every draw), 2.5 %/97.5 % order statistics as
+    * the interval. The canonical distribution-free error bar when the
+    * daily series is too short/skewed for a normal approximation.
+    *
+    * Scale shape: the only corpus-scale pass is the daily sufficient-
+    * stat aggregation; the resample space is groups × B × n_days rows
+    * of (key, idx) INTEGERS fanned out by generators, joined back to
+    * the tiny daily relation — sums are exact integer cents, so the
+    * interval is bit-identical cross-engine with no float anywhere. */
+  def a61BootstrapCi(s: SparkSession, d: String, nBoot: Int = 200)
+      : DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val idxd = daily
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+    val stats = idxd.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val draws = stats
+      .select(col("event_type"), col("n"),
+        explode(expr(s"sequence(0, ${nBoot - 1})")).as("b"))
+      .select(col("event_type"), col("n"), col("b"),
+        explode(expr("sequence(cast(0 as bigint), n - 1)")).as("i"))
+      .select(col("event_type"), col("b"),
+        (conv(substring(md5(concat_ws(":", lit("boot"),
+          col("event_type"), col("b"), col("i")).cast("binary")),
+          1, 6), 16, 10).cast("long") % col("n")).as("idx"))
+    val boots = draws.join(idxd, Seq("event_type", "idx"))
+      .groupBy("event_type", "b").agg(sum(col("x")).as("boot_sum"))
+    val lo = (nBoot * 25 + 999) / 1000
+    val hi = (nBoot * 975 + 999) / 1000
+    val wb = Window.partitionBy("event_type")
+      .orderBy(col("boot_sum"), col("b"))
+    boots.withColumn("rn", row_number().over(wb))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === lo, col("boot_sum")))
+          .as("lo_sum_cents"),
+        max(when(col("rn") === hi, col("boot_sum")))
+          .as("hi_sum_cents"))
+      .join(stats, Seq("event_type"))
+      .select(col("event_type"), col("total").as("total_cents"),
+        col("lo_sum_cents"), col("hi_sum_cents"),
+        col("n").as("n_days"))
+  }
+
+  /** a62 — SPLIT-CONFORMAL PREDICTION INTERVAL: calibration days
+    * (even) fit a point predictor (integer-mean daily spend per
+    * type); the conformal quantile is the ⌈0.9·(n+1)⌉-th smallest
+    * absolute calibration residual — the distribution-free radius
+    * that guarantees ≥ 90 % coverage on exchangeable test days; the
+    * query then MEASURES that coverage on the held-out odd days. The
+    * modern calibration wrapper every deployed predictor needs, as
+    * one relational pass: two tiny broadcast dims (predictor,
+    * quantile) against the daily aggregate, everything integer cents
+    * (sums are positive, so truncating `div` IS floor here). */
+  def a62Conformal(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("x"))
+    val cal = daily.filter(col("day") % 2 === 0)
+    val fit = cal.groupBy("event_type")
+      .agg(sum(col("x")).as("sc"), count(lit(1)).as("nc"))
+      .select(col("event_type"), col("nc"),
+        expr("sc div nc").as("pred"))
+    val wq = Window.partitionBy("event_type")
+      .orderBy(col("r"), col("day"))
+    val q = cal.join(broadcast(fit), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("nc"),
+        abs(col("x") - col("pred")).as("r"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === expr("(9 * (nc + 1) + 9) div 10"))
+      .select(col("event_type"), col("r").as("q_cents"))
+    daily.filter(col("day") % 2 === 1)
+      .join(broadcast(fit), Seq("event_type"))
+      .join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("pred")).as("pred_cents"),
+        first(col("q_cents")).as("q_cents"),
+        first(col("nc")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs(col("x") - col("pred")) <= col("q_cents"), 1L)
+          .otherwise(0L)).as("n_covered"))
+  }
+
   def a60Cusum(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
       .select(col("event_type"),
@@ -3954,6 +4050,11 @@ object Relational {
     "w41_pinball_eval" -> w41PinballEval _,
     "a59_effect_size" -> a59EffectSize _,
     "a60_cusum" -> ((s: SparkSession, d: String) => a60Cusum(s, d)),
+    "a61_bootstrap_ci" ->
+      ((s: SparkSession, d: String) => a61BootstrapCi(s, d)),
+    "a62_conformal" -> a62Conformal _,
+    "z38_j20_20x" ->
+      ((s: SparkSession, d: String) => Linkage.z38J20_20x(s, d)),
     // a53: the SPARK side is the batch δ=0 PH series; the oracle reads
     // the transformWithState replay's OpLake dump verbatim — hash
     // match = stream ≡ batch Page–Hinkley across micro-batch seams
