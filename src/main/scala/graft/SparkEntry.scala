@@ -1870,6 +1870,53 @@ object SparkEntry {
          |$rounds
          |$out""".stripMargin
     },
+    // e32: probes, candidate union and exact rerank re-derived from
+    // the same bucket dump e2 uses; XOR'd probe keys are integers
+    "e32_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, bucket FROM ${oprel("lsh_buckets")}),
+         |q AS (SELECT vec_id AS query_id, bucket FROM b
+         |  WHERE vec_id < 10),
+         |pr AS (SELECT query_id,
+         |    CASE WHEN f.f = -1 THEN bucket
+         |      ELSE xor(bucket, 1 << f.f) END AS pb
+         |  FROM q, (SELECT unnest(generate_series(-1, 11)) AS f) f),
+         |cand AS (SELECT pr.query_id, b.vec_id AS cand_id
+         |  FROM pr JOIN b ON b.bucket = pr.pb
+         |  WHERE b.vec_id <> pr.query_id),
+         |sims AS (SELECT c.query_id, c.cand_id,
+         |    ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+         |  FROM cand c
+         |  JOIN embeddings eq ON c.query_id = eq.vec_id
+         |  JOIN embeddings ec ON c.cand_id = ec.vec_id)
+         |SELECT query_id, cand_id, rnk FROM (
+         |  SELECT query_id, cand_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM sims) WHERE rnk <= 5""",
+    // a63: doubled tie-averaged ranks keep everything integer; the
+    // cumulative count runs over distinct values per type
+    "a63_mann_whitney" ->
+      """WITH vals AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 2 = 0 AS is_x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |tallies AS (SELECT event_type, v,
+        |    sum(CASE WHEN is_x THEN 1 ELSE 0 END) AS tx,
+        |    count(*) AS t
+        |  FROM vals GROUP BY 1, 2),
+        |ranked AS (SELECT event_type, tx, t,
+        |    2 * (sum(t) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+        |      + t + 1 AS r2
+        |  FROM tallies),
+        |agg AS (SELECT event_type, sum(tx) AS nx,
+        |    sum(t - tx) AS ny, sum(tx * r2) AS sum2r_x
+        |  FROM ranked GROUP BY 1)
+        |SELECT event_type, CAST(nx AS BIGINT) AS nx,
+        |  CAST(ny AS BIGINT) AS ny,
+        |  CAST(sum2r_x - nx * (nx + 1) AS BIGINT) AS u2_x,
+        |  CAST(2 * nx * ny - (sum2r_x - nx * (nx + 1)) AS BIGINT)
+        |    AS u2_y
+        |FROM agg""",
     // a61: every bootstrap draw re-derived through the t20 digit-wise
     // md5 parse; sums are integer cents, order stats rank-based
     "a61_bootstrap_ci" ->

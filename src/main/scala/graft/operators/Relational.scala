@@ -3256,6 +3256,47 @@ object Relational {
         col("n").as("n_days"))
   }
 
+  /** a63 — MANN–WHITNEY U (Wilcoxon rank-sum), exact with ties: for
+    * each event type, are even-day event values distributed like
+    * odd-day ones? The nonparametric two-sample location test — the
+    * rank-based sibling of a52's permutation test and a32's KS, and
+    * the right tool when values are heavy-tailed cents. Everything is
+    * INTEGER: tie-averaged ranks are carried DOUBLED (2·avgrank =
+    * 2·|{v' < v}| + |{v' = v}| + 1, an integer even under ties), so
+    * U statistics come out exactly as 2U = Σ2r − n(n+1) with no float
+    * anywhere — bit-identical cross-engine by construction.
+    *
+    * Scale shape: one groupBy to value-level counts (the sufficient
+    * stat — ranks depend only on the per-value tallies), one
+    * cumulative window over the DISTINCT VALUES per type (thousands,
+    * not rows), then a broadcast-size join back. The identity
+    * 2Ux + 2Uy = 2·nx·ny is spec-pinned. */
+  def a63MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val vals = events(s, d)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0).as("is_x"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+          .as("v"))
+    val tallies = vals.groupBy("event_type", "v")
+      .agg(sum(when(col("is_x"), 1L).otherwise(0L)).as("tx"),
+        count(lit(1)).as("t"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tallies
+      .withColumn("c_le", sum(col("t")).over(w))
+      .select(col("event_type"), col("tx"), col("t"),
+        // 2·avgrank for every row holding this value
+        (lit(2) * (col("c_le") - col("t")) + col("t") + 1).as("r2"))
+    ranked.groupBy("event_type")
+      .agg(sum(col("tx")).as("nx"),
+        sum(col("t") - col("tx")).as("ny"),
+        sum(col("tx") * col("r2")).as("sum2r_x"))
+      .select(col("event_type"), col("nx"), col("ny"),
+        (col("sum2r_x") - col("nx") * (col("nx") + 1)).as("u2_x"),
+        (lit(2) * col("nx") * col("ny") -
+          (col("sum2r_x") - col("nx") * (col("nx") + 1))).as("u2_y"))
+  }
+
   /** a62 — SPLIT-CONFORMAL PREDICTION INTERVAL: calibration days
     * (even) fit a point predictor (integer-mean daily spend per
     * type); the conformal quantile is the ⌈0.9·(n+1)⌉-th smallest
@@ -4053,6 +4094,7 @@ object Relational {
     "a61_bootstrap_ci" ->
       ((s: SparkSession, d: String) => a61BootstrapCi(s, d)),
     "a62_conformal" -> a62Conformal _,
+    "a63_mann_whitney" -> a63MannWhitney _,
     "z38_j20_20x" ->
       ((s: SparkSession, d: String) => Linkage.z38J20_20x(s, d)),
     // a53: the SPARK side is the batch δ=0 PH series; the oracle reads

@@ -1418,9 +1418,52 @@ object Similarity {
     picks.select(col("query_id"), col("pick"), col("sel_id").as("cand_id"))
   }
 
+  /** e32 — MULTI-PROBE LSH ANN: each query probes its own 12-bit
+    * hyperplane bucket PLUS the 12 Hamming-distance-1 neighbors (one
+    * sign-bit flip each — the perturbation most likely to hold a
+    * near-neighbor that fell on the other side of one hyperplane),
+    * then exact-cosine-reranks the union to top-5. The classic
+    * index-size/recall trade: probing 13 buckets recovers most of
+    * what 13 independent hash TABLES would, while storing the corpus
+    * ONCE — at 100 TB that is 13× less index, bought with 13
+    * equi-join lookups per query (Lv et al., VLDB'07 shape).
+    *
+    * Scale shape: the probe fan-out is queries×13 INTEGER keys (a
+    * generator on the bounded query set, broadcast into the bucket
+    * join); probes are distinct buckets so no candidate dedup is
+    * needed; candidate floats are read only for matched rows; per-
+    * query top-k prunes before the exchange (WindowGroupLimit). The
+    * bucket relation is the SAME one e2 dumps, so the oracle
+    * re-derives probes/candidates/rerank from that dump verbatim. */
+  def e32Multiprobe(s: SparkSession, d: String, nBits: Int = 12,
+      topK: Int = 5): DataFrame = {
+    val emb = embeddings(s, d)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      hyperplane_sig(col("embedding"), nBits).as("bucket"))
+    val probes = bucketed.filter(col("vec_id") < 10).limit(10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket"),
+        explode(expr(s"sequence(-1, ${nBits - 1})")).as("flip"))
+      .select(col("query_id"), col("qv"),
+        when(col("flip") === -1, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1, flip)")).as("pb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    bucketed
+      .join(broadcast(probes),
+        col("pb") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "cand_id", "rnk")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e30_maxsim" -> e30Maxsim _,
     "e31_mmr" -> ((s: SparkSession, d: String) => e31Mmr(s, d)),
+    "e32_multiprobe" ->
+      ((s: SparkSession, d: String) => e32Multiprobe(s, d)),
     "e26_mrr" -> e26Mrr _,
     "e28_ndcg" -> e28Ndcg _,
     "e29_embedding_drift" -> e29EmbeddingDrift _,
