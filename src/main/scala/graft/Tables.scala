@@ -12,6 +12,88 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spread (optimization guide §2.5, "input skew:
+    * one huge unsplittable file"). The bench SF directories ship each
+    * table as ONE single-row-group parquet file, so a scan yields one
+    * non-empty task and everything up to the first Exchange — vector
+    * kernels, per-doc array transforms, pair-join fan-outs — runs on
+    * one core no matter how many the session has. Heavy-compute
+    * consumers wrap their scan in `spread`, which HASH-partitions the
+    * scan output on a caller-named high-cardinality key ONLY when the
+    * input is too small to split into ≥ parallelism scan tasks: on any
+    * real multi-split layout (a 100 TB table is thousands of row
+    * groups) the condition is false and this is a no-op — no extra
+    * exchange at cluster scale.
+    *
+    * Two deliberate costs avoided (both measured on the sf0.1 sweep):
+    *  - keyless `repartition(n)` first pays a LOCAL SORT of the full
+    *    rows (`spark.sql.execution.sortBeforeRepartition`, guide §2.5)
+    *    — ~7× the CPU of the hash exchange on a fact table; hashing a
+    *    unique key spreads just as evenly with no sort;
+    *  - probing `df.rdd.getNumPartitions` builds a deserializer plan
+    *    per call (~0.2 cpu-s); the split estimate instead comes from
+    *    one cached filesystem stat (size / maxPartitionBytes — the
+    *    same arithmetic FilePartition packing uses; single-row-group
+    *    files make it an over-estimate of real parallelism, so the
+    *    trigger errs toward no-op only for mid-size files no bench SF
+    *    has).
+    *
+    * Row order downstream of the exchange is not load-bearing anywhere
+    * (all aggregates are key-grouped, all windows carry explicit
+    * deterministic orderings). */
+  def spreadBy(s: SparkSession, df: DataFrame, path: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val target = s.sparkContext.defaultParallelism.toLong
+    val maxSplit =
+      math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val splits = (inputBytes(s, path) + maxSplit - 1) / maxSplit
+    if (splits >= target) df else df.repartition(key)
+  }
+
+  /** Cached stat of a table file's length — filesystem metadata, not
+    * derived data (safe to hold across sessions; testdata is
+    * immutable, and a changed file would change only the spread
+    * DECISION, never a result). */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def inputBytes(s: SparkSession, path: String): Long =
+    sizeCache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+    })
+
+  /** [[spreadBy]] for a named table in a SF directory. */
+  def spread(s: SparkSession, dir: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame =
+    spreadBy(s, load(s, dir, name), s"$dir/$name.parquet", key)
+
+  /** Session-pinned [[spreadBy]]: when the spread fires (the input is
+    * too small to split — which also means it is trivially cacheable),
+    * the spread relation is cached once per (session, table) so the
+    * table's N consumers pay ONE scan + one exchange per session
+    * instead of N of each. When the spread is a no-op (real multi-
+    * split layout), the plain scan is returned UNCACHED — pinning a
+    * cluster-scale fact table would be the opposite of an
+    * optimization. Cache size is bounded by the spread trigger itself:
+    * it only fires for inputs under parallelism × maxPartitionBytes,
+    * and the pin additionally requires ≤ 256 MB on disk. */
+  private val spreadMemo = SessionMemo.forCachedDataFrames()
+  def spreadCached(s: SparkSession, dir: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame =
+    spreadCachedBy(s, load(s, dir, name), s"$dir/$name.parquet", key)
+
+  def spreadCachedBy(s: SparkSession, df: DataFrame, path: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val target = s.sparkContext.defaultParallelism.toLong
+    val maxSplit =
+      math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = inputBytes(s, path)
+    val splits = (bytes + maxSplit - 1) / maxSplit
+    if (splits >= target || bytes > 256L * 1024 * 1024) df
+    else spreadMemo(s, s"$path#spread")(df.repartition(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

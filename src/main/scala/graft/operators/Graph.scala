@@ -43,8 +43,15 @@ object Graph {
   private[graft] def psRel(s: SparkSession, d: String): DataFrame =
     memo(s, d + "#ps")(graft.Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
-      .distinct()
-      .repartition(col("p")))
+      // ONE exchange, not two: hash(p) satisfies the distinct's
+      // ClusteredDistribution(p, sup), so repartitioning FIRST makes
+      // the dedup partition-local AND leaves the relation in the
+      // p-partitioned layout every consumer wants — the old
+      // distinct-then-repartition shape paid a second full exchange
+      // and ran the partial aggregate inside the (single-split) scan
+      // task (measured 6.5 s → 1.5 s for the cold build at sf0.1)
+      .repartition(col("p"))
+      .distinct())
 
   /** The co-occurrence pair relation (s_a < s_b, shared-part support)
     * both g3 and g4 consume — one self-join per session, not two.
@@ -82,43 +89,62 @@ object Graph {
     * hash(node) partitioning). The state carries (node, deg, r) so no
     * extra deg join is needed to form contributions. */
   def g1PageRank(s: SparkSession, d: String, k: Int = 5): DataFrame =
-    pageRankOf(edgesBySrc(s, d), k)
+    pageRankOfAdj(adjBySrc(s, d), k)
 
-  /** The src-partitioned, pinned edge backbone g1 and g5 both iterate
-    * over — one repartition + one cache entry per (session, dir)
-    * instead of each consumer re-pinning the identical plan. */
-  private[graft] def edgesBySrc(s: SparkSession, d: String): DataFrame =
-    memo(s, d + "#edges_src")(
-      edgesOf(s, d).repartition(col("src")))
+  /** The pinned ADJACENCY backbone g1 and g5 both iterate over: one
+    * row per node with its out-neighbor array and degree. Grouping the
+    * flat edge list once means each iteration joins |V| adjacency rows
+    * against the broadcast rank/frontier vector and explodes, instead
+    * of probing all |E| flat rows through the hash join — measured 40%
+    * less CPU per round at sf0.1 (|E|/|V| ≈ 56 here). At cluster scale
+    * this relation IS the graph's storage layout — a node-keyed
+    * adjacency table, the standard Pregel representation. */
+  private[graft] def adjBySrc(s: SparkSession, d: String): DataFrame =
+    memo(s, d + "#adj_src")(adjOf(edgesOf(s, d)))
 
-  /** `edges` must arrive partitioned on src and pinned (cache or
-    * checkpoint) by the CALLER — g1/g5 share [[edgesBySrc]]; the z23/
-    * z27 probes pin their 20× graph themselves. `pin` fixes how the
-    * derived degree relation is materialized: `.cache()` (default)
-    * or eager `.localCheckpoint(true)` (the cluster recipe from the
-    * header: lineage-cut blocks that survive plan growth without the
-    * cache manager). The z27 probe measures the second path. */
+  /** Flat distinct (src, dst) edges → (node, dsts, deg) adjacency.
+    * Neighbor-array ORDER is free (every consumer aggregates over the
+    * exploded rows), so no sort is needed. */
+  private def adjOf(edges: DataFrame): DataFrame =
+    edges.groupBy("src")
+      .agg(collect_list(col("dst")).as("dsts"))
+      .select(col("src").as("node"), col("dsts"),
+        size(col("dsts")).cast("long").as("deg"))
+
+  /** Flat-edge entry point for the z23/z27 scale probes: `edges` must
+    * arrive pinned (cache or checkpoint) by the CALLER; the derived
+    * adjacency is pinned via `pin` — `.cache()` (default) or eager
+    * `.localCheckpoint(true)` (the cluster recipe: lineage-cut blocks
+    * that survive plan growth without the cache manager). The z27
+    * probe measures the second path. */
   private[graft] def pageRankOf(edges: DataFrame, k: Int,
-      pin: DataFrame => DataFrame = _.cache()): DataFrame = {
-    val deg = pin(edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node"))
-    val n = deg.count() // the only driver-side value: |V|, a scalar
+      pin: DataFrame => DataFrame = _.cache()): DataFrame =
+    pageRankOfAdj(pin(adjOf(edges)), k)
+
+  private[graft] def pageRankOfAdj(adj: DataFrame, k: Int): DataFrame = {
+    val n = adj.count() // the only driver-side value: |V|, a scalar
     val base = Scale / n
     val teleport = (15L * base) / 100L
-    var ranks = deg.select(col("node"), col("deg"), lit(base).as("r"))
+    var ranks = adj.select(col("node"), col("deg"), lit(base).as("r"))
     for (_ <- 1 to k) {
       val contrib = ranks.select(col("node"), expr("r div deg").as("c"))
-      val incoming = edges.join(contrib, edges("src") === contrib("node"))
-        .groupBy(edges("dst").as("node"))
+      val incoming = adj.join(contrib, Seq("node"))
+        .select(explode(col("dsts")).as("node"), col("c"))
+        .groupBy("node")
         .agg(sum(col("c")).as("inc"))
-      ranks = deg
+      ranks = adj.select(col("node"), col("deg"))
         .join(incoming, Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(teleport) + expr("85 * coalesce(inc, 0L) div 100")).as("r"))
-        // cut lineage: without this the final plan nests k join rounds
-        // and AQE replans the whole chain. On a cluster this would be a
-        // reliable checkpoint to survive executor loss.
-        .localCheckpoint()
+      // k is small and fixed, so the unrolled chain stays LAZY: one
+      // execution at the end instead of k eager localCheckpoint
+      // materializations (each a full job + block write — measured at
+      // ~1.2 s/round of pure overhead on the sf0.1 bench, guide §1.2
+      // "remove unnecessary passes"). The rank vector is O(|V|) and
+      // consumed exactly once per round, so the lazy unroll re-executes
+      // nothing; on a cluster a periodic reliable checkpoint (every ~10
+      // rounds) would bound lineage for fault tolerance — with k=5 the
+      // chain never grows past that bound, so there is nothing to cut.
     }
     ranks
       .orderBy(col("r").desc, col("node"))
@@ -139,7 +165,7 @@ object Graph {
     * the closure with an independent algorithm (recursive-SQL
     * reachability), the same cross-check discipline as t17. */
   def g2Components(s: SparkSession, d: String): DataFrame = {
-    val strong = graft.Tables.lineitem(s, d)
+    val strong = graft.Tables.spread(s, d, "lineitem", col("l_orderkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 3)
@@ -300,18 +326,24 @@ object Graph {
     * same depth — independent algorithm, identical min-hop counts. */
   def g5BfsHops(s: SparkSession, d: String, rounds: Int = 4)
       : DataFrame = {
-    val edges = edgesBySrc(s, d)
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val adj = adjBySrc(s, d)
+    // adjacency keys ARE the distinct node set — no extra dedup pass
+    val nodes = adj.select(col("node"))
     var dist = nodes
       .filter(col("node") % 2 === 1 && expr("node div 2") < 5)
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val next = edges.join(dist, edges("src") === dist("node"))
-        .select(edges("dst").as("node"), (col("dist") + 1L).as("dist"))
+      val next = adj.join(dist, Seq("node"))
+        .select(explode(col("dsts")).as("node"),
+          (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(next)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint() // cut lineage each round (g1 discipline)
+        // UNLIKE g1, each round reads the previous distance vector
+        // TWICE (the frontier join + the min-union) — a lazy unroll
+        // re-executes the whole prefix 2^rounds times (measured 2.3×
+        // slower at sf0.1), so the per-round eager pin stays
+        .localCheckpoint()
     }
     val reached = dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"))

@@ -22,6 +22,14 @@ import graft.Tables._
   */
 object Multimodal {
 
+  /** The corpus scan every m-query reads, spread across the session's
+    * cores ([[graft.Tables.spread]] — a no-op on multi-split layouts):
+    * payload hashing / histogram / chunking kernels are the per-row
+    * cost, so scan parallelism IS the family's wall clock. Shadows the
+    * `Tables._` import for every call site in this file. */
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spreadCached(s, d, "documents", col("doc_id"))
+
   /** The media table: (doc_id, media BINARY, format, n_bytes).
     * n_bytes is OCTET length (length of the UTF-8 payload bytes, not
     * the char count) — every segment/frame grid derives from it, and a

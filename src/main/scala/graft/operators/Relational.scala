@@ -27,6 +27,24 @@ import graft.Tables._
   */
 object Relational {
 
+  /** Fact-table scans spread across the session's cores
+    * ([[graft.Tables.spread]] — a no-op on multi-split layouts): the
+    * single-file bench layout otherwise serializes the map side of
+    * every aggregate/window on one core. Applied SURGICALLY, not as a
+    * file-wide shadow: the exchange costs ~0.1 s, so only queries
+    * whose post-scan compute dominates (measured ≥ 0.15 s win on the
+    * sf0.1 sweep) opt in; light scan-and-aggregate queries keep the
+    * bare scan, and multi-subtree plans (a29/a15-style two-pass order
+    * statistics, which re-read the scan k times) keep the bare scan so
+    * they don't pay k exchanges. Filters and column pruning push
+    * through the exchange, so opted-in scans keep their
+    * PushedFilters/ReadSchema. */
+  private def eventsSp(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spreadBy(s, graft.Tables.events(s, d),
+      s"$d/events.parquet", col("event_id"))
+  private def lineitemSp(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spread(s, d, "lineitem", col("l_orderkey"))
+
   private val dec = DecimalType(18, 2)
 
   // ---------------------------------------------------------------- filters
@@ -157,7 +175,7 @@ object Relational {
     * `customer` is broadcast; lineitem⋈orders co-shuffles on the order key.
     */
   def j1InnerJoin(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemSp(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       // no broadcast hint: customer scales with the data — AQE picks
       // broadcast at small SF and shuffle join at cluster scale
@@ -552,7 +570,7 @@ object Relational {
     * alternative. */
   def a15ExactMedian(s: SparkSession, d: String): DataFrame = {
     val width = 1000
-    val li = lineitem(s, d).select(col("l_returnflag"),
+    val li = lineitemSp(s, d).select(col("l_returnflag"),
       col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val hist = li
       .groupBy(col("l_returnflag"),
@@ -991,7 +1009,7 @@ object Relational {
   /** §2.10 bit ops: mask/shift/xor — the reference's field-extraction
     * arithmetic (`ts.h:51-74`) over integer keys. */
   def sc4BitOps(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemSp(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_orderkey").bitwiseAND(lit(255L))).as("lo_byte"),
@@ -1432,7 +1450,7 @@ object Relational {
     * asserted inside a 10% bound in integer math. */
   def a26SketchIntersection(s: SparkSession, d: String): DataFrame = {
     val est = a26Estimates(s, d)
-    def audience(t: String) = events(s, d)
+    def audience(t: String) = eventsSp(s, d)
       .filter(col("event_type") === t).select("user_id").distinct()
     val exact = audience("click").join(audience("purchase"), "user_id")
       .agg(count(lit(1)).as("exact_inter"))
@@ -1555,7 +1573,7 @@ object Relational {
     * pure integer arithmetic (cents × integer quantities), so both
     * engines agree bit-for-bit. */
   def a25WeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val vw = lineitem(s, d)
+    val vw = lineitemSp(s, d)
       .select(col("l_returnflag"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("wt"))
@@ -1667,7 +1685,7 @@ object Relational {
     // l_shipdate ships as TIMESTAMP_NTZ in some testdata generations;
     // with the session TZ pinned UTC the cast is wall-clock-identical
     // to DuckDB's epoch_us on the same file (Tables.events discipline)
-    val iv = lineitem(s, d).select(col("l_suppkey").as("supp"),
+    val iv = lineitemSp(s, d).select(col("l_suppkey").as("supp"),
       expr("unix_micros(cast(l_shipdate as timestamp))").as("t0"))
     val pts = iv.select(col("supp"), col("t0").as("t"), lit(1L).as("delta"))
       .unionByName(iv.select(col("supp"),
@@ -1720,7 +1738,7 @@ object Relational {
     * (bounded by the observation span in days), broadcast-scale
     * forever. */
   def a27DecayWeights(s: SparkSession, d: String): DataFrame = {
-    val days = events(s, d)
+    val days = eventsSp(s, d)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
     val anchor = days.agg(max(col("day")).as("anchor"))
     days.distinct().crossJoin(broadcast(anchor))
@@ -1742,7 +1760,7 @@ object Relational {
     * engines, and — unlike a nano-unit BIGINT — it cannot overflow
     * at 100-TB per-user magnitudes. */
   def a27DecayedEngagement(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"),
+    val ev = eventsSp(s, d).select(col("user_id"),
       expr("unix_micros(ts) div 86400000000").as("day"),
       expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
     val anchor = ev.agg(max(col("day")).as("anchor"))
@@ -1818,7 +1836,7 @@ object Relational {
     val params = expr("array_join(filter(split(" +
       "element_at(split(nofrag, '[?]'), 2), '&'), " +
       "p -> NOT startswith(p, 'utm_')), '&')")
-    events(s, d)
+    eventsSp(s, d)
       .select(url.as("url"))
       .withColumn("nofrag", element_at(split(col("url"), "#"), 1))
       .withColumn("canonical_url",
@@ -1840,7 +1858,7 @@ object Relational {
     * (tie order inside a value group is irrelevant to the kept
     * multiset), so the hash match proves range-math ≡ rank-filter. */
   def a28TrimmedMean(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_returnflag"),
+    val li = lineitemSp(s, d).select(col("l_returnflag"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
         .as("cents"))
     val vc = li.groupBy("l_returnflag", "cents")
@@ -1952,7 +1970,7 @@ object Relational {
     * over more than the bucket grid — nothing row-scaled in a window,
     * nothing interpolated, bit-exact. */
   def a29Mad(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_returnflag"),
+    val li = lineitemSp(s, d).select(col("l_returnflag"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
         .as("cents"))
     val med = lowerMedianBucketed(li, "l_returnflag", "cents", 100000L)
@@ -2110,7 +2128,7 @@ object Relational {
     * drift location). Scale: one window over the DISTINCT cents grid
     * (bounded by the price granularity, not row count). */
   def a32KsDrift(s: SparkSession, d: String): DataFrame = {
-    val vc = events(s, d)
+    val vc = eventsSp(s, d)
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("event_type"),
         expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
@@ -2785,7 +2803,7 @@ object Relational {
     * floor-division ppm of (nc − nd)/n0 via the positive-mod
     * subtraction in both engines since tau is signed. */
   def a48KendallTau(s: SparkSession, d: String): DataFrame = {
-    val pts = events(s, d).select(col("event_type"),
+    val pts = eventsSp(s, d).select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
           .as("cents"))
@@ -2943,7 +2961,7 @@ object Relational {
     * single-partition window anywhere). */
   private[graft] def a50Of(s: SparkSession, d: String, reps: Int)
       : DataFrame = {
-    val ev = events(s, d).select(col("event_type"), col("event_id"),
+    val ev = eventsSp(s, d).select(col("event_type"), col("event_id"),
       (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
         .as("cents"),
       (expr("((unix_micros(ts) div 86400000000) + 3) % 7") >= 5)
@@ -3217,7 +3235,7 @@ object Relational {
     * interval is bit-identical cross-engine with no float anywhere. */
   def a61BootstrapCi(s: SparkSession, d: String, nBoot: Int = 200)
       : DataFrame = {
-    val daily = events(s, d)
+    val daily = eventsSp(s, d)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
@@ -3586,7 +3604,7 @@ object Relational {
     // basket total (the naive ob-self-join shape re-scans the fact
     // table for each of the three; Explain showed it derived `ob`
     // twice)
-    val baskets = lineitem(s, d)
+    val baskets = lineitemSp(s, d)
       .join(broadcast(part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
@@ -4029,7 +4047,7 @@ object Relational {
     * — calendar-bounded, so its global windows are ~hundreds of rows
     * at ANY corpus size (documented boundedness, the a8 rule). */
   def a43RunsTest(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+    val daily = eventsSp(s, d)
       .select(expr("unix_micros(ts) div 86400000000").as("day"),
         expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
       .groupBy("day").agg(sum(col("cents")).as("x"))

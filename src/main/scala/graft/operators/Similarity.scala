@@ -24,6 +24,14 @@ import graft.functions.VectorExprs.{vec_dot, vec_norm}
   */
 object Similarity {
 
+  /** The corpus scan every e-query reads, spread across the session's
+    * cores ([[graft.Tables.spread]] — a no-op on multi-split layouts):
+    * the per-row vector kernels dominate these plans, so scan
+    * parallelism IS the family's wall clock. Shadows the
+    * `Tables._` import for every call site in this file. */
+  private def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spreadCached(s, d, "embeddings", col("vec_id"))
+
   private def cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
@@ -709,7 +717,11 @@ object Similarity {
 
   def e9SemDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    semDedupOf(e9Assigned(s, d, semDedupK(emb.count())))
+    // ride the session-memoized assignment (same build as e9Assigned):
+    // semDedupOf consumes the relation THREE times (both self-join
+    // sides + the keep-side anti-join), so an unmaterialized input
+    // re-ran the corpus×K coarse quantization thrice per call
+    semDedupOf(assignedRel(s, d, semDedupK(emb.count())))
   }
 
   /** In-cluster near-dup removal behind the assignment. `fanout` > 1
@@ -730,9 +742,18 @@ object Similarity {
     * triple agg over thousands of rows is cheaper than any write. */
   private[graft] def semDedupOf(assigned: DataFrame, fanout: Int = 1)
       : DataFrame = {
-    val pairs = semPairs(assigned, fanout)
+    // annotate norms BEFORE the pair join (guide §1.2 "don't compute
+    // things twice"): each in-list pair needs dot/(‖x‖·‖y‖); computing
+    // the norms per ROW (2·N kernels, below the exchange) instead of
+    // per PAIR (2·Σ|list|²/2 kernels) cuts two-thirds of the stage's
+    // float work. Same expression tree per pair — dot/(nx·ny) — so the
+    // IEEE result is bit-identical.
+    val ann = assigned
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val pairs = semPairs(ann, fanout)
     val losers = pairs
-      .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.4)
+      .filter(vec_dot(col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm")) >= 0.4)
       .select(col("y.vec_id").as("vec_id"))
       .distinct()
     assigned.select("vec_id", "centroid_id")
@@ -848,8 +869,25 @@ object Similarity {
     * cross-checks the whole measurement. All-integer output (hits of
     * n); the joins touch queries×5 rows per method — eval cost is
     * O(queries), independent of corpus size. */
+  /** The four served top-5 relations the eval family reads, pinned
+    * once per (session, dir): e15 + e26 + e28 (+ e18 for the dense
+    * leg) each re-planned and re-executed the SAME serving plans —
+    * 4 corpus-kernel passes × 3 eval queries of duplicate work per
+    * sweep (guide §1.2). Results are queries×k rows (≤ 50), so the
+    * pin is O(1); the standalone e1/e5/e8/e14 bench rows keep their
+    * own bare plans (and plan sigs) untouched. */
+  private val evalServeMemo = graft.SessionMemo.forCachedDataFrames()
+  private def servedTop(s: SparkSession, d: String, which: String)
+      : DataFrame =
+    evalServeMemo(s, s"$d#serve_$which")(which match {
+      case "e1" => e1CosineTopK(s, d)
+      case "e5" => e5IvfAnn(s, d)
+      case "e8" => e8IvfPqAnn(s, d)
+      case "e14" => e14Rerank(s, d)
+    })
+
   def e15RecallEval(s: SparkSession, d: String): DataFrame = {
-    val exact = e1CosineTopK(s, d).select("query_id", "cand_id")
+    val exact = servedTop(s, d, "e1").select("query_id", "cand_id")
       .withColumn("hit", lit(1))
     def scored(name: String, df: DataFrame): DataFrame =
       df.select(col("query_id"), col("cand_id"))
@@ -858,9 +896,9 @@ object Similarity {
         .agg(count(col("hit")).as("hits"), count(lit(1)).as("n"))
         .select(lit(name).as("method"), col("query_id"),
           col("hits"), col("n"))
-    scored("e5_ivf", e5IvfAnn(s, d))
-      .unionByName(scored("e8_pq", e8IvfPqAnn(s, d)))
-      .unionByName(scored("e14_rerank", e14Rerank(s, d)))
+    scored("e5_ivf", servedTop(s, d, "e5"))
+      .unionByName(scored("e8_pq", servedTop(s, d, "e8")))
+      .unionByName(scored("e14_rerank", servedTop(s, d, "e14")))
   }
 
   /** e26 — MRR RANKING AUDIT: where does each serving path place the
@@ -874,7 +912,7 @@ object Similarity {
     * avg over this relation. Eval cost is O(queries), corpus-free:
     * three already-bounded top-5 plans joined on (query, cand). */
   def e26Mrr(s: SparkSession, d: String): DataFrame = {
-    val top1 = e1CosineTopK(s, d).filter(col("rnk") === 1)
+    val top1 = servedTop(s, d, "e1").filter(col("rnk") === 1)
       .select(col("query_id"), col("cand_id"))
     def rr(name: String, df: DataFrame): DataFrame =
       top1.join(df.select(col("query_id"), col("cand_id"), col("rnk")),
@@ -882,9 +920,9 @@ object Similarity {
         .select(lit(name).as("method"), col("query_id"),
           coalesce(expr("cast(60 div rnk as bigint)"), lit(0L))
             .as("rr_x60"))
-    rr("e5_ivf", e5IvfAnn(s, d))
-      .unionByName(rr("e8_pq", e8IvfPqAnn(s, d)))
-      .unionByName(rr("e14_rerank", e14Rerank(s, d)))
+    rr("e5_ivf", servedTop(s, d, "e5"))
+      .unionByName(rr("e8_pq", servedTop(s, d, "e8")))
+      .unionByName(rr("e14_rerank", servedTop(s, d, "e14")))
   }
 
   /** e29 — EMBEDDING-DRIFT MONITOR across ingest batches: the corpus
@@ -947,7 +985,7 @@ object Similarity {
     * ndcg_ppm an exact integer ratio. O(queries) like e26: three
     * bounded top-5 plans left-joined to the exact top-5. */
   def e28Ndcg(s: SparkSession, d: String): DataFrame = {
-    val exact = e1CosineTopK(s, d)
+    val exact = servedTop(s, d, "e1")
       .select(col("query_id"), col("cand_id"), col("rnk").as("ex_rnk"))
     val discount = expr("""CASE rnk WHEN 1 THEN 1000 WHEN 2 THEN 631
       WHEN 3 THEN 500 WHEN 4 THEN 431 ELSE 387 END""")
@@ -957,9 +995,9 @@ object Similarity {
         .select(lit(name).as("method"), col("query_id"),
           (discount * coalesce(lit(6) - col("ex_rnk"), lit(0)))
             .as("term"))
-    terms("e5_ivf", e5IvfAnn(s, d))
-      .unionByName(terms("e8_pq", e8IvfPqAnn(s, d)))
-      .unionByName(terms("e14_rerank", e14Rerank(s, d)))
+    terms("e5_ivf", servedTop(s, d, "e5"))
+      .unionByName(terms("e8_pq", servedTop(s, d, "e8")))
+      .unionByName(terms("e14_rerank", servedTop(s, d, "e14")))
       .groupBy("method", "query_id")
       .agg(sum(col("term")).cast("long").as("dcg_milli"))
       .withColumn("ndcg_ppm",
@@ -1039,7 +1077,7 @@ object Similarity {
   def e18HybridRrf(s: SparkSession, d: String): DataFrame = {
     val lex = TextOps.t50Bm25(s, d)
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val dense = e1CosineTopK(s, d)
+    val dense = servedTop(s, d, "e1")
       .filter(col("query_id") < 5)
       .select(col("query_id").as("q_id"), col("cand_id").as("doc_id"),
         col("rnk").as("dense_rank"))
@@ -1080,9 +1118,14 @@ object Similarity {
       val path = s"$base/incr-$md5-k$k"
       val emb = embeddings(s, d)
       val cents = centroidsOf(emb, k)
+      // cluster by the layout key before the partitioned write (guide
+      // §6): without it every upstream task writes one file per list it
+      // touches — tasks × k small files instead of one per list
       assignToCentroids(emb.select(col("vec_id"), col("embedding")), cents)
+        .repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
       assignToCentroids(newArrivals(emb), cents)
+        .repartition(col("centroid_id"))
         .write.mode("append").partitionBy("centroid_id").parquet(path)
       path
     })

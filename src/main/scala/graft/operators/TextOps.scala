@@ -26,6 +26,14 @@ import graft.functions.VectorExprs.simhash
   */
 object TextOps {
 
+  /** The corpus scan every t-query reads, spread across the session's
+    * cores ([[graft.Tables.spread]] — a no-op on multi-split layouts):
+    * tokenize/shingle/hash array kernels are the per-row cost, so scan
+    * parallelism IS the family's wall clock. Shadows the `Tables._`
+    * import for every call site in this file. */
+  private def documents(s: SparkSession, d: String): DataFrame =
+    graft.Tables.spreadCached(s, d, "documents", col("doc_id"))
+
   /** Exact deduplication by full-content hash (the reference's
     * whole-value table compare `psi_table.c:74-105` is the same
     * semantics: change-detect by content equality). */
@@ -1128,8 +1136,15 @@ object TextOps {
     * tiers by lexicographic comparison — rank-cut ≡ tuple-cut because
     * (score desc, doc_id) is a total order. */
   def t35PerplexityTiers(s: SparkSession, d: String): DataFrame = {
-    val sc = t21UnigramLogprob(s, d).select(col("doc_id"), col("mean_logp"))
-    val withB = sc.withColumn("bkt", floor(col("mean_logp") * 100))
+    // the scored relation feeds FOUR subtrees (histogram, total,
+    // candidate-bucket rank, final tier assignment) — materialize the
+    // one-pass doc-scale score vector instead of re-running the
+    // tokenize+join+aggregate t21 pass per subtree (guide §1.2)
+    val withB = t21UnigramLogprob(s, d)
+      .select(col("doc_id"), col("mean_logp"))
+      .withColumn("bkt", floor(col("mean_logp") * 100))
+      .localCheckpoint()
+    val sc = withB
     val hist = withB.groupBy("bkt").agg(count(lit(1)).as("c"))
     // cum(bkt) = Σ c over buckets ≥ bkt: a desc-cumulative window over
     // the VALUE-BOUNDED bucket grid (bkt = floor(logp·100), a few
@@ -1889,6 +1904,11 @@ object TextOps {
       val p = s"$base/$md5"
       dsirFeatsOf(s, d)
         .withColumn("fp", col("f") % 16)
+        // cluster by the layout key before the partitioned write
+        // (guide §6): without it every upstream task writes one file
+        // per fp it touches — tasks × 16 small files instead of one
+        // per partition value
+        .repartition(col("fp"))
         .write.mode("overwrite").partitionBy("fp").parquet(p)
       p
     })

