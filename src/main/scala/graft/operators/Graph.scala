@@ -128,12 +128,20 @@ object Graph {
     var ranks = adj.select(col("node"), col("deg"), lit(base).as("r"))
     for (_ <- 1 to k) {
       val contrib = ranks.select(col("node"), expr("r div deg").as("c"))
-      val incoming = adj.join(contrib, Seq("node"))
+      // SHUFFLE_HASH pin on the node-scaled rank vector (g7/t10 rule):
+      // adj is cached hash(node)-partitioned and each round's contrib
+      // arrives hash(node)-partitioned from the previous round's
+      // aggregate, so the pin makes every round a sort-free
+      // co-partitioned hash join; the static planner otherwise plans
+      // SMJ (unknown stats on the lazy chain) and re-sorts both sides
+      // per round. At 100 TB a rank vector never broadcasts — this is
+      // also the only scale-safe strategy.
+      val incoming = adj.join(contrib.hint("SHUFFLE_HASH"), Seq("node"))
         .select(explode(col("dsts")).as("node"), col("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inc"))
       ranks = adj.select(col("node"), col("deg"))
-        .join(incoming, Seq("node"), "left")
+        .join(incoming.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(teleport) + expr("85 * coalesce(inc, 0L) div 100")).as("r"))
       // k is small and fixed, so the unrolled chain stays LAZY: one

@@ -969,10 +969,15 @@ object TextOps {
       // checkpoint the hop BEFORE the halving self-join: the union-
       // rooted plan trips Catalyst's constraint rewrite under a
       // self-join, and the truncation is the round's plan-flattening
-      // anyway (label-scaled relation — one cheap pass)
+      // anyway (label-scaled relation — one cheap pass). LAZY
+      // checkpoint: the round's checksum action below materializes it
+      // (first job over the RDD writes the checkpoint blocks), so the
+      // round pays ONE action instead of an eager-materialize THEN the
+      // checksum — measured ~0.3 s/round of scheduling overhead on the
+      // m8 media graph
       val hop = labels.unionByName(viaNb)
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // path halving (pointer jumping): also point each node at its
       // parent's parent — comp(x) ≤ x is invariant, so comp(comp) only
       // tightens labels, and rounds drop from O(diameter) to
