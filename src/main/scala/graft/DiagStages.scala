@@ -50,7 +50,23 @@ object DiagStages {
       val n = fn(spark, sfDir).count()
       println(f"[diag] $name rep $i: wall ${(System.nanoTime() - t0) / 1e9}%.3f s rows $n")
     }
-    Thread.sleep(1000) // let the listener bus drain
+    // drain the listener bus DETERMINISTICALLY — a fixed sleep could
+    // truncate per-stage rows for slow-finishing stages (round-9
+    // advice); ListenerBus.waitUntilEmpty is test-visible API, reached
+    // via reflection because it is package-private to o.a.spark
+    try {
+      val m = spark.sparkContext.getClass.getMethods
+        .find(_.getName == "listenerBus").get
+      val bus = m.invoke(spark.sparkContext)
+      bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .orElse(bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 1))
+        .foreach { wm =>
+          if (wm.getParameterCount == 0) wm.invoke(bus)
+          else wm.invoke(bus, java.lang.Long.valueOf(10000L))
+        }
+    } catch { case _: Throwable => Thread.sleep(1000) }
     rows.forEach(println)
     spark.stop()
   }

@@ -90,8 +90,11 @@ object Tables {
       math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
     val bytes = inputBytes(s, path)
     val splits = (bytes + maxSplit - 1) / maxSplit
+    // the partition key is part of the memo identity: two callers
+    // spreading the same table on different keys must not silently
+    // share the first caller's layout (round-9 advice)
     if (splits >= target || bytes > 256L * 1024 * 1024) df
-    else spreadMemo(s, s"$path#spread")(df.repartition(key))
+    else spreadMemo(s, s"$path#spread#$key")(df.repartition(key))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

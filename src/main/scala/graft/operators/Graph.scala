@@ -125,35 +125,52 @@ object Graph {
     val n = adj.count() // the only driver-side value: |V|, a scalar
     val base = Scale / n
     val teleport = (15L * base) / 100L
-    var ranks = adj.select(col("node"), col("deg"), lit(base).as("r"))
-    for (_ <- 1 to k) {
-      val contrib = ranks.select(col("node"), expr("r div deg").as("c"))
-      // SHUFFLE_HASH pin on the node-scaled rank vector (g7/t10 rule):
-      // adj is cached hash(node)-partitioned and each round's contrib
-      // arrives hash(node)-partitioned from the previous round's
-      // aggregate, so the pin makes every round a sort-free
-      // co-partitioned hash join; the static planner otherwise plans
-      // SMJ (unknown stats on the lazy chain) and re-sorts both sides
-      // per round. At 100 TB a rank vector never broadcasts — this is
-      // also the only scale-safe strategy.
-      val incoming = adj.join(contrib.hint("SHUFFLE_HASH"), Seq("node"))
-        .select(explode(col("dsts")).as("node"), col("c"))
+    // FUSED rounds (guide §2.4 / §1.2, round-10): the loop state is the
+    // incoming-mass vector (node, inc), not the rank vector — the rank
+    // r = teleport + 85·inc div 100 and the contribution c = r div deg
+    // are computed INSIDE the one join that attaches the adjacency, so
+    // each round is ONE co-partitioned hash join + the (fundamental)
+    // rank-mass exchange instead of two joins (the old contrib build +
+    // deg re-attach paid a second |V|-row hash build/probe per round:
+    // 10 ShuffledHashJoins for k=5, now 5). Integer arithmetic is
+    // unchanged term for term, so ranks are bit-identical.
+    //
+    // SHUFFLE_HASH pin on the node-scaled mass vector (g7/t10 rule):
+    // adj is cached hash(node)-partitioned and each round's `incoming`
+    // arrives hash(node)-partitioned from the previous round's
+    // aggregate, so the pin makes every round a sort-free
+    // co-partitioned hash join; the static planner otherwise plans
+    // SMJ (unknown stats on the lazy chain) and re-sorts both sides
+    // per round. At 100 TB a rank vector never broadcasts — this is
+    // also the only scale-safe strategy.
+    //
+    // k is small and fixed, so the unrolled chain stays LAZY: one
+    // execution at the end instead of k eager localCheckpoint
+    // materializations (each a full job + block write — measured at
+    // ~1.2 s/round of pure overhead on the sf0.1 bench, guide §1.2
+    // "remove unnecessary passes"). The mass vector is O(|V|) and
+    // consumed exactly once per round, so the lazy unroll re-executes
+    // nothing; on a cluster a periodic reliable checkpoint (every ~10
+    // rounds) would bound lineage for fault tolerance — with k=5 the
+    // chain never grows past that bound, so there is nothing to cut.
+    val rankOfInc = s"($teleport" + "L + (85 * coalesce(inc, 0L) div 100))"
+    // round 1: every node holds rank = base, so its contribution is a
+    // pure function of adj — no join needed to seed the loop
+    var incoming = adj
+      .select(explode(col("dsts")).as("node"),
+        expr(s"${base}L div deg").as("c"))
+      .groupBy("node")
+      .agg(sum(col("c")).as("inc"))
+    for (_ <- 2 to k) {
+      incoming = adj.join(incoming.hint("SHUFFLE_HASH"), Seq("node"), "left")
+        .select(explode(col("dsts")).as("node"),
+          expr(s"$rankOfInc div deg").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inc"))
-      ranks = adj.select(col("node"), col("deg"))
-        .join(incoming.hint("SHUFFLE_HASH"), Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(teleport) + expr("85 * coalesce(inc, 0L) div 100")).as("r"))
-      // k is small and fixed, so the unrolled chain stays LAZY: one
-      // execution at the end instead of k eager localCheckpoint
-      // materializations (each a full job + block write — measured at
-      // ~1.2 s/round of pure overhead on the sf0.1 bench, guide §1.2
-      // "remove unnecessary passes"). The rank vector is O(|V|) and
-      // consumed exactly once per round, so the lazy unroll re-executes
-      // nothing; on a cluster a periodic reliable checkpoint (every ~10
-      // rounds) would bound lineage for fault tolerance — with k=5 the
-      // chain never grows past that bound, so there is nothing to cut.
     }
+    val ranks = adj.select(col("node"), col("deg"))
+      .join(incoming.hint("SHUFFLE_HASH"), Seq("node"), "left")
+      .select(col("node"), col("deg"), expr(rankOfInc).as("r"))
     ranks
       .orderBy(col("r").desc, col("node"))
       .limit(20)

@@ -34,9 +34,12 @@ object Relational {
     * file-wide shadow: the exchange costs ~0.1 s, so only queries
     * whose post-scan compute dominates (measured ≥ 0.15 s win on the
     * sf0.1 sweep) opt in; light scan-and-aggregate queries keep the
-    * bare scan, and multi-subtree plans (a29/a15-style two-pass order
-    * statistics, which re-read the scan k times) keep the bare scan so
-    * they don't pay k exchanges. Filters and column pruning push
+    * bare scan. Multi-subtree plans that re-read the scan k times
+    * (a15/a29-style two-pass order statistics) MAY still opt in — their
+    * k identical exchange subtrees collapse to one via runtime exchange
+    * reuse — but what was rejected for them is spreadCached: Spark's
+    * in-memory columnar cache costs ~4 cpu-s per re-read of a wide fact
+    * table (measured, round 9). Filters and column pruning push
     * through the exchange, so opted-in scans keep their
     * PushedFilters/ReadSchema. */
   private def eventsSp(s: SparkSession, d: String): DataFrame =
@@ -1204,14 +1207,14 @@ object Relational {
         expr("array_join(slice(sort_array(array_distinct(t)), 1, 3), ',')")
           .as("first3"))
 
-  /** sc9 — HUGEINT comparator CANARY (diagnostic row, round-9 judge
-    * ask): the engine emits the same BIGINT sum twice; the ORACLE
-    * leaves one copy as DuckDB's native `sum()` HUGEINT and casts the
-    * twin to BIGINT. Values are identical by construction, so any
-    * hash-red on this row isolates the driver comparator's HUGEINT
-    * rendering as the divergence — the root-cause probe for the
-    * r7/r8 a45/a46/m12 reds (of 314 oracles, exactly those three plus
-    * k5 emitted an uncast HUGEINT column). */
+  /** sc9 — HUGEINT comparator CANARY, retired round 10. In round 9 the
+    * engine emitted the same BIGINT sum twice while the ORACLE left one
+    * copy as DuckDB's native `sum()` HUGEINT and cast the twin to
+    * BIGINT; the resulting hash-red (rows/schema green, twin green)
+    * PROVED the driver comparator's HUGEINT rendering caused the r7/r8
+    * a45/a46/m12 reds (of 314 oracles, exactly those three plus k5
+    * emitted an uncast HUGEINT column). The oracle now casts both
+    * columns, so this row is a plain all-green regression guard. */
   def sc9HugeintCanary(s: SparkSession, d: String): DataFrame =
     nation(s, d)
       .groupBy("n_regionkey")

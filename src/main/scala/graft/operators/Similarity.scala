@@ -507,7 +507,58 @@ object Similarity {
     * inverted-list join, so the shuffle carries probed-list candidates
     * only, never the corpus product. */
   def e8IvfPqAnn(s: SparkSession, d: String): DataFrame =
-    ivfPqOf(embeddings(s, d), assignedOpt = Some(assignedRel(s, d)))
+    ivfPqOf(embeddings(s, d), assignedOpt = Some(assignedRel(s, d)),
+      codesOpt = Some(pqCodesRel(s, d)))
+
+  /** The STANDARD-PATH PQ code table (whole corpus encoded against the
+    * fixed 16-entry-per-subspace codebooks), memoized per (session,
+    * dir) like [[assignedRel]]: e8, e14's candidate stage and the
+    * e15/e18/e26/e28 eval pins each re-ran the identical corpus-wide
+    * encode — the single most expensive kernel of the family (m=8
+    * subspace scans × ks=16 distance kernels per vector) — up to four
+    * times per sweep (guide §1.2). At cluster scale this relation IS
+    * the PQ index build: computed once, persisted, served many times.
+    * Non-standard callers (the z9 20× probe, parameter sweeps) still
+    * encode inline via `codesOpt = None`. */
+  private val pqCodesMemo = graft.SessionMemo.forCachedDataFrames()
+  private[graft] def pqCodesRel(s: SparkSession, d: String): DataFrame =
+    pqCodesMemo(s, s"$d#pqcodes")(pqCodesOf(assignedRel(s, d),
+      pqCodebooksOf(embeddings(s, d), 8, 16, 64), 8, 64))
+
+  /** The per-subspace codebook table (code, j, cb, n2cb). Self-dots
+    * are precomputed per side (n2 columns) so the per-pair encode work
+    * is ONE dot kernel, not three: n2x + n2cb - 2·dot is the same
+    * double arithmetic as l2sq term-for-term, so the oracle's
+    * dot-composed L2 still matches bitwise. */
+  private def pqCodebooksOf(emb: DataFrame, m: Int, ks: Int, dim: Int)
+      : DataFrame = {
+    val sub = dim / m
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    emb.filter(col("vec_id") < ks).limit(ks)
+      .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
+      .select(col("code"), col("j"),
+        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("cb"))
+      .withColumn("n2cb", vec_dot(col("cb"), col("cb")))
+  }
+
+  /** Encode: nearest codebook entry per (vector, subspace); ties →
+    * lowest code, exactly the oracle's (d2 ASC, code ASC) row_number. */
+  private def pqCodesOf(assigned: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val js = explode(sequence(lit(0), lit(m - 1))).as("j")
+    assigned
+      .select(col("vec_id"), col("centroid_id"), col("embedding"), js)
+      .select(col("vec_id"), col("centroid_id"), col("j"),
+        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("xj"))
+      .withColumn("n2x", vec_dot(col("xj"), col("xj")))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("vec_id"), col("centroid_id"), col("j"), col("code"),
+        (col("n2x") + col("n2cb") -
+          lit(2.0) * vec_dot(col("xj"), col("cb"))).as("d2"))
+      .groupBy("vec_id", "centroid_id", "j")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
 
   /** `k`/`nprobe`/`m`/`ks` are the standard IVF-PQ tuning axes (list
     * count, probed lists, subspace count, codes per subspace); `dim` is
@@ -516,7 +567,8 @@ object Similarity {
     * thousands and ks to 256 (8-bit codes). */
   private[graft] def ivfPqOf(emb: DataFrame, k: Int = 16,
       nprobe: Int = 4, m: Int = 8, ks: Int = 16, dim: Int = 64,
-      topK: Int = 5, assignedOpt: Option[DataFrame] = None)
+      topK: Int = 5, assignedOpt: Option[DataFrame] = None,
+      codesOpt: Option[DataFrame] = None)
       : DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
@@ -526,27 +578,8 @@ object Similarity {
     def subspaces(vecCol: String): Column =
       slice(col(vecCol), col("j") * sub + 1, lit(sub))
     val js = explode(sequence(lit(0), lit(m - 1))).as("j")
-    // self-dots are precomputed per side (n2 columns) so the per-pair
-    // work is ONE dot kernel, not three: n2x + n2cb - 2·dot is the same
-    // double arithmetic as l2sq term-for-term, so the oracle's
-    // dot-composed L2 still matches bitwise
-    val codebooks = emb.filter(col("vec_id") < ks).limit(ks)
-      .select(col("vec_id").cast("int").as("code"), col("embedding"), js)
-      .select(col("code"), col("j"), subspaces("embedding").as("cb"))
-      .withColumn("n2cb", vec_dot(col("cb"), col("cb")))
-    // encode: nearest codebook entry per (vector, subspace); ties →
-    // lowest code, exactly the oracle's (d2 ASC, code ASC) row_number
-    val codes = assigned
-      .select(col("vec_id"), col("centroid_id"), col("embedding"), js)
-      .select(col("vec_id"), col("centroid_id"), col("j"),
-        subspaces("embedding").as("xj"))
-      .withColumn("n2x", vec_dot(col("xj"), col("xj")))
-      .join(broadcast(codebooks), Seq("j"))
-      .select(col("vec_id"), col("centroid_id"), col("j"), col("code"),
-        (col("n2x") + col("n2cb") -
-          lit(2.0) * vec_dot(col("xj"), col("cb"))).as("d2"))
-      .groupBy("vec_id", "centroid_id", "j")
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val codebooks = pqCodebooksOf(emb, m, ks, dim)
+    val codes = codesOpt.getOrElse(pqCodesOf(assigned, codebooks, m, dim))
     val probes = probesOf(emb, centroids, nprobe)
       .select("query_id", "centroid_id")
     val dtab = emb.filter(col("vec_id") < 10).limit(10)
@@ -575,7 +608,8 @@ object Similarity {
   private[graft] def e14Candidates(s: SparkSession, d: String)
       : DataFrame =
     ivfPqOf(embeddings(s, d), topK = 20,
-      assignedOpt = Some(assignedRel(s, d)))
+      assignedOpt = Some(assignedRel(s, d)),
+      codesOpt = Some(pqCodesRel(s, d)))
       .select("query_id", "cand_id")
 
   /** e14 — two-stage RETRIEVE-then-RERANK (the FAISS

@@ -2090,18 +2090,47 @@ object TextOps {
         substring(md5(col("trigram")), 1, 16).as("g"))
       .join(split, Seq("doc_id"))
       .select(col("split"), col("g"))
-      .distinct()
-    val totals = sg.groupBy("split").agg(count(lit(1)).as("n_grams"))
-    val pairs = sg.as("a")
-      .join(sg.as("b"),
-        col("a.g") === col("b.g") && col("a.split") < col("b.split"))
-      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(totals.withColumnRenamed("split", "split_a")
-        .withColumnRenamed("n_grams", "n_a")), Seq("split_a"))
-      .join(broadcast(totals.withColumnRenamed("split", "split_b")
-        .withColumnRenamed("n_grams", "n_b")), Seq("split_b"))
+    // ONE grouped membership pass instead of distinct + a distinct-gram
+    // SELF-JOIN (round-10, guide §2.4/§1.2): t12's split universe is
+    // the FIXED literal trio {train, val, test} (see t12HashSplit's
+    // when-chain — the names below are coupled to it), so per-gram
+    // membership is three max(bool) flags in a primitive codegen
+    // HashAggregate, and every output quantity is a sum over those
+    // flags: n_a = Σ in_a (distinct grams per split), n_shared(a,b) =
+    // Σ in_a·in_b. One hash(g) exchange replaces the old three shuffles
+    // of the distinct relation (distinct + totals + both self-join
+    // sides) and its ~1M-row hash probe; a collect_set variant was
+    // measured SLOWER than the join (ObjectHashAggregate + per-gram
+    // array allocation). Emission convention preserved: a pair with
+    // zero overlap produces no row (filter n_shared >= 1); pair order
+    // is the same lexicographic split_a < split_b the join used
+    // (test < train < val). Counts and the jaccard division are
+    // unchanged expressions.
+    def in(name: String) =
+      max(when(col("split") === name, 1L).otherwise(0L))
+    val m = sg.groupBy("g")
+      .agg(in("train").as("tr"), in("val").as("va"), in("test").as("te"))
+      .agg(sum(col("tr")).as("n_tr"), sum(col("va")).as("n_va"),
+        sum(col("te")).as("n_te"),
+        sum(col("tr") * col("va")).as("s_tr_va"),
+        sum(col("tr") * col("te")).as("s_tr_te"),
+        sum(col("va") * col("te")).as("s_va_te"))
+    def pairRow(a: String, b: String,
+        shared: org.apache.spark.sql.Column,
+        na: org.apache.spark.sql.Column,
+        nb: org.apache.spark.sql.Column) =
+      struct(lit(a).as("split_a"), lit(b).as("split_b"),
+        shared.as("n_shared"), na.as("n_a"), nb.as("n_b"))
+    m.select(explode(array(
+        pairRow("test", "train", col("s_tr_te"), col("n_te"), col("n_tr")),
+        pairRow("test", "val", col("s_va_te"), col("n_te"), col("n_va")),
+        pairRow("train", "val", col("s_tr_va"), col("n_tr"), col("n_va"))
+      )).as("r"))
+      .select(col("r.split_a").as("split_a"),
+        col("r.split_b").as("split_b"),
+        col("r.n_shared").as("n_shared"),
+        col("r.n_a").as("n_a"), col("r.n_b").as("n_b"))
+      .filter(col("n_shared") >= 1)
       .select(col("split_a"), col("split_b"), col("n_shared"),
         col("n_a"), col("n_b"),
         (col("n_shared").cast("double") /
@@ -2372,10 +2401,26 @@ object TextOps {
       .select(col("doc_id"), col("p.bigram").as("bigram"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
 
+  /** Train-split unigram counts, memoized per (session, dir): the t51
+    * family consumed this relation THREE times per scoring run (the
+    * bigram model's c(w₁) join side, the unigram backoff model, the
+    * OOV stats row) and each consumption re-ran the full tokenize +
+    * explode + aggregate corpus pass (guide §1.2 — the t35 shape).
+    * The relation is the train VOCABULARY — Zipf-bounded, far below
+    * corpus scale — so pinning it is O(model), not O(corpus); at
+    * cluster scale this is the LM's persisted count table. Pinned via
+    * eager localCheckpoint, NOT .cache(): the materialized RDD carries
+    * its real (small) size, so the bigram model's c(w₁) join keeps its
+    * auto-broadcast, where an unmaterialized cache's unknown stats
+    * demoted it to a sort-merge join (observed in the round-10 plan
+    * diff). */
+  private val t51UniMemo = graft.SessionMemo.forDataFrames()
   private def t51TrainUnigrams(s: SparkSession, d: String): DataFrame =
-    t51Toks(s, d).filter(col("is_train"))
-      .select(explode(col("t")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    t51UniMemo(s, s"$d#t51uni")(
+      t51Toks(s, d).filter(col("is_train"))
+        .select(explode(col("t")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
 
   /** Seen-bigram branch of Stupid Backoff (Brants et al. 2007):
     * S(w₂|w₁) = c(w₁w₂)/c(w₁), carried as ln quantized to
@@ -2384,16 +2429,25 @@ object TextOps {
     * Model size is the seen-bigram vocabulary — Zipf-bounded, far
     * below corpus scale, but NOT broadcast-assumed: the scoring join
     * hash-partitions on the bigram key. */
-  def t51BigramModel(s: SparkSession, d: String): DataFrame = {
-    val uni = t51TrainUnigrams(s, d)
-    t51PairsOf(t51Toks(s, d).filter(col("is_train")))
-      .groupBy(col("bigram"), col("w1")).agg(count(lit(1)).as("cbg"))
-      .join(uni.select(col("term").as("w1"), col("cnt").as("c1")),
-        Seq("w1"))
-      .select(col("bigram"),
-        log(col("cbg").cast("double") / col("c1").cast("double"))
-          .cast("decimal(18,9)").as("logp"))
-  }
+  /** Like the unigram relation, the trained bigram model is pinned
+    * per (session, dir) via eager localCheckpoint: it is consumed by
+    * the scoring run AND by the model dump, and the materialized
+    * (Zipf-bounded) size keeps the scoring join's auto-broadcast
+    * where the post-checkpoint join's inflated size ESTIMATE demoted
+    * it to a sort-merge join. */
+  private val t51BgMemo = graft.SessionMemo.forDataFrames()
+  def t51BigramModel(s: SparkSession, d: String): DataFrame =
+    t51BgMemo(s, s"$d#t51bg") {
+      val uni = t51TrainUnigrams(s, d)
+      t51PairsOf(t51Toks(s, d).filter(col("is_train")))
+        .groupBy(col("bigram"), col("w1")).agg(count(lit(1)).as("cbg"))
+        .join(uni.select(col("term").as("w1"), col("cnt").as("c1")),
+          Seq("w1"))
+        .select(col("bigram"),
+          log(col("cbg").cast("double") / col("c1").cast("double"))
+            .cast("decimal(18,9)").as("logp"))
+        .localCheckpoint()
+    }
 
   /** Backoff branch: α·c(w₂)/N with α = 0.4, same quantization. */
   def t51UnigramModel(s: SparkSession, d: String): DataFrame = {
@@ -2433,6 +2487,11 @@ object TextOps {
     val uni = t51UnigramModel(s, d)
       .select(col("term").as("w2"), col("logp").as("uni_logp"))
     pairs
+      // the model is above the broadcast threshold by design (seen-
+      // bigram vocabulary), so the scoring join hash-partitions on the
+      // bigram key; SMJ beat a SHUFFLE_HASH pin here (measured 0.6 vs
+      // 0.8 s warm — the per-partition hash build of ~1M string keys
+      // costs more than the sorts it saves)
       .join(bg, Seq("bigram"), "left")
       .join(uni, Seq("w2"), "left")
       .crossJoin(broadcast(t51ModelStats(s, d).select(col("oov_logp"))))

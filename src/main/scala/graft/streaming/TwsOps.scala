@@ -1685,20 +1685,25 @@ object TwsOps {
     // WHAT is emitted, only where.
     val partsKey = "spark.sql.shuffle.partitions"
     val priorParts = s.conf.get(partsKey)
-    s.conf.set(partsKey, math.max(1L, math.min(priorParts.toLong,
-      chunks.length / 64L)).toString)
-    val q = chunkStream(
-        mem.toDS().toDF("h", "doc_id", "format", "len", "off", "seq"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // plan construction and start() sit INSIDE the try: if either
+    // throws, the finally still restores the session confs — otherwise
+    // every later query in the session would silently plan with the
+    // replay's downsized shuffle partitioning (round-9 advice).
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     val out =
       try {
+        s.conf.set(partsKey, math.max(1L, math.min(priorParts.toLong,
+          chunks.length / 64L)).toString)
+        q = chunkStream(
+            mem.toDS().toDF("h", "doc_id", "format", "len", "off", "seq"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
         chunks.grouped(math.max(1, chunks.length / batches)).foreach {
           g => mem.addData(g.toSeq: _*); q.processAllAvailable()
         }
         s.table(name).as[ChunkOut].collect().toSeq
       } finally {
-        q.stop()
+        if (q != null) q.stop()
         s.conf.set(partsKey, priorParts)
         prior match {
           case Some(v) => s.conf.set(provKey, v)
