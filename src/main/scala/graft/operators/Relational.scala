@@ -34,14 +34,15 @@ object Relational {
     * file-wide shadow: the exchange costs ~0.1 s, so only queries
     * whose post-scan compute dominates (measured ≥ 0.15 s win on the
     * sf0.1 sweep) opt in; light scan-and-aggregate queries keep the
-    * bare scan. Multi-subtree plans that re-read the scan k times
-    * (a15/a29-style two-pass order statistics) MAY still opt in — their
-    * k identical exchange subtrees collapse to one via runtime exchange
-    * reuse — but what was rejected for them is spreadCached: Spark's
-    * in-memory columnar cache costs ~4 cpu-s per re-read of a wide fact
-    * table (measured, round 9). Filters and column pruning push
-    * through the exchange, so opted-in scans keep their
-    * PushedFilters/ReadSchema. */
+    * bare scan. The round-9 noise-flagged opt-ins (a15, a29, a50,
+    * a55-via-a50, a61) were re-measured in round 10 on interleaved
+    * per-query minima (2 runs per side) and the BARE scan won every
+    * one (e.g. a15 0.83 vs 1.17 s, a29 cpu 3.9 vs 6.6 s) — their
+    * multi-subtree plans pay k exchanges that runtime exchange reuse
+    * only partly collapses, so they are reverted. spreadCached stays
+    * rejected for wide fact tables (~4 cpu-s per cache re-read,
+    * round 9). Filters and column pruning push through the exchange,
+    * so opted-in scans keep their PushedFilters/ReadSchema. */
   private def eventsSp(s: SparkSession, d: String): DataFrame =
     graft.Tables.spreadBy(s, graft.Tables.events(s, d),
       s"$d/events.parquet", col("event_id"))
@@ -573,7 +574,7 @@ object Relational {
     * alternative. */
   def a15ExactMedian(s: SparkSession, d: String): DataFrame = {
     val width = 1000
-    val li = lineitemSp(s, d).select(col("l_returnflag"),
+    val li = graft.Tables.lineitem(s, d).select(col("l_returnflag"),
       col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val hist = li
       .groupBy(col("l_returnflag"),
@@ -1917,8 +1918,12 @@ object Relational {
       .select(col("user_id"),
         (col("anchor") - col("last_day")).as("recency_days"),
         col("frequency"), col("monetary"))
-      // 4 longs per user, consumed 4× (three quintile passes + join)
-      .cache()
+      // 4 longs per user, consumed 4× (three quintile passes + join);
+      // localCheckpoint, not .cache(): the in-memory COLUMNAR cache
+      // cost ~0.6-2.3 cpu-s per warm re-scan of even this tiny
+      // relation (DiagStages, round 10), the checkpointed RDD re-read
+      // is flat
+      .localCheckpoint()
     base
       .join(broadcast(quintile(base, "recency_days")
         .select(col("recency_days"), (lit(5) - col("q")).as("r_score"))),
@@ -1973,7 +1978,7 @@ object Relational {
     * over more than the bucket grid — nothing row-scaled in a window,
     * nothing interpolated, bit-exact. */
   def a29Mad(s: SparkSession, d: String): DataFrame = {
-    val li = lineitemSp(s, d).select(col("l_returnflag"),
+    val li = graft.Tables.lineitem(s, d).select(col("l_returnflag"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
         .as("cents"))
     val med = lowerMedianBucketed(li, "l_returnflag", "cents", 100000L)
@@ -2297,10 +2302,10 @@ object Relational {
   def a36PeakConcurrency(s: SparkSession, d: String): DataFrame = {
     // one session pass: each session EXPLODES into its two sweep
     // deltas (a union would re-derive the w8 session subtree per
-    // side, and a separate count a third time — the explode + the
-    // fold of n_sessions into the final aggregate keep the plan at
-    // two session derivations total: the sweep chain and the
-    // hour-offset relation)
+    // side, and a separate count a third time); the grouped boundary
+    // relation is then localCheckpoint'ed ONCE for its two consumers
+    // (sweep chain + hour-offset relation) — the w35 / t35
+    // materialize-once discipline, O(session boundaries)
     val deltas = w8SessionAgg(s, d)
       .select(explode(array(
         struct(expr("unix_micros(session_start)").as("t"),
@@ -2311,6 +2316,7 @@ object Relational {
       .groupBy("t", "delta")
       .agg((sum(col("delta"))).as("d"))
       .withColumn("hb", expr("t div 3600000000"))
+      .localCheckpoint()
     val wloc = Window.partitionBy("hb").orderBy("t", "delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val woff = Window.orderBy("hb")
@@ -2389,6 +2395,13 @@ object Relational {
   }
 
   def w35ConcurrencyPctile(s: SparkSession, d: String): DataFrame = {
+    // the grouped boundary relation (2 rows per session before the
+    // groupBy, one per distinct instant after) feeds BOTH the hour
+    // grid and the running-sum chain — localCheckpoint it once (the
+    // t35 materialize-once discipline, guide §1.2) instead of
+    // re-running the whole w8 sessionization subtree per consumer
+    // (measured: the two 0.24 s window stages ran twice in the warm
+    // profile). O(session boundaries), lineage-cut.
     val deltas = w8SessionAgg(s, d)
       .select(explode(array(
         struct(expr("unix_micros(session_start)").as("t"),
@@ -2399,6 +2412,7 @@ object Relational {
       .groupBy("t", "delta")
       .agg((sum(col("delta"))).as("d"))
       .withColumn("hb", expr("t div 3600000000"))
+      .localCheckpoint()
     val wloc = Window.partitionBy("hb").orderBy("t", "delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val woff = Window.orderBy("hb")
@@ -2595,15 +2609,16 @@ object Relational {
     * E⌊ — the classic mistake of dropping empty cells is structurally
     * impossible. */
   def a38Chi2(s: SparkSession, d: String): DataFrame = {
-    // the cell grid is |types|·7 rows — cache it so its FOUR
-    // consumers (row/column marginals, the total, the grid join)
-    // share one event scan; broadcast pinned so the cached statistics
-    // can't flip the outer-join strategy (the t13 lesson)
+    // the cell grid is |types|·7 rows — localCheckpoint it so its
+    // FOUR consumers (row/column marginals, the total, the grid join)
+    // share one event scan (cheaper to re-read than the columnar
+    // cache, measured round 10); broadcast pinned so statistics can't
+    // flip the outer-join strategy (the t13 lesson)
     val cells = events(s, d)
       .select(col("event_type"),
         expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
       .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
-      .cache()
+      .localCheckpoint()
     val rt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
     val ct = cells.groupBy("dow").agg(sum(col("o")).as("c"))
     val n = cells.agg(sum(col("o")).as("n"))
@@ -2964,7 +2979,7 @@ object Relational {
     * single-partition window anywhere). */
   private[graft] def a50Of(s: SparkSession, d: String, reps: Int)
       : DataFrame = {
-    val ev = eventsSp(s, d).select(col("event_type"), col("event_id"),
+    val ev = events(s, d).select(col("event_type"), col("event_id"),
       (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
         .as("cents"),
       (expr("((unix_micros(ts) div 86400000000) + 3) % 7") >= 5)
@@ -3238,7 +3253,7 @@ object Relational {
     * interval is bit-identical cross-engine with no float anywhere. */
   def a61BootstrapCi(s: SparkSession, d: String, nBoot: Int = 200)
       : DataFrame = {
-    val daily = eventsSp(s, d)
+    val daily = events(s, d)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long")

@@ -245,8 +245,12 @@ object TextOps {
     * the static planner mis-sizes (the pre-materialization cache
     * estimate) into a corpus-scaled broadcast. The only consumer of
     * counts is t6, which derives them itself behind a real Exchange. */
+  // localCheckpoint, not .cache(): seven consumers re-scan this
+  // relation and the RDD re-read beat the in-memory columnar cache on
+  // interleaved minima (t13 0.50 vs 0.78 s, t33 cpu 9 vs 14 s warm —
+  // round 10); the materialized stats also make build-side sizes real
   private[operators] def shRelationOf(docs: DataFrame): DataFrame =
-    shingleExplodedOf(docs).cache()
+    shingleExplodedOf(docs).localCheckpoint()
 
   // memoized per (session, dir): seven queries (t7/t8/t13/t25/t32/
   // t33 + the lsh pair build) read the same shingle relation — one
