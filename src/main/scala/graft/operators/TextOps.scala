@@ -2278,10 +2278,25 @@ object TextOps {
 
   private[graft] def t50Of(toks: DataFrame): DataFrame = {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl, df and |D| derive from tf, NOT from toks (round 10, guide
+    // §1.2/§2.4): every branch then contains tf's Exchange subtree
+    // verbatim, ReuseExchange collapses them, and the tokenize +
+    // per-token regex pass runs ONCE per query instead of four times.
+    // The integers are identical by construction — dl = Σ tf is the
+    // doc's token count, df = tf's row count per term (one row per
+    // (doc, term)), |D| = distinct docs in tf — so the idf doubles
+    // (and the dumped t50_idf the oracle consumes) are bit-identical.
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("sum_dl"),
       count(lit(1)).as("n_docs"))
-    val qterms = t50IdfOf(toks)
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val qterms = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd)) // 1 row — |D| rides along, no collect
+      .select(col("term"), col("df"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))).as("idf"))
       .orderBy(col("df").desc, col("term")).limit(15) // TakeOrdered, no global window
       .withColumn("rk", row_number().over(
         Window.orderBy(col("df").desc, col("term")))) // 15 rows post-limit
